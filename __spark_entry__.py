@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()`` exposes every implemented operator as (spark, sf_dir) ->
+DataFrame; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL used by
+the driver's correctness gate (row-count + schema + order-insensitive
+value hash).  Implementation lives in
+``advanced_technologies_of_china_graph_database_construction_spark``.
 """
 
 from __future__ import annotations
@@ -13,26 +14,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from advanced_technologies_of_china_graph_database_construction_spark.plans.registry import all_specs
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.graph_queries import (
+        g10_docs_per_year_for_keyword,
+    )
+
+    return g10_docs_per_year_for_keyword(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {s.name: s.fn for s in all_specs()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {s.name: s.oracle for s in all_specs() if s.oracle is not None}

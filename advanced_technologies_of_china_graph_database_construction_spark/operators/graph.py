@@ -1,0 +1,212 @@
+"""Property-graph model: node/edge DataFrames + traversal operators.
+
+The reference models a labeled property graph in Neo4j — 7 document
+labels, entity labels ``Author / Keyword / Organization / Author_Address
+/ Topic``, and typed directed relationships (``Hype.py:16-61``,
+``neo4j_query_executor.py:207-237``).  The Spark-native equivalent is a
+family of node DataFrames plus a single ``edges(src, dst, rel_type)``
+DataFrame (SURVEY.md §1.2) — Parquet-backed in production, partitioned by
+``rel_type`` so rel-type filters become partition pruning.
+
+Because the driver's test data is a TPC-H-ish star schema, the graph is
+*derived* from it with a fixed deterministic projection (orders→documents,
+customer→Author, part→Keyword, supplier→Organization, nation→
+Author_Address, region→Topic).  The projection exercises exactly the
+construction operators of the reference (config-driven extraction,
+explode, distinct edge tuples, alias edges — ``csv_extractor.py:16-241``)
+while staying DuckDB-checkable: `GRAPH_ORACLE_CTES` is the ANSI-SQL
+mirror of `build_graph`.
+
+Scale notes (100 TB): every edge extraction below is a narrow projection
+plus at most one `distinct()` (shuffle on the edge key). Joins from docs
+to entity dims are broadcast (dims are small); doc↔edge joins shuffle on
+doc_id, which is the natural bucketing key for the edges table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# o_orderpriority → document label; mirrors the Reference-Type→label
+# mapping with default (`utils.py:100-110`, `TopicTocsv.py:14-25`).
+PRIORITY_TO_LABEL = {
+    "1-URGENT": "Patent",
+    "2-HIGH": "Journal_Article",
+    "3-MEDIUM": "Conference_Proceedings",
+    "4-NOT SPECIFIED": "Thesis",
+    "5-LOW": "Book",
+}
+DEFAULT_LABEL = "Other_Article"  # TopicTocsv.py:20 default label
+
+# Relationship types (Hype.py:16-61; AUTHOR_ADDRESS naming normalized per
+# SURVEY.md §7 hard-part (f)).
+REL_AUTHORED = "AUTHORED"
+REL_HAS_KEYWORD = "HAS_KEYWORD"
+REL_PUBLISHED_BY = "PUBLISHED_BY"
+REL_AUTHOR_ADDRESS = "AUTHOR_ADDRESS"
+REL_HAS_TOPIC = "HAS_TOPIC"
+REL_ALIAS_OF = "ALIAS_OF"
+
+
+@dataclass
+class GraphModel:
+    """Node DataFrames + one unified typed edge DataFrame.
+
+    ``edges`` carries (src, dst, rel_type); ids live in per-entity key
+    spaces (rel_type determines which node table src/dst refer to), the
+    same way the reference's per-label CSV exports scope ``:ID`` columns
+    (`csv_extractor.py:105-111`).
+    """
+
+    docs: DataFrame
+    authors: DataFrame
+    keywords: DataFrame
+    orgs: DataFrame
+    addresses: DataFrame
+    topics: DataFrame
+    edges: DataFrame
+    kw_alias: DataFrame  # keyword alias mapping (keyword_id, canonical_id)
+
+    def edges_of(self, rel_type: str) -> DataFrame:
+        # Literal filter over the union: Catalyst constant-folds the
+        # rel_type predicate per union branch and prunes dead branches,
+        # so only the relevant extraction subtree is executed.
+        return self.edges.filter(F.col("rel_type") == rel_type).select("src", "dst")
+
+
+def build_graph(spark: SparkSession, sf_dir: str) -> GraphModel:
+    """Construct the property graph from the relational tables.
+
+    Mirrors the reference's batch construction path (SURVEY.md §3.2):
+    scan → project → explode-like edge extraction → per-edge-type
+    distinct; node identity by natural key, edge tuples deduplicated on
+    (src, dst, rel_type) (`csv_extractor.py:168,196-207`).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    label_expr = F.lit(None).cast("string")
+    for prio, label in PRIORITY_TO_LABEL.items():
+        label_expr = F.when(F.col("o_orderpriority") == prio, label).otherwise(label_expr)
+    docs = orders.select(
+        F.col("o_orderkey").alias("doc_id"),
+        F.concat(F.lit("DOC-"), F.col("o_orderkey").cast("string")).alias("title"),
+        F.coalesce(label_expr, F.lit(DEFAULT_LABEL)).alias("label"),
+        F.year("o_orderdate").alias("year"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+    )
+
+    authors = customer.select(F.col("c_custkey").alias("author_id"), F.col("c_name").alias("name"))
+    keywords = part.select(F.col("p_partkey").alias("keyword_id"), F.col("p_name").alias("name"))
+    orgs = supplier.select(F.col("s_suppkey").alias("org_id"), F.col("s_name").alias("name"))
+    addresses = nation.select(F.col("n_nationkey").alias("address_id"), F.col("n_name").alias("name"))
+    topics = region.select(F.col("r_regionkey").alias("topic_id"), F.col("r_name").alias("name"))
+
+    # (Author)-[:AUTHORED]->(Doc) — Hype.py:17-23 analogue.
+    e_authored = orders.select(F.col("o_custkey").alias("src"), F.col("o_orderkey").alias("dst"))
+    # (Doc)-[:HAS_KEYWORD]->(Keyword) — Hype.py:31-37; dedup per tuple.
+    e_has_kw = lineitem.select(F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")).distinct()
+    # (Doc)-[:PUBLISHED_BY]->(Organization) — Hype.py:38-44.
+    e_pub = lineitem.select(F.col("l_orderkey").alias("src"), F.col("l_suppkey").alias("dst")).distinct()
+    # (Doc)-[:AUTHOR_ADDRESS]->(Author_Address) — Hype.py:45-51.
+    e_addr = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey).select(
+        F.col("o_orderkey").alias("src"), F.col("c_nationkey").cast("long").alias("dst")
+    )
+    # (Doc)-[:HAS_TOPIC]->(Topic) — neo4j_query_executor.py:234 analogue.
+    e_topic = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(F.col("o_orderkey").alias("src"), F.col("n_regionkey").cast("long").alias("dst"))
+        .distinct()
+    )
+    # (Keyword)-[:ALIAS_OF]->(Keyword) — same-surface-form entity
+    # resolution: keywords sharing a name collapse to min id, mirroring
+    # min-as-representative (`keyword_merger.py:222`) and the
+    # surface≠canonical alias filter (`csv_extractor.py:269-273`).
+    from pyspark.sql import Window
+
+    kw_alias = part.select(
+        F.col("p_partkey").alias("keyword_id"),
+        F.min("p_partkey").over(Window.partitionBy("p_name")).alias("canonical_id"),
+    )
+    e_alias = kw_alias.filter(F.col("keyword_id") != F.col("canonical_id")).select(
+        F.col("keyword_id").alias("src"), F.col("canonical_id").alias("dst")
+    )
+
+    def typed(df: DataFrame, rel: str) -> DataFrame:
+        return df.select(
+            F.col("src").cast("long"), F.col("dst").cast("long"), F.lit(rel).alias("rel_type")
+        )
+
+    edges = (
+        typed(e_authored, REL_AUTHORED)
+        .unionByName(typed(e_has_kw, REL_HAS_KEYWORD))
+        .unionByName(typed(e_pub, REL_PUBLISHED_BY))
+        .unionByName(typed(e_addr, REL_AUTHOR_ADDRESS))
+        .unionByName(typed(e_topic, REL_HAS_TOPIC))
+        .unionByName(typed(e_alias, REL_ALIAS_OF))
+    )
+
+    return GraphModel(
+        docs=docs,
+        authors=authors,
+        keywords=keywords,
+        orgs=orgs,
+        addresses=addresses,
+        topics=topics,
+        edges=edges,
+        kw_alias=kw_alias,
+    )
+
+
+# ANSI-SQL mirror of build_graph for the DuckDB oracle. Prepend to any
+# oracle query that consumes the graph model.
+GRAPH_ORACLE_CTES = """
+WITH docs AS (
+  SELECT o_orderkey AS doc_id,
+         'DOC-' || CAST(o_orderkey AS VARCHAR) AS title,
+         CASE o_orderpriority
+           WHEN '1-URGENT' THEN 'Patent'
+           WHEN '2-HIGH' THEN 'Journal_Article'
+           WHEN '3-MEDIUM' THEN 'Conference_Proceedings'
+           WHEN '4-NOT SPECIFIED' THEN 'Thesis'
+           WHEN '5-LOW' THEN 'Book'
+           ELSE 'Other_Article' END AS label,
+         CAST(year(o_orderdate) AS INT) AS year,
+         o_totalprice AS totalprice,
+         o_orderstatus AS status
+  FROM orders),
+authors AS (SELECT c_custkey AS author_id, c_name AS name FROM customer),
+keywords AS (SELECT p_partkey AS keyword_id, p_name AS name FROM part),
+orgs AS (SELECT s_suppkey AS org_id, s_name AS name FROM supplier),
+addresses AS (SELECT CAST(n_nationkey AS BIGINT) AS address_id, n_name AS name FROM nation),
+topics AS (SELECT CAST(r_regionkey AS BIGINT) AS topic_id, r_name AS name FROM region),
+e_authored AS (SELECT o_custkey AS src, o_orderkey AS dst FROM orders),
+e_has_keyword AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem),
+e_published_by AS (SELECT DISTINCT l_orderkey AS src, l_suppkey AS dst FROM lineitem),
+e_author_address AS (
+  SELECT o_orderkey AS src, CAST(c_nationkey AS BIGINT) AS dst
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+e_has_topic AS (
+  SELECT DISTINCT o_orderkey AS src, CAST(n_regionkey AS BIGINT) AS dst
+  FROM orders JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey),
+kw_alias AS (
+  SELECT p_partkey AS keyword_id,
+         MIN(p_partkey) OVER (PARTITION BY p_name) AS canonical_id
+  FROM part),
+e_alias_of AS (
+  SELECT keyword_id AS src, canonical_id AS dst
+  FROM kw_alias WHERE keyword_id <> canonical_id)
+"""

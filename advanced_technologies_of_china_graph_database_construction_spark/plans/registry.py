@@ -1,0 +1,31 @@
+"""Central query registry — one QuerySpec per implemented operator from
+SURVEY.md §2, exported to the driver via ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from .spec import QuerySpec
+
+
+def all_specs() -> list[QuerySpec]:
+    from . import graph_queries, relational
+
+    modules = [relational, graph_queries]
+    for optional in ("docs_queries", "er_queries", "events_queries"):
+        try:
+            modules.append(__import__(f"{__package__}.{optional}", fromlist=["SPECS"]))
+        except ImportError:
+            pass
+    specs: list[QuerySpec] = []
+    seen: set[str] = set()
+    for m in modules:
+        for s in m.SPECS:
+            if s.name in seen:
+                raise ValueError(f"duplicate query name {s.name}")
+            seen.add(s.name)
+            specs.append(s)
+    return specs
+
+
+def spec_map() -> dict[str, QuerySpec]:
+    return {s.name: s for s in all_specs()}

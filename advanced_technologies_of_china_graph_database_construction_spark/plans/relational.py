@@ -1,0 +1,318 @@
+"""Relational core workload — the generic scan/filter/join/agg/window/
+set-op surface of SURVEY.md §2 (P1-P10, J1-J10 equi-join shapes, A1-A5,
+L1-L4, U1-U3), expressed as TPC-H-style queries over the driver tables.
+
+Design rules:
+- declarative DataFrame plans only; Catalyst handles pushdown/pruning/
+  join selection (broadcast for the small dims).
+- every double aggregate is rounded to 2 decimals on BOTH engine and
+  oracle side so cross-engine float summation order can't flip the hash.
+- every LIMIT is paired with a total deterministic ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .spec import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+# --- q01: TPC-H Q1-style pricing summary (wide agg, map-side partials) ---
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 2) AS avg_qty,
+       round(avg(l_extendedprice), 2) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- q02: TPC-H Q3-style top unshipped orders (3-way join, top-k) ---
+def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        cust.filter(F.col("c_mktsegment") == "MACHINERY")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("o_orderdate") < F.lit("1999-01-01"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q02_SQL = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'MACHINERY' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- q03: TPC-H Q5-style regional volume (5-way join through dims) ---
+def q03_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li, supp, nat, reg = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+Q03_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# --- q04: TPC-H Q4-style priority count with EXISTS (left-semi join) ---
+def q04_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+Q04_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+# --- q05: simple dim aggregate ---
+def q05_acctbal_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (cust,) = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+Q05_SQL = """
+SELECT c_mktsegment, round(avg(c_acctbal), 2) AS avg_bal,
+       round(sum(c_acctbal), 2) AS sum_bal, count(*) AS n_customers
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+# --- q06: brand stats (count / distinct / min / max) ---
+def q06_brand_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = _t(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.countDistinct("p_name").alias("n_names"),
+        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        F.max("p_size").alias("max_size"),
+        F.min("p_size").alias("min_size"),
+    )
+
+
+Q06_SQL = """
+SELECT p_brand, count(*) AS n_parts, count(DISTINCT p_name) AS n_names,
+       round(avg(p_retailprice), 2) AS avg_price,
+       max(p_size) AS max_size, min(p_size) AS min_size
+FROM part GROUP BY p_brand
+"""
+
+
+# --- q07: top supplier per nation (window / top-k per group) ---
+def q07_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp, nat = _t(spark, sf_dir, "supplier", "nation")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        supp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("n_name", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+Q07_SQL = """
+SELECT n_name, s_name, round(s_acctbal, 2) AS acctbal
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY s_nationkey
+                               ORDER BY s_acctbal DESC, s_suppkey ASC) AS rn
+  FROM supplier) s
+JOIN nation ON s_nationkey = n_nationkey
+WHERE rn = 1
+"""
+
+
+# --- q08: monthly revenue time series ---
+def q08_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+Q08_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY month
+"""
+
+
+# --- q09: customers without orders (anti join) ---
+def q09_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_without_orders"))
+    )
+
+
+Q09_SQL = """
+SELECT c_mktsegment, count(*) AS n_without_orders
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# --- q10: distinct-parts-per-order histogram (two-level aggregate) ---
+def q10_parts_per_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(F.countDistinct("l_partkey").alias("n_parts"))
+    return per_order.groupBy("n_parts").agg(F.count("*").alias("n_orders"))
+
+
+Q10_SQL = """
+SELECT n_parts, count(*) AS n_orders
+FROM (SELECT l_orderkey, count(DISTINCT l_partkey) AS n_parts
+      FROM lineitem GROUP BY l_orderkey) t
+GROUP BY n_parts
+"""
+
+
+# --- q11: rollup (hierarchical aggregate) ---
+def q11_status_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+Q11_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- q12: set ops (intersect) ---
+def q12_nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, supp, nat = _t(spark, sf_dir, "customer", "supplier", "nation")
+    cust_nations = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select("n_name")
+    supp_nations = supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey).select("n_name")
+    return cust_nations.intersect(supp_nations)
+
+
+Q12_SQL = """
+SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+INTERSECT
+SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+SPECS = [
+    QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "relational",
+              "TPC-H Q1-style wide aggregate (map-side partial agg)", bench=True),
+    QuerySpec("q02_top_revenue_orders", q02_top_revenue_orders, Q02_SQL, "relational",
+              "TPC-H Q3-style join + top-k", bench=True),
+    QuerySpec("q03_regional_volume", q03_regional_volume, Q03_SQL, "relational",
+              "TPC-H Q5-style 5-way join with broadcast dims", bench=True),
+    QuerySpec("q04_priority_exists", q04_priority_exists, Q04_SQL, "relational",
+              "EXISTS via left-semi join (J6)"),
+    QuerySpec("q05_acctbal_by_segment", q05_acctbal_by_segment, Q05_SQL, "relational",
+              "simple dim aggregate (A3)"),
+    QuerySpec("q06_brand_part_stats", q06_brand_part_stats, Q06_SQL, "relational",
+              "count/distinct/min/max per group"),
+    QuerySpec("q07_top_supplier_per_nation", q07_top_supplier_per_nation, Q07_SQL, "relational",
+              "window top-1 per group (D1 keep-first shape)"),
+    QuerySpec("q08_monthly_revenue", q08_monthly_revenue, Q08_SQL, "relational",
+              "time-bucketed aggregate", bench=True),
+    QuerySpec("q09_customers_without_orders", q09_customers_without_orders, Q09_SQL, "relational",
+              "NOT EXISTS via left-anti join"),
+    QuerySpec("q10_parts_per_order_histogram", q10_parts_per_order_histogram, Q10_SQL, "relational",
+              "two-level aggregate"),
+    QuerySpec("q11_status_priority_rollup", q11_status_priority_rollup, Q11_SQL, "relational",
+              "ROLLUP hierarchical aggregate"),
+    QuerySpec("q12_nations_with_both", q12_nations_with_both, Q12_SQL, "relational",
+              "INTERSECT set op (U-family)"),
+]

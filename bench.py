@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is executed once for warm-up-free wall-clock honesty is not the
+goal here — the first run includes JVM/codegen warmup, so we time the
+second of two runs per query (steady-state, what a long-running cluster
+session would see).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from advanced_technologies_of_china_graph_database_construction_spark import get_spark
+from advanced_technologies_of_china_graph_database_construction_spark.plans.registry import all_specs
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("atcgdc-bench")
+    specs = [s for s in all_specs() if s.bench]
+
+    timings: dict[str, float] = {}
+    for spec in specs:
+        # warmup run (plan compilation, codegen, file listing)
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[spec.name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

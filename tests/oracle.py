@@ -1,0 +1,50 @@
+"""Local replica of the driver's correctness gate: run the Spark query
+and the DuckDB oracle SQL on the same parquet tables, compare row count,
+schema (column names), and an order-insensitive value comparison.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from advanced_technologies_of_china_graph_database_construction_spark.catalog import TABLES
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def compare(spark_df, con, sql):
+    sdf = spark_df.toPandas()
+    odf = con.execute(sql).df()
+    s_cols = sorted(sdf.columns)
+    o_cols = sorted(odf.columns)
+    assert s_cols == o_cols, f"schema mismatch: spark={s_cols} oracle={o_cols}"
+    s_rows = normalize([tuple(r) for r in sdf.itertuples(index=False)], list(sdf.columns))
+    o_rows = normalize([tuple(r) for r in odf.itertuples(index=False)], list(odf.columns))
+    assert len(s_rows) == len(o_rows), f"row count mismatch: spark={len(s_rows)} oracle={len(o_rows)}"
+    mismatches = [(a, b) for a, b in zip(s_rows, o_rows) if a != b]
+    assert not mismatches, f"value mismatch ({len(mismatches)} rows), first: {mismatches[:3]}"

@@ -1,0 +1,47 @@
+"""Replicates the driver's DuckDB-oracle gate for every registered query
+that declares an oracle, at sf0.01 (the driver's correctness SF).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from advanced_technologies_of_china_graph_database_construction_spark.plans.registry import all_specs
+
+from .conftest import SF_CORRECT
+from .oracle import compare, duckdb_conn
+
+SPECS = all_specs()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_conn(SF_CORRECT)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("spec", [s for s in SPECS if s.oracle], ids=lambda s: s.name)
+def test_oracle_match(spark, con, spec):
+    df = spec.fn(spark, SF_CORRECT)
+    compare(df, con, spec.oracle)
+
+
+@pytest.mark.parametrize("spec", [s for s in SPECS if not s.oracle], ids=lambda s: s.name)
+def test_rows_only(spark, spec):
+    df = spec.fn(spark, SF_CORRECT)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(df.columns) == {"year", "n_docs"}
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) == len(SPECS)
