@@ -1,0 +1,80 @@
+"""Distributed connected components over an edge DataFrame.
+
+This is the cluster-closure step of the reference's entity resolution:
+DBSCAN with ``min_samples=2`` over an ε-ball cosine graph is exactly
+single-link transitive closure (`keyword_merger.py:186-201`; SURVEY.md
+§2.9 M2) — i.e. connected components of the similarity graph.
+
+Implementation: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014) expressed as
+DataFrame joins/aggregations.  Converges in O(log² n) rounds regardless
+of component diameter — the property that matters at 100 TB, where plain
+min-label propagation needs O(diameter) shuffles over the full edge set.
+Each round is two shuffles on node id; intermediate edge sets are
+persisted and the lineage is cut via localCheckpoint to keep plans flat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    # For each node u, connect every strictly-larger neighbor v to
+    # min(N(u) ∪ {u}).
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    m = sym.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("mn"))
+    nbrs = sym.join(m, "src")
+    return (
+        nbrs.filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # Orient edges to point to the smaller endpoint; for each node u,
+    # connect all smaller-or-equal neighbors to the minimum one.
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    m = oriented.groupBy("src").agg(F.min("dst").alias("mn"))
+    nbrs = oriented.join(m, "src")
+    out = nbrs.select(F.col("dst").alias("src"), F.col("mn").alias("dst")).union(
+        m.select(F.col("src"), F.col("mn").alias("dst"))
+    )
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Return (id, component) where component = min node id reachable.
+
+    ``edges`` needs columns (src, dst); direction is ignored. Nodes that
+    appear in no edge are absent — callers union isolated nodes back in
+    (see er.canonical_mapping).
+    """
+    cur = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        ss = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # Converged when a full large-star/small-star round leaves the
+        # edge set unchanged (it is then a star forest rooted at minima).
+        if ss.exceptAll(cur).isEmpty() and cur.exceptAll(ss).isEmpty():
+            cur.unpersist()
+            cur = ss
+            break
+        cur.unpersist()
+        cur = ss.persist(StorageLevel.MEMORY_AND_DISK)
+    # After convergence edges form stars (node -> component min).
+    comp = cur.groupBy("src").agg(F.min("dst").alias("component"))
+    roots = cur.select(F.col("dst").alias("src")).distinct().join(comp, "src", "left_anti")
+    result = comp.select(F.col("src").alias("id"), "component").union(
+        roots.select(F.col("src").alias("id"), F.col("src").alias("component"))
+    )
+    return result

@@ -1,0 +1,136 @@
+"""Entity resolution: similarity self-join → connected components →
+canonical mapping → mapping application.
+
+Mirrors the reference's keyword-merging pipeline (SURVEY.md §2.9):
+embed unique surface forms (`keyword_merger.py:183`), cluster with
+cosine DBSCAN min_samples=2 (`:186-201`), canonical = min of cluster
+(`:222`), identity for noise (`:231-232`), then apply the mapping to
+records via broadcast join (`:249-265`).
+
+Spark-first decomposition:
+- the ε-ball cosine graph is a **similarity self-join**;
+- DBSCAN(min_samples=2) closure is **connected components** of that
+  graph (operators/connected_components.py);
+- mapping application is a **broadcast left join + coalesce** (J1).
+
+Two similarity-join strategies:
+- ``exact_similarity_pairs``: blocked O(n²) join, fine to a few 10⁵
+  vectors per attribute (the reference's real scale is 88k keywords) —
+  and the correctness oracle for the approximate path.
+- ``lsh_similarity_pairs``: random-hyperplane (sign) LSH — signatures
+  via an Arrow-batched pandas UDF, candidates from banded signature
+  equality, then exact cosine on candidates only.  This is the 100 TB
+  path: candidate generation is an equi-join on (band, band_signature),
+  so the shuffle is proportional to collisions, not n².
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.vectors import cosine_rounded
+from .connected_components import connected_components
+
+
+def exact_similarity_pairs(
+    emb: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """All pairs (src < dst, sim) with cosine similarity ≥ threshold.
+
+    The comparison uses cosine rounded to 6 digits so the decision at
+    the threshold boundary is reproducible across engines/hardware.
+    """
+    a = emb.select(F.col(id_col).alias("src"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("src") < F.col("dst"))
+    sim = cosine_rounded(F.col("va"), F.col("vb"))
+    return pairs.select("src", "dst", sim.alias("sim")).filter(F.col("sim") >= threshold)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(np.float64)
+
+
+def lsh_similarity_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 32,
+    bands: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate ε-ball cosine self-join via sign-LSH banding.
+
+    Recall is tunable with (n_planes, bands); precision is exact because
+    candidates are re-scored with the true cosine. Deterministic given
+    the seed.
+    """
+    rows_per_band = n_planes // bands
+    spark = emb.sparkSession
+    sample = emb.select(vec_col).first()
+    dim = len(sample[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    bc = spark.sparkContext.broadcast(planes)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (mat @ bc.value.T) >= 0  # (batch, n_planes)
+        out = []
+        for row in bits:
+            keys = []
+            for b in range(bands):
+                chunk = row[b * rows_per_band : (b + 1) * rows_per_band]
+                key = 0
+                for bit in chunk:
+                    key = (key << 1) | int(bit)
+                # disambiguate band index in the key space
+                keys.append((b << 48) | key)
+            out.append(keys)
+        return pd.Series(out)
+
+    sig = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), band_keys(F.col(vec_col)).alias("keys")
+    )
+    exploded = sig.select("id", "v", F.explode("keys").alias("band_key"))
+    left = exploded.select(F.col("id").alias("src"), F.col("v").alias("va"), "band_key")
+    right = exploded.select(F.col("id").alias("dst"), F.col("v").alias("vb"), "band_key")
+    cands = (
+        left.join(right, ["band_key"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "va", "vb")
+        .distinct()
+    )
+    sim = cosine_rounded(F.col("va"), F.col("vb"))
+    return cands.select("src", "dst", sim.alias("sim")).filter(F.col("sim") >= threshold)
+
+
+def canonical_mapping(emb: DataFrame, pairs: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, canonical): min-id of the similarity component; noise → self.
+
+    Matches `keyword_merger.py:222` (min representative) + `:231-232`
+    (noise identity).
+    """
+    comp = connected_components(pairs.select("src", "dst"))
+    ids = emb.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("canonical")
+    )
+
+
+def apply_mapping(df: DataFrame, mapping: DataFrame, col: str, out_col: str | None = None) -> DataFrame:
+    """Replace surface values by canonical via broadcast left join (J1:
+    `mapping.get(item, item)` semantics, `keyword_merger.py:249-265`)."""
+    out_col = out_col or col
+    m = mapping.select(F.col("id").alias("__surface"), F.col("canonical").alias("__canonical"))
+    return (
+        df.join(F.broadcast(m), df[col] == F.col("__surface"), "left")
+        .withColumn(out_col, F.coalesce("__canonical", F.col(col)))
+        .drop("__surface", "__canonical")
+    )
