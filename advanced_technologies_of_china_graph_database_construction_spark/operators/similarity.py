@@ -1,0 +1,107 @@
+"""Similarity search over an embedding column (`array<float>`):
+brute-force cosine top-k (the exact baseline) and an IVF-style
+bucketed variant (the scale path).
+
+Brute force is one broadcast-join + window top-k: exact, O(n·q), right
+whenever q (queries) is small or n fits a partition sweep.  IVF assigns
+every vector to its nearest of C coarse centroids (one broadcast join),
+then probes only the nprobe closest buckets per query — the classic
+inverted-file trade: recall vs. the fraction of buckets scanned.  Both
+are deterministic (ties broken by id) and oracle-checkable.
+
+At 100 TB the IVF list table is the partitioning: cluster the vectors
+by centroid id on write (`partitionBy("centroid_id")`), so a probe
+reads only nprobe partitions — partition pruning does the bucket
+selection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_rounded
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, sim, rank): exact top-k cosine neighbors
+    for each query id; ties broken by neighbor id."""
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cand = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        F.broadcast(q)
+        .join(cand, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine_rounded(F.col("qv"), F.col("nv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_assign(
+    emb: DataFrame, n_centroids: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, centroid_id): nearest of the first ``n_centroids``
+    vectors (training-free deterministic coarse quantizer; swap for
+    k-means centroids in production — the plan shape is identical)."""
+    cent = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    scored = emb.select(F.col(id_col), F.col(vec_col).alias("v")).crossJoin(F.broadcast(cent))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc(cosine_rounded(F.col("v"), F.col("cv"))), F.asc("centroid_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), "centroid_id")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, sim, rank): IVF search probing the
+    ``nprobe`` nearest centroid buckets per query."""
+    assign = ivf_assign(emb, n_centroids, id_col, vec_col)
+    cent = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine_rounded(F.col("qv"), F.col("cv"))), F.asc("centroid_id")
+    )
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    cands = (
+        probes.join(assign, "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(emb.select(F.col(id_col), F.col(vec_col).alias("nv")), id_col)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine_rounded(F.col("qv"), F.col("nv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,111 @@
+"""Text-analysis operators over a document corpus — language ID,
+quality scoring, token counting, fingerprinting.
+
+Generalizes the reference's text surface (multi-delimiter splits,
+regex predicates, whitespace normalization — SURVEY.md §2.3) into the
+operators a large-scale training-data pipeline needs.  Everything here
+is built from JVM-side ``pyspark.sql.functions`` (whole-stage codegen;
+no Python in the hot path) and is expressible in ANSI SQL for the
+DuckDB oracle.
+
+Determinism notes: all scores are integer-count ratios computed in
+double and rounded; tie-breaks are lexicographic — reproducible across
+engines bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Fixed stopword lists per language (tiny on purpose: broadcastable,
+# portable to SQL literals).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "en": ["the", "and", "of", "to", "a", "is"],
+    "es": ["el", "la", "de", "que", "los", "es"],
+    "fr": ["le", "les", "des", "et", "un", "est"],
+    "zh": ["的", "是", "在", "了", "我", "不"],
+}
+
+# BPE-ish tokenizer regex: letter runs, digit runs, single punctuation.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization (split + trim, F1/F3 semantics)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def regex_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish regex (scale path for budget
+    estimation without a real tokenizer)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def stopword_count(text: Column, words: list[str]) -> Column:
+    toks = ws_tokens(F.lower(text))
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    return [(lang, stopword_count(text, words)) for lang, words in sorted(LANG_STOPWORDS.items())]
+
+
+def predict_lang(text: Column) -> Column:
+    """argmax over per-language stopword counts; ties break to the
+    lexicographically-first language (deterministic)."""
+    scores = lang_scores(text)
+    # build struct array (score, lang) and take max — struct comparison
+    # orders by score then lang; we want max score, min lang, so negate
+    # the lang ordering via array_position trick: compare on (score,
+    # reverse_rank) where reverse_rank is higher for earlier langs.
+    n = len(scores)
+    entries = [
+        F.struct(c.alias("score"), F.lit(n - i).alias("pri"), F.lit(lang).alias("lang"))
+        for i, (lang, c) in enumerate(scores)
+    ]
+    return F.array_max(F.array(*entries))["lang"]
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: token/char counts, average token
+    length, punctuation ratio, stopword ratio, composite score."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_toks = token_count(text)
+    letters = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    stop_en = stopword_count(text, LANG_STOPWORDS["en"])
+    avg_tok = F.round(letters.cast("double") / n_toks.cast("double"), 6)
+    punct_ratio = F.round(punct.cast("double") / n_chars.cast("double"), 6)
+    stop_ratio = F.round(stop_en.cast("double") / n_toks.cast("double"), 6)
+    score = F.round(
+        F.least(F.lit(1.0), n_toks.cast("double") / F.lit(100.0)) * 0.5
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + stop_ratio * 0.2,
+        6,
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars_computed"),
+        n_toks.alias("n_tokens"),
+        avg_tok.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Lowercase + whitespace collapse (F3 normalization)."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    return F.md5(normalize_text(text))

@@ -1,0 +1,372 @@
+"""Training-data pipeline workload over `documents` + `embeddings`:
+deduplication (exact / MinHash / SimHash / n-gram Jaccard), text
+analysis (language ID, quality, token budgeting, fingerprints) and
+similarity search (brute-force + IVF ANN).
+
+The dedup queries run over a *corpus* that unions the documents table
+with deterministically injected near-duplicates (suffix-shifted copies)
+and exact duplicates — the same construction in the Spark plan and the
+oracle SQL — so the operators demonstrably find something.
+
+Portability: every signature is integer arithmetic over ascii codes
+(see operators/dedup.py), thresholds are integer counts or 6-digit-
+rounded rationals of integer counts, and ties break lexicographically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup, textops
+from ..operators.similarity import brute_force_topk, ivf_topk
+from .spec import QuerySpec
+
+# ---------------------------------------------------------------- corpus --
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    near = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substr(text, 11)").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    exact = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+_CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, substr(text, 11), lang, source, n_chars
+  FROM documents WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 50 = 0)
+"""
+
+_SHINGLES_CTE = """
+shingles AS (
+  SELECT DISTINCT doc_id,
+         ascii(substr(sh,1,1))*65536 + ascii(substr(sh,2,1))*256 + ascii(substr(sh,3,1)) AS shingle_hash
+  FROM (SELECT doc_id,
+               unnest(CASE WHEN length(text) >= 3
+                      THEN list_transform(generate_series(1, length(text)-2), i -> substr(text,i,3))
+                      ELSE [] END) AS sh
+        FROM corpus))
+"""
+
+_PERMS_VALUES = ", ".join(f"({k}, {a}, {b})" for k, a, b in dedup.PERMS)
+
+
+# --------------------------------------------------------------- d01 exact --
+
+def d01_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_groups(_corpus(spark, sf_dir))
+
+
+D01_SQL = f"""
+WITH {_CORPUS_CTE}
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM corpus GROUP BY md5(text) HAVING count(*) >= 2
+"""
+
+
+# ------------------------------------------------------------- d02 minhash --
+
+def d02_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_near_dups(_corpus(spark, sf_dir))
+
+
+D02_SQL = f"""
+WITH {_CORPUS_CTE},
+{_SHINGLES_CTE},
+perms(k, a, b) AS (VALUES {_PERMS_VALUES}),
+sigs AS (
+  SELECT doc_id, k, min((a * shingle_hash + b) % {dedup.MINHASH_PRIME}) AS minhash
+  FROM shingles CROSS JOIN perms GROUP BY doc_id, k),
+sigsrc AS (SELECT s.doc_id, s.k, s.minhash, c.source FROM sigs s JOIN corpus c USING (doc_id))
+SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS n_matching
+FROM sigsrc a JOIN sigsrc b
+  ON a.k = b.k AND a.minhash = b.minhash AND a.source = b.source AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 8
+"""
+
+
+# ------------------------------------------------------------- d03 simhash --
+
+_TOKEN_HASH_SQL = (
+    "((((ascii(substr(rpad(tok,4,' '),1,1)) * 31 + ascii(substr(rpad(tok,4,' '),2,1))) * 31"
+    " + ascii(substr(rpad(tok,4,' '),3,1))) * 31 + ascii(substr(rpad(tok,4,' '),4,1))) * 31"
+    f" + length(tok)) % 65536 * {dedup.KNUTH} % {2 ** dedup.SIMHASH_BITS}"
+)
+
+_SIMHASH_CTE_TEMPLATE = """
+toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM {src}),
+th AS (SELECT doc_id, {token_hash} AS th FROM toks),
+bits AS (SELECT unnest(generate_series(0, {maxbit})) AS j),
+votes AS (
+  SELECT doc_id, j, sum(CASE WHEN (th >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN bits GROUP BY doc_id, j),
+sig AS (
+  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id)
+"""
+
+
+def _simhash_cte(src: str) -> str:
+    return _SIMHASH_CTE_TEMPLATE.format(
+        src=src, token_hash=_TOKEN_HASH_SQL, maxbit=dedup.SIMHASH_BITS - 1
+    )
+
+
+def d03_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+D03_SQL = f"WITH {_simhash_cte('documents')} SELECT doc_id, simhash FROM sig"
+
+
+def d04_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dups(_corpus(spark, sf_dir))
+
+
+D04_SQL = f"""
+WITH {_CORPUS_CTE},
+{_simhash_cte('corpus')},
+sigsrc AS (SELECT s.doc_id, s.simhash, c.source FROM sig s JOIN corpus c USING (doc_id))
+SELECT a.doc_id AS src, b.doc_id AS dst, bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sigsrc a JOIN sigsrc b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# ------------------------------------------------------------- d05 jaccard --
+
+def d05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_corpus(spark, sf_dir))
+
+
+D05_SQL = f"""
+WITH {_CORPUS_CTE},
+{_SHINGLES_CTE},
+shsrc AS (SELECT s.doc_id, s.shingle_hash, c.source FROM shingles s JOIN corpus c USING (doc_id)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS inter
+  FROM shsrc a JOIN shsrc b
+    ON a.shingle_hash = b.shingle_hash AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT src, dst,
+       round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON inter.src = sa.doc_id JOIN sizes sb ON inter.dst = sb.doc_id
+WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5
+"""
+
+
+# ------------------------------------------------------------- d06 quality --
+
+def d06_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_features(load_table(spark, sf_dir, "documents"))
+
+
+_EN_STOPS = ", ".join(f"'{w}'" for w in textops.LANG_STOPWORDS["en"])
+
+D06_SQL = f"""
+WITH feats AS (
+  SELECT doc_id,
+         length(text) AS n_chars_computed,
+         length(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS letters,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
+         length(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            t -> t IN ({_EN_STOPS}))) AS stops
+  FROM documents)
+SELECT doc_id, n_chars_computed, n_tokens,
+       round(letters::DOUBLE / n_tokens, 6) AS avg_token_len,
+       round(punct::DOUBLE / n_chars_computed, 6) AS punct_ratio,
+       round(stops::DOUBLE / n_tokens, 6) AS stopword_ratio,
+       round(least(1.0, n_tokens / 100.0) * 0.5
+             + (1.0 - round(punct::DOUBLE / n_chars_computed, 6)) * 0.3
+             + round(stops::DOUBLE / n_tokens, 6) * 0.2, 6) AS quality_score
+FROM feats
+"""
+
+
+# ------------------------------------------------------------- d07 lang id --
+
+def d07_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select("lang", textops.predict_lang(F.col("text")).alias("lang_pred"))
+    return pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+
+
+def _lang_count_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in textops.LANG_STOPWORDS[lang])
+    return (
+        f"length(list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+        f" t -> t IN ({words})))"
+    )
+
+
+D07_SQL = f"""
+WITH scores AS (
+  SELECT lang,
+         {_lang_count_sql('de')} AS s_de,
+         {_lang_count_sql('en')} AS s_en,
+         {_lang_count_sql('es')} AS s_es,
+         {_lang_count_sql('fr')} AS s_fr,
+         {_lang_count_sql('zh')} AS s_zh
+  FROM documents),
+pred AS (
+  SELECT lang,
+         CASE
+           WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           WHEN s_fr >= s_zh THEN 'fr'
+           ELSE 'zh' END AS lang_pred
+  FROM scores)
+SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY lang, lang_pred
+"""
+
+
+# -------------------------------------------------------- d08 fingerprints --
+
+def d08_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", textops.fingerprint_md5(F.col("text")).alias("fp_md5"))
+    minsh = (
+        dedup.char_shingles(docs)
+        .groupBy("doc_id")
+        .agg(F.min("shingle_hash").alias("fp_minshingle"))
+    )
+    return fp.join(minsh, "doc_id")
+
+
+D08_SQL = """
+WITH corpus AS (SELECT doc_id, text FROM documents),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         ascii(substr(sh,1,1))*65536 + ascii(substr(sh,2,1))*256 + ascii(substr(sh,3,1)) AS shingle_hash
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, length(text)-2), i -> substr(text,i,3))) AS sh
+        FROM corpus))
+SELECT d.doc_id,
+       md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp_md5,
+       m.fp_minshingle
+FROM documents d
+JOIN (SELECT doc_id, min(shingle_hash) AS fp_minshingle FROM shingles GROUP BY doc_id) m
+  ON d.doc_id = m.doc_id
+"""
+
+
+# ------------------------------------------------------- d09 token budgets --
+
+def d09_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(textops.token_count(F.col("text"))).alias("ws_tokens"),
+        F.sum(textops.regex_token_count(F.col("text"))).alias("regex_tokens"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+D09_SQL = rf"""
+SELECT source,
+       sum(length(string_split_regex(trim(text), '\s+')))::BIGINT AS ws_tokens,
+       sum(length(regexp_extract_all(text, '{textops.TOKEN_REGEX}')))::BIGINT AS regex_tokens,
+       sum(n_chars)::BIGINT AS chars
+FROM documents GROUP BY source
+"""
+
+
+# ----------------------------------------------------------- a01/a02 ANN ---
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+_COS_AB = (
+    "round(list_dot_product({a}.embedding::DOUBLE[], {b}.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}.embedding::DOUBLE[], {a}.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}.embedding::DOUBLE[], {b}.embedding::DOUBLE[]))), 6)"
+)
+
+
+def a01_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, ANN_QUERY_IDS, k=10)
+
+
+A01_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_COS_AB.format(a='q', b='e')} AS sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 10
+"""
+
+
+def a02_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, ANN_QUERY_IDS, k=5, n_centroids=8, nprobe=2)
+
+
+A02_SQL = f"""
+WITH cent AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_AB.format(a='e', b='c')} DESC, c.centroid_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS_AB.format(a='q', b='c')} DESC, c.centroid_id) AS rn
+    FROM q CROSS JOIN cent c) WHERE rn <= 2),
+cands AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_COS_AB.format(a='q', b='e')} AS sim
+  FROM probes p JOIN assign a ON p.centroid_id = a.centroid_id
+  JOIN embeddings e ON a.vec_id = e.vec_id
+  JOIN q ON p.query_id = q.query_id
+  WHERE e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM cands) WHERE rank <= 5
+"""
+
+
+SPECS = [
+    QuerySpec("d01_exact_dup_groups", d01_exact_dup_groups, D01_SQL, "dedup",
+              "exact dedup via md5 hash-groupBy"),
+    QuerySpec("d02_minhash_near_dups", d02_minhash_near_dups, D02_SQL, "dedup",
+              "MinHash (16 perms) near-dup pairs, integer-count threshold", bench=True),
+    QuerySpec("d03_simhash_signatures", d03_simhash_signatures, D03_SQL, "dedup",
+              "SimHash 24-bit signatures (bit voting)"),
+    QuerySpec("d04_simhash_near_dups", d04_simhash_near_dups, D04_SQL, "dedup",
+              "SimHash near-dup pairs (Hamming <= 3)"),
+    QuerySpec("d05_ngram_jaccard_pairs", d05_ngram_jaccard_pairs, D05_SQL, "dedup",
+              "true 3-gram Jaccard pairs via shingle equi-join"),
+    QuerySpec("d06_quality_features", d06_quality_features, D06_SQL, "text",
+              "quality scoring: lengths, ratios, composite score"),
+    QuerySpec("d07_lang_id_confusion", d07_lang_id_confusion, D07_SQL, "text",
+              "stopword-vote language ID, confusion counts"),
+    QuerySpec("d08_fingerprints", d08_fingerprints, D08_SQL, "text",
+              "document fingerprints (normalized md5 + min-shingle)"),
+    QuerySpec("d09_token_totals", d09_token_totals, D09_SQL, "text",
+              "token budgeting per source (ws + BPE-ish regex)", bench=True),
+    QuerySpec("a01_ann_bruteforce", a01_ann_bruteforce, A01_SQL, "similarity",
+              "exact cosine top-k ANN baseline", bench=True),
+    QuerySpec("a02_ann_ivf", a02_ann_ivf, A02_SQL, "similarity",
+              "IVF bucketed ANN (nprobe=2 of 8 centroids)"),
+]
