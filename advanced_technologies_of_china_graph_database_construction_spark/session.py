@@ -43,6 +43,10 @@ def get_spark(app_name: str = "atcgdc-spark", shuffle_partitions: int | None = N
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic cross-engine timestamp semantics.
         .config("spark.sql.session.timeZone", "UTC")
+        # TXT-record parsing: duplicated {Field} keeps the last value,
+        # matching the reference's dict-assignment semantics
+        # (cleaner.py:7-26; sources/txt_records.py).
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

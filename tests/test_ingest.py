@@ -1,0 +1,89 @@
+"""Unit tests for the TXT record source (sources/txt_records.py) against
+real files on disk — the part the oracle round-trip can't cover: the S2
+recursive directory scan, provenance, and ragged-schema unions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from advanced_technologies_of_china_graph_database_construction_spark.sources import txt_records as txt
+
+PAPER = """\
+{Title}: Deep Learning for Lithography
+{Reference Type}: Journal Article
+{Author}: Zhang, Wei ; Li,  Na;
+{Keywords}: EUV ; lithography ; EUV
+{Author Address}: Tsinghua University 100084 , Beijing / Dept. of EE
+{Year}: 2021
+{Journal}: Acta Optica
+not a field line
+{Pages}: 1-10
+{Pages}: 11-20
+
+ \t
+{Title}: Deep Learning for Lithography
+{Reference Type}: Journal Article
+{Author}: Someone Else
+{Year}: 2022
+"""
+
+PATENT = """\
+{Title}: Etching Apparatus
+{Reference Type}: Patent
+{Author}: Wang, Fang
+{Year}: n.d.
+{Subject}: plasma etching
+"""
+
+
+def _write_tree(tmp_path):
+    d1 = tmp_path / "semiconductors" / "论文"
+    d2 = tmp_path / "semiconductors" / "专利"
+    d1.mkdir(parents=True)
+    d2.mkdir(parents=True)
+    (d1 / "a.txt").write_text(PAPER, encoding="utf-8")
+    (d2 / "b.txt").write_text(PATENT, encoding="utf-8")
+    return tmp_path
+
+
+def test_parse_blocks_fields_and_last_win(spark, tmp_path):
+    root = _write_tree(tmp_path)
+    parsed = txt.parse_blocks(txt.read_txt_dir(spark, str(root)))
+    rows = {(r["file"].split("/")[-1], r["pos"]): r["rec"] for r in parsed.collect()}
+    assert len(rows) == 3
+    first = rows[("a.txt", 0)]
+    assert first["Title"] == "Deep Learning for Lithography"
+    # duplicated field keeps the LAST value (dict-assignment semantics)
+    assert first["Pages"] == "11-20"
+    # non-field lines are ignored, not errors
+    assert "not a field line" not in set(first.keys())
+    # patent record carries its own field set (ragged schema)
+    assert rows[("b.txt", 0)]["Subject"] == "plasma etching"
+
+
+def test_clean_records_splits_and_casts(spark, tmp_path):
+    root = _write_tree(tmp_path)
+    rec = txt.clean_records(txt.parse_blocks(txt.read_txt_dir(spark, str(root))))
+    by_title_year = {(r["title"], r["year_raw"]): r for r in rec.collect()}
+    paper = by_title_year[("Deep Learning for Lithography", "2021")]
+    # F1 split + F3 per-element normalize + F4 trailing ';' + D4 dedup
+    assert paper["authors"] == ["Zhang, Wei", "Li, Na"]
+    assert paper["keywords"] == ["EUV", "lithography"]
+    # F2 postal strip + multi-delimiter address split
+    assert paper["addresses"] == ["Tsinghua University", "Beijing", "Dept", "of EE"]
+    # F5 lenient cast
+    assert paper["year"] == 2021
+    patent = by_title_year[("Etching Apparatus", "n.d.")]
+    assert patent["year"] is None and patent["year_raw"] == "n.d."
+    assert patent["label"] == "Patent"
+    assert paper["label"] == "Journal_Article"
+
+
+def test_ingest_keep_first_dedup(spark, tmp_path):
+    root = _write_tree(tmp_path)
+    deduped = txt.ingest_txt(spark, str(root))
+    assert deduped.count() == 2  # 3 records, 1 duplicate title dropped
+    winner = deduped.filter(F.col("title") == "Deep Learning for Lithography").collect()[0]
+    # keep-FIRST: the pos-0 record (authors Zhang/Li), not the later one
+    assert winner["authors"] == ["Zhang, Wei", "Li, Na"]
