@@ -31,7 +31,36 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    nanos_cols = _nanos_timestamp_cols(path)
+    if not nanos_cols:
+        return spark.read.parquet(path)
+    # Spark's parquet reader rejects TIMESTAMP(NANOS) (PARQUET_TYPE_ILLEGAL);
+    # read them as raw nanos longs and truncate to micros — the same
+    # truncation DuckDB applies, so oracle comparisons stay exact.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (unreadable by Spark)."""
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow as pa
+
+        schema = ds.dataset(path, format="parquet").schema
+        return [
+            f.name
+            for f in schema
+            if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

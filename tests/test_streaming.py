@@ -1,0 +1,102 @@
+"""Structured Streaming face of the unified event-time operators:
+file-source micro-batches, watermarked windows, streaming dedup, and the
+applyInPandasWithState running-total operator — each checked for
+agreement with its batch face on the same data.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_technologies_of_china_graph_database_construction_spark.catalog import load_table
+from advanced_technologies_of_china_graph_database_construction_spark.streaming import stateful, windows
+
+from .conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """Events split into 4 parquet files ordered by ts, so
+    maxFilesPerTrigger=1 yields 4 in-order micro-batches."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        load_table(spark, SF_CORRECT, "events")
+        .repartitionByRange(4, "ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def _run_stream(sdf, mode):
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = sdf.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return name
+
+
+def _rows(spark, name, cols):
+    return sorted(
+        tuple(r[c] for c in cols) for r in spark.table(name).collect()
+    )
+
+
+def test_tumbling_stream_matches_batch(spark, event_dir):
+    stream = windows.streaming_source(spark, event_dir, watermark="1 hour")
+    name = _run_stream(windows.tumbling_stats(stream, "1 day"), "complete")
+    batch = windows.tumbling_stats(spark.read.parquet(event_dir), "1 day")
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _rows(spark, name, cols) == sorted(
+        tuple(r[c] for c in cols) for r in batch.collect()
+    )
+
+
+def test_session_stream_matches_batch(spark, event_dir):
+    # no watermark: sessions never evict, so complete mode holds them all
+    # (with a watermark, closed sessions flush exactly-once in append mode)
+    stream = windows.streaming_source(spark, event_dir, watermark=None)
+    name = _run_stream(windows.session_stats(stream, "30 minutes"), "complete")
+    batch = windows.session_stats(spark.read.parquet(event_dir), "30 minutes")
+    cols = ["session_start", "user_id", "n_events", "sum_value"]
+    assert _rows(spark, name, cols) == sorted(
+        tuple(r[c] for c in cols) for r in batch.collect()
+    )
+
+
+def test_streaming_dedup(spark, event_dir, tmp_path):
+    # duplicate every event across two files: stream must emit each once
+    dup_dir = str(tmp_path / "dup")
+    ev = spark.read.parquet(event_dir).filter(F.col("event_id") < 200)
+    ev.coalesce(1).write.mode("overwrite").parquet(dup_dir)
+    ev.coalesce(1).write.mode("append").parquet(dup_dir)
+    stream = windows.streaming_source(spark, dup_dir, watermark=None)
+    deduped = windows.dedup_events(stream, within="10 days")
+    name = _run_stream(deduped.select("event_id"), "append")
+    got = _rows(spark, name, ["event_id"])
+    assert got == sorted((i,) for i in range(200))
+
+
+def test_stateful_running_totals(spark, event_dir):
+    stream = windows.streaming_source(spark, event_dir, watermark=None)
+    name = _run_stream(stateful.running_totals_stream(stream), "update")
+    # last update per user == batch totals
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    batch = stateful.running_totals_batch(spark.read.parquet(event_dir)).select(
+        "user_id", "n_events"
+    )
+    cols = ["user_id", "n_events"]
+    got = sorted(tuple(r[c] for c in cols) for r in final.collect())
+    want = sorted(tuple(r[c] for c in cols) for r in batch.collect())
+    assert got == want
