@@ -1,0 +1,265 @@
+"""Q2-Q4: plan execution, empty-result fallback cascade, and answer
+synthesis over the property graph.
+
+Execution lifecycle mirrors the reference's serving path (SURVEY.md
+§3.1): plan → execute (DataFrame plan, Catalyst optimizes) → on empty
+result, fallback full-text search (AND-of-terms then OR-of-terms, LIMIT
+100, `neo4j_query_executor.py:389-459`) → format rows (F14) → synthesize
+an answer (pluggable; deterministic default so tests never call an LLM,
+`neo4j_query_executor.py:346-384`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.graph import (
+    REL_AUTHORED,
+    REL_HAS_KEYWORD,
+    REL_HAS_TOPIC,
+    REL_PUBLISHED_BY,
+    GraphModel,
+    build_graph,
+)
+from .formatter import format_rows
+from .planner import FALLBACK_TEMPLATE, QueryPlan, plan
+
+RESULT_LIMIT = 10  # prompt rule L1 (`neo4j_query_executor.py:264`)
+FALLBACK_LIMIT = 100  # fallback cap L2 (`neo4j_query_executor.py:389`)
+
+
+# ------------------------------------------------------------- templates ---
+
+def _docs_of_entity(g: GraphModel, entity: DataFrame, id_col: str, rel: str,
+                    reverse: bool = False) -> DataFrame:
+    e = g.edges_of(rel)
+    if reverse:
+        j = F.broadcast(entity).join(e, entity[id_col] == e.dst).join(
+            g.docs, e.src == g.docs.doc_id
+        )
+    else:
+        j = F.broadcast(entity).join(e, entity[id_col] == e.src).join(
+            g.docs, e.dst == g.docs.doc_id
+        )
+    return j.select("title", "year", "label")
+
+
+def t_docs_by_author(g: GraphModel, author: str) -> DataFrame:
+    a = g.authors.filter(F.col("name") == author)
+    return _docs_of_entity(g, a, "author_id", REL_AUTHORED)
+
+
+def t_authors_of_doc(g: GraphModel, title: str) -> DataFrame:
+    d = g.docs.filter(F.col("title") == title)
+    e = g.edges_of(REL_AUTHORED)
+    return (
+        F.broadcast(d)
+        .join(e, d.doc_id == e.dst)
+        .join(g.authors, e.src == g.authors.author_id)
+        .select("name")
+    )
+
+
+def t_docs_by_keyword(g: GraphModel, keyword: str) -> DataFrame:
+    # J9 alias semantics: resolve the surface form to its canonical id
+    # once, then match every keyword sharing that canonical.
+    k = g.kw_alias.join(
+        g.keywords.filter(F.col("name") == keyword), "keyword_id"
+    ).select("canonical_id")
+    kk = g.kw_alias.join(F.broadcast(k), "canonical_id").select("keyword_id")
+    e = g.edges_of(REL_HAS_KEYWORD)
+    return (
+        F.broadcast(kk)
+        .join(e, kk.keyword_id == e.dst)
+        .join(g.docs, e.src == g.docs.doc_id)
+        .select("title", "year", "label")
+    )
+
+
+def t_keywords_of_doc(g: GraphModel, title: str) -> DataFrame:
+    d = g.docs.filter(F.col("title") == title)
+    e = g.edges_of(REL_HAS_KEYWORD)
+    return (
+        F.broadcast(d)
+        .join(e, d.doc_id == e.src)
+        .join(g.keywords, e.dst == g.keywords.keyword_id)
+        .select("name")
+    )
+
+
+def t_doc_properties(g: GraphModel, title: str) -> DataFrame:
+    return g.docs.filter(F.col("title") == title).select(
+        "title", "label", "year", "totalprice", "status"
+    )
+
+
+def t_docs_per_year_for_keyword(g: GraphModel, keyword: str) -> DataFrame:
+    k = g.keywords.filter(F.col("name") == keyword)
+    e = g.edges_of(REL_HAS_KEYWORD)
+    return (
+        F.broadcast(k)
+        .join(e, k.keyword_id == e.dst)
+        .join(g.docs, e.src == g.docs.doc_id)
+        .groupBy("year")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def t_author_wrote_doc(g: GraphModel, author: str, title: str) -> DataFrame:
+    a = g.authors.filter(F.col("name") == author)
+    d = g.docs.filter(F.col("title") == title)
+    e = g.edges_of(REL_AUTHORED)
+    hit = F.broadcast(a).join(e, a.author_id == e.src).join(
+        F.broadcast(d), e.dst == d.doc_id
+    )
+    return hit.select(F.lit(author).alias("author"), F.lit(title).alias("title"))
+
+
+def t_coauthors_of(g: GraphModel, author: str) -> DataFrame:
+    a = g.authors.filter(F.col("name") == author)
+    e1 = g.edges_of(REL_AUTHORED)
+    e2 = g.edges_of(REL_AUTHORED).withColumnsRenamed({"src": "src2", "dst": "dst2"})
+    return (
+        F.broadcast(a)
+        .join(e1, a.author_id == e1.src)
+        .join(e2, e1.dst == F.col("dst2"))
+        .filter(F.col("src2") != F.col("author_id"))
+        .join(
+            g.authors.withColumnsRenamed({"author_id": "co_id", "name": "coauthor"}),
+            F.col("src2") == F.col("co_id"),
+        )
+        .select("coauthor")
+        .distinct()
+    )
+
+
+def t_cooccurring_keywords(g: GraphModel, keyword: str) -> DataFrame:
+    k = g.keywords.filter(F.col("name") == keyword)
+    e1 = g.edges_of(REL_HAS_KEYWORD)
+    e2 = g.edges_of(REL_HAS_KEYWORD).withColumnsRenamed({"src": "src2", "dst": "dst2"})
+    return (
+        F.broadcast(k)
+        .join(e1, k.keyword_id == e1.dst)
+        .join(e2, e1.src == F.col("src2"))
+        .filter(F.col("dst2") != F.col("keyword_id"))
+        .join(
+            g.keywords.withColumnsRenamed({"keyword_id": "k2", "name": "related"}),
+            F.col("dst2") == F.col("k2"),
+        )
+        .groupBy("related")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def t_org_topics(g: GraphModel, org: str) -> DataFrame:
+    o = g.orgs.filter(F.col("name") == org)
+    e_pub = g.edges_of(REL_PUBLISHED_BY)
+    e_top = g.edges_of(REL_HAS_TOPIC).withColumnsRenamed({"src": "tsrc", "dst": "tdst"})
+    return (
+        F.broadcast(o)
+        .join(e_pub, o.org_id == e_pub.dst)
+        .join(e_top, e_pub.src == F.col("tsrc"))
+        .join(g.topics, F.col("tdst") == g.topics.topic_id)
+        .groupBy("name")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumnsRenamed({"name": "topic"})
+    )
+
+
+TEMPLATES: dict[str, Callable[..., DataFrame]] = {
+    "docs_by_author": t_docs_by_author,
+    "authors_of_doc": t_authors_of_doc,
+    "docs_by_keyword": t_docs_by_keyword,
+    "keywords_of_doc": t_keywords_of_doc,
+    "doc_properties": t_doc_properties,
+    "docs_per_year_for_keyword": t_docs_per_year_for_keyword,
+    "author_wrote_doc": t_author_wrote_doc,
+    "coauthors_of": t_coauthors_of,
+    "cooccurring_keywords": t_cooccurring_keywords,
+    "org_topics": t_org_topics,
+}
+
+
+# ------------------------------------------------------------ execution ----
+
+def execute_plan(spark: SparkSession, sf_dir: str, p: QueryPlan) -> DataFrame:
+    """Q2: QueryPlan → DataFrame (LIMIT 10 prompt-rule applied)."""
+    if p.template == FALLBACK_TEMPLATE:
+        return fulltext_search(spark, sf_dir, p.terms, require_all=True)
+    g = build_graph(spark, sf_dir)
+    return TEMPLATES[p.template](g, **p.params).limit(RESULT_LIMIT)
+
+
+def fulltext_search(
+    spark: SparkSession, sf_dir: str, terms: list[str], require_all: bool
+) -> DataFrame:
+    """Q3 fallback scan over documents: AND (P8) or case-insensitive OR
+    (P9) of terms, LIMIT 100."""
+    docs = load_table(spark, sf_dir, "documents")
+    if not terms:
+        return docs.select("doc_id", "text").limit(0)
+    if require_all:
+        cond = F.lit(True)
+        for t in terms:
+            cond = cond & F.lower(F.col("text")).contains(t.lower())
+    else:
+        cond = F.lit(False)
+        for t in terms:
+            cond = cond | F.lower(F.col("text")).contains(t.lower())
+    return (
+        docs.filter(cond)
+        .select("doc_id", F.substring("text", 1, 120).alias("snippet"))
+        .orderBy("doc_id")
+        .limit(FALLBACK_LIMIT)
+    )
+
+
+# Synthesizer seam (Q4): (question, formatted_rows) -> answer text.
+Synthesizer = Callable[[str, str], str]
+
+
+def default_synthesizer(question: str, formatted: str) -> str:
+    if not formatted:
+        return "No results found."
+    n = formatted.count("\n") + 1
+    return f"Found {n} result(s):\n{formatted}"
+
+
+def answer(
+    spark: SparkSession,
+    sf_dir: str,
+    question: str,
+    synthesizer: Synthesizer | None = None,
+) -> dict:
+    """Full serving cascade: plan → execute → (empty? AND-fallback →
+    OR-fallback) → format → synthesize.  Returns a dict with the answer
+    text and provenance of which stage produced it."""
+    synth = synthesizer or default_synthesizer
+    p = plan(question)
+    stages = [("template", execute_plan(spark, sf_dir, p))]
+    # fallback scans tokenize multi-word quoted terms so a partially
+    # wrong entity name can still hit (mirrors the reference's per-term
+    # regex conjunction/disjunction, `neo4j_query_executor.py:414-441`)
+    tokens = [w for t in p.terms for w in t.split()]
+    if tokens:
+        stages.append(("fallback_and", fulltext_search(spark, sf_dir, tokens, True)))
+        stages.append(("fallback_or", fulltext_search(spark, sf_dir, tokens, False)))
+    for stage, df in stages:
+        rows = df.collect()
+        if rows:
+            return {
+                "answer": synth(question, format_rows(rows)),
+                "stage": stage,
+                "template": p.template,
+                "n_rows": len(rows),
+            }
+    return {
+        "answer": synth(question, ""),
+        "stage": "empty",
+        "template": p.template,
+        "n_rows": 0,
+    }

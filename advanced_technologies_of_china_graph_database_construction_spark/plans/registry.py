@@ -11,7 +11,13 @@ def all_specs() -> list[QuerySpec]:
     from . import graph_queries, relational
 
     modules = [relational, graph_queries]
-    for optional in ("docs_queries", "er_queries", "ingest_queries", "events_queries"):
+    for optional in (
+        "docs_queries",
+        "er_queries",
+        "ingest_queries",
+        "events_queries",
+        "enrich_queries",
+    ):
         try:
             modules.append(__import__(f"{__package__}.{optional}", fromlist=["SPECS"]))
         except ImportError:
