@@ -1,0 +1,175 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed through Arrow-batched pandas seams.
+
+No media tables exist in the reference (text-only bibliometrics) or the
+driver's fixtures, so payloads are synthesized deterministically from
+``documents`` — but the Spark-side plumbing is the real thing a 100 TB
+training-data pipeline needs: a stable media schema, ``mapInPandas``
+decode/feature/resize/frame-sample operators with per-row error
+channels, and partitioning that keeps payload bytes from shuffling
+twice.
+
+The decode step itself is STUBBED: the container has no image/audio
+libraries, so ``pil_decoder`` raises ``NotImplementedError`` unless PIL
+appears, and the default ``fake_decoder`` derives deterministic
+"pixels" from payload bytes (tests and oracles stay exact).  Swapping in
+a real decoder changes one callable, not the pipeline.
+
+Scale notes: feature extraction is a narrow Arrow-batched map — no
+shuffle touches payload bytes; aggregations downstream group on the
+small feature/meta columns only (column pruning drops ``payload`` at
+the scan when the query never reads it — verify with
+``.explain`` ReadSchema).  Frame sampling explodes metadata-derived
+offsets, not frames, so the blow-up is bounded by ``duration/step``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+KINDS = ("image", "audio", "video")
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", StringType()),  # cast to binary in attach_media
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(FloatType())),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def attach_media(docs: DataFrame) -> DataFrame:
+    """Synthesize a deterministic media table from documents: payload =
+    UTF-8 text bytes, kind by doc_id mod 3, metadata from n_chars."""
+    d = F.col("doc_id")
+    kind = F.element_at(F.array(*[F.lit(k) for k in KINDS]), (d % 3 + 1).cast("int"))
+    return docs.select(
+        (d + 5_000_000).alias("media_id"),
+        d.alias("doc_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        (d % 640 + 64).cast("int").alias("width"),
+        (d % 480 + 48).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )
+
+
+# ------------------------------------------------------------- decoders ----
+
+# decoder: bytes -> list[float] feature vector; raises on undecodable.
+Decoder = Callable[[bytes], list[float]]
+
+
+def fake_decoder(payload: bytes) -> list[float]:
+    """Deterministic stand-in: [n_bytes, first_byte, last_byte].
+    Empty payloads are undecodable (exercises the error channel)."""
+    if not payload:
+        raise ValueError("empty payload")
+    return [float(len(payload)), float(payload[0]), float(payload[-1])]
+
+
+def pil_decoder(payload: bytes) -> list[float]:
+    """Real image decode, gated on the library being present.  The
+    container ships no imaging libs, so this is the documented stub."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "image decoding requires Pillow; install it on the cluster or "
+            "use fake_decoder for plumbing tests"
+        ) from exc
+    raise NotImplementedError("wire Image.open(BytesIO(payload)) here")  # pragma: no cover
+
+
+def extract_features(media: DataFrame, decoder: Decoder | None = None) -> DataFrame:
+    """Arrow-batched feature extraction with a per-row error channel
+    (same dead-letter shape as enrichment)."""
+    dec = decoder or fake_decoder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, errs, nbytes = [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                nbytes.append(len(raw))
+                try:
+                    feats.append(dec(raw))
+                    errs.append(None)
+                except Exception as exc:  # noqa: BLE001 — dead-letter, not crash
+                    feats.append(None)
+                    errs.append(f"decode_error: {exc}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": nbytes,
+                    "features": feats,
+                    "error": errs,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize planning is pure metadata arithmetic — JVM-side, no decode:
+    compute target dims preserving aspect ratio; the actual pixel
+    resample would ride the same mapInPandas seam as extract_features."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side) / F.greatest("width", "height"),
+    )
+    return media.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        F.round(F.col("width") * scale).cast("int").alias("target_width"),
+        F.round(F.col("height") * scale).cast("int").alias("target_height"),
+    )
+
+
+def sample_frames(media: DataFrame, step_ms: int = 1000) -> DataFrame:
+    """Frame sampling for video: explode metadata-derived frame offsets
+    (0, step, 2*step, ... < duration).  The per-frame decode is the
+    stubbed seam; the offsets/explode/partitioning are real."""
+    video = media.filter(F.col("kind") == "video")
+    offsets = F.sequence(
+        F.lit(0).cast("long"),
+        F.greatest(F.col("duration_ms") - 1, F.lit(0).cast("long")),
+        F.lit(step_ms).cast("long"),
+    )
+    return video.select(
+        "media_id",
+        "doc_id",
+        "duration_ms",
+        F.explode(offsets).alias("frame_offset_ms"),
+    )

@@ -1,0 +1,82 @@
+"""Multimodal workload: binary-payload plumbing over synthesized media
+(deterministic fake decode → oracle-expressible arithmetic)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..multimodal import media as mm
+from .spec import QuerySpec
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.attach_media(load_table(spark, sf_dir, "documents"))
+
+
+def m01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _media(spark, sf_dir)
+    return m.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.max("width").alias("max_width"),
+        F.sum("duration_ms").alias("total_duration_ms"),
+    )
+
+
+M01_SQL = """
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       count(*) AS n_media,
+       sum(octet_length(encode(text)))::BIGINT AS total_bytes,
+       max((doc_id % 640 + 64)::INT) AS max_width,
+       sum(n_chars * 10)::BIGINT AS total_duration_ms
+FROM documents GROUP BY 1
+"""
+
+
+def m02_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = mm.extract_features(_media(spark, sf_dir))
+    return feats.filter(F.col("error").isNull()).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.element_at("features", 2).alias("first_byte"),
+        F.element_at("features", 3).alias("last_byte"),
+    )
+
+
+M02_SQL = """
+SELECT doc_id + 5000000 AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       ascii(substr(text, 1, 1))::FLOAT AS first_byte,
+       ascii(substr(text, length(text), 1))::FLOAT AS last_byte
+FROM documents WHERE length(text) > 0
+"""
+
+
+def m03_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = mm.sample_frames(_media(spark, sf_dir), step_ms=100_000)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("frame_offset_ms").alias("last_offset_ms"),
+    )
+
+
+M03_SQL = """
+SELECT doc_id + 5000000 AS media_id,
+       ((greatest(n_chars * 10 - 1, 0)) // 100000 + 1)::BIGINT AS n_frames,
+       ((greatest(n_chars * 10 - 1, 0)) // 100000 * 100000)::BIGINT AS last_offset_ms
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+
+SPECS = [
+    QuerySpec("m01_media_metadata", m01_media_metadata, M01_SQL, "multimodal",
+              "binary payload + typed metadata stats per kind"),
+    QuerySpec("m02_decode_features", m02_decode_features, M02_SQL, "multimodal",
+              "Arrow-batched decode seam (deterministic fake decoder)"),
+    QuerySpec("m03_frame_samples", m03_frame_samples, M03_SQL, "multimodal",
+              "video frame-offset sampling via metadata explode"),
+]

@@ -17,6 +17,7 @@ def all_specs() -> list[QuerySpec]:
         "ingest_queries",
         "events_queries",
         "enrich_queries",
+        "media_queries",
     ):
         try:
             modules.append(__import__(f"{__package__}.{optional}", fromlist=["SPECS"]))
