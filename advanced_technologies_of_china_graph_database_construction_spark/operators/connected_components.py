@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -48,6 +47,18 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.filter(F.col("src") != F.col("dst")).distinct()
 
 
+def _signature(edges: DataFrame) -> tuple:
+    # Order-insensitive set fingerprint: (count, XOR of 64-bit row hash).
+    # The edge set is distinct, so XOR cancellation can't hide changes;
+    # equal fingerprints ⇒ equal edge sets w.h.p. — one cheap aggregation
+    # job instead of two exceptAll shuffles per round. XOR (unlike sum)
+    # cannot overflow under ANSI mode.
+    row = edges.agg(
+        F.count(F.lit(1)).alias("cnt"), F.bit_xor(F.xxhash64("src", "dst")).alias("hx")
+    ).first()
+    return (row["cnt"], row["hx"])
+
+
 def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """Return (id, component) where component = min node id reachable.
 
@@ -59,18 +70,18 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
+    prev_sig = _signature(cur)
     for _ in range(max_iter):
         ss = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         # Converged when a full large-star/small-star round leaves the
         # edge set unchanged (it is then a star forest rooted at minima).
-        if ss.exceptAll(cur).isEmpty() and cur.exceptAll(ss).isEmpty():
-            cur.unpersist()
-            cur = ss
+        sig = _signature(ss)
+        cur = ss
+        if sig == prev_sig:
             break
-        cur.unpersist()
-        cur = ss.persist(StorageLevel.MEMORY_AND_DISK)
+        prev_sig = sig
     # After convergence edges form stars (node -> component min).
     comp = cur.groupBy("src").agg(F.min("dst").alias("component"))
     roots = cur.select(F.col("dst").alias("src")).distinct().join(comp, "src", "left_anti")

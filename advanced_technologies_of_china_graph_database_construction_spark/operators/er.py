@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.vectors import cosine_rounded
+from ..functions.vectors import as_double, cosine_rounded, dot, norm
 from .connected_components import connected_components
 
 
@@ -44,10 +44,21 @@ def exact_similarity_pairs(
     The comparison uses cosine rounded to 6 digits so the decision at
     the threshold boundary is reproducible across engines/hardware.
     """
-    a = emb.select(F.col(id_col).alias("src"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("vb"))
+    # Precompute each row's norm below the join: n norm evaluations
+    # instead of n² (the per-pair expression dot/(na·nb) is bit-identical
+    # to cosine(a, b), so oracle comparisons are unaffected).
+    vec = as_double(F.col(vec_col))
+    with_norm = emb.select(
+        F.col(id_col).alias("__id"), vec.alias("__v"), norm(vec).alias("__n")
+    )
+    a = with_norm.select(
+        F.col("__id").alias("src"), F.col("__v").alias("va"), F.col("__n").alias("na")
+    )
+    b = with_norm.select(
+        F.col("__id").alias("dst"), F.col("__v").alias("vb"), F.col("__n").alias("nb")
+    )
     pairs = a.join(b, F.col("src") < F.col("dst"))
-    sim = cosine_rounded(F.col("va"), F.col("vb"))
+    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     return pairs.select("src", "dst", sim.alias("sim")).filter(F.col("sim") >= threshold)
 
 
@@ -82,33 +93,34 @@ def lsh_similarity_pairs(
     def band_keys(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy())  # (batch, dim)
         bits = (mat @ bc.value.T) >= 0  # (batch, n_planes)
-        out = []
-        for row in bits:
-            keys = []
-            for b in range(bands):
-                chunk = row[b * rows_per_band : (b + 1) * rows_per_band]
-                key = 0
-                for bit in chunk:
-                    key = (key << 1) | int(bit)
-                # disambiguate band index in the key space
-                keys.append((b << 48) | key)
-            out.append(keys)
-        return pd.Series(out)
+        # Pack each band's bit-chunk into an int, fully vectorized:
+        # (batch, bands, rows_per_band) · (2^{r-1} … 2^0) → (batch, bands),
+        # then tag the band index into the high bits of the key space.
+        chunks = bits.reshape(len(mat), bands, rows_per_band).astype(np.int64)
+        weights = 1 << np.arange(rows_per_band - 1, -1, -1, dtype=np.int64)
+        keys = chunks @ weights  # (batch, bands)
+        keys |= np.arange(bands, dtype=np.int64) << 48
+        return pd.Series(list(keys))
 
-    sig = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), band_keys(F.col(vec_col)).alias("keys")
+    # Candidate generation shuffles only (id, band_key) — vectors join
+    # back in AFTER the distinct, so the bands× blow-up and the dedup
+    # shuffle never carry the embedding payload.
+    exploded = emb.select(
+        F.col(id_col).alias("id"), F.explode(band_keys(F.col(vec_col))).alias("band_key")
     )
-    exploded = sig.select("id", "v", F.explode("keys").alias("band_key"))
-    left = exploded.select(F.col("id").alias("src"), F.col("v").alias("va"), "band_key")
-    right = exploded.select(F.col("id").alias("dst"), F.col("v").alias("vb"), "band_key")
+    left = exploded.select(F.col("id").alias("src"), "band_key")
+    right = exploded.select(F.col("id").alias("dst"), "band_key")
     cands = (
         left.join(right, ["band_key"])
         .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst", "va", "vb")
+        .select("src", "dst")
         .distinct()
     )
+    va = emb.select(F.col(id_col).alias("src"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("vb"))
+    scored = cands.join(va, "src").join(vb, "dst")
     sim = cosine_rounded(F.col("va"), F.col("vb"))
-    return cands.select("src", "dst", sim.alias("sim")).filter(F.col("sim") >= threshold)
+    return scored.select("src", "dst", sim.alias("sim")).filter(F.col("sim") >= threshold)
 
 
 def canonical_mapping(emb: DataFrame, pairs: DataFrame, id_col: str = "vec_id") -> DataFrame:
