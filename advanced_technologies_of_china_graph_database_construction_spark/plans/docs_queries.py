@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import dedup, textops
+from ..operators.er import exact_similarity_pairs
 from ..operators.similarity import brute_force_topk, ivf_topk
 from .spec import QuerySpec
 
@@ -287,6 +288,47 @@ FROM documents GROUP BY source
 """
 
 
+# ----------------------------------------------- d10 embedding near-dups ---
+
+# Threshold sits in the same wide gap of the pair-sim distribution as the
+# ER workload (see er_queries.ER_THRESHOLD) so boundary decisions are
+# stable across engines.
+EMB_DEDUP_THRESHOLD = 0.44
+
+
+def d10_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: docs whose embedding
+    vectors (vec_id == doc_id in the fixtures) have cosine >= threshold,
+    annotated with each side's source for triage. The exact self-join is
+    the correctness baseline; `er05_lsh_similarity_pairs` is the same op
+    on the banded-LSH scale path."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = exact_similarity_pairs(emb, EMB_DEDUP_THRESHOLD)
+    a = docs.select(F.col("doc_id").alias("src"), F.col("source").alias("src_source"))
+    b = docs.select(F.col("doc_id").alias("dst"), F.col("source").alias("dst_source"))
+    return pairs.join(a, "src").join(b, "dst").select(
+        "src", "dst", "sim", "src_source", "dst_source"
+    )
+
+
+_COS_ER = (
+    "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
+)
+
+D10_SQL = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {_COS_ER} AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {_COS_ER} >= {EMB_DEDUP_THRESHOLD})
+SELECT p.src, p.dst, p.sim, da.source AS src_source, db.source AS dst_source
+FROM pairs p JOIN documents da ON p.src = da.doc_id
+JOIN documents db ON p.dst = db.doc_id
+"""
+
+
 # ----------------------------------------------------------- a01/a02 ANN ---
 
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -365,6 +407,8 @@ SPECS = [
               "document fingerprints (normalized md5 + min-shingle)"),
     QuerySpec("d09_token_totals", d09_token_totals, D09_SQL, "text",
               "token budgeting per source (ws + BPE-ish regex)", bench=True),
+    QuerySpec("d10_embedding_near_dups", d10_embedding_near_dups, D10_SQL, "dedup",
+              "embedding-cosine near-dup pairs with source annotation"),
     QuerySpec("a01_ann_bruteforce", a01_ann_bruteforce, A01_SQL, "similarity",
               "exact cosine top-k ANN baseline", bench=True),
     QuerySpec("a02_ann_ivf", a02_ann_ivf, A02_SQL, "similarity",
