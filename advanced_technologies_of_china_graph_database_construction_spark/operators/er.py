@@ -41,25 +41,57 @@ def exact_similarity_pairs(
 ) -> DataFrame:
     """All pairs (src < dst, sim) with cosine similarity ≥ threshold.
 
+    Block-matrix execution: the unit-normalized (n, d) matrix is
+    broadcast once; each Arrow batch of rows computes its full block of
+    cosines as ONE BLAS matmul (`block @ all.T`) inside `mapInPandas`,
+    emitting only pairs at/above the threshold.  That keeps the O(n²)
+    arithmetic in vectorized native code instead of 12M+ interpreted
+    per-pair expressions, and the shuffle carries only surviving pairs.
+
+    Scale bound: the broadcast side is the whole vector set (~3 GB at
+    1M × 768 float32) — fine for the reference's real workload (88k
+    surface forms, `keyword_merger.py:183`) and for any per-attribute ER
+    vocabulary; beyond that use `lsh_similarity_pairs`, which never
+    materializes a dense matrix.
+
     The comparison uses cosine rounded to 6 digits so the decision at
     the threshold boundary is reproducible across engines/hardware.
     """
-    # Precompute each row's norm below the join: n norm evaluations
-    # instead of n² (the per-pair expression dot/(na·nb) is bit-identical
-    # to cosine(a, b), so oracle comparisons are unaffected).
-    vec = as_double(F.col(vec_col))
-    with_norm = emb.select(
-        F.col(id_col).alias("__id"), vec.alias("__v"), norm(vec).alias("__n")
+    spark = emb.sparkSession
+    src = emb.select(F.col(id_col).cast("long").alias("id"), as_double(F.col(vec_col)).alias("v"))
+    ids_and_vecs = src.collect()
+    all_ids = np.array([r["id"] for r in ids_and_vecs], dtype=np.int64)
+    mat = np.array([r["v"] for r in ids_and_vecs], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    order = np.argsort(all_ids)
+    bc = spark.sparkContext.broadcast((all_ids[order], mat[order]))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("src", T.LongType()),
+            T.StructField("dst", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
     )
-    a = with_norm.select(
-        F.col("__id").alias("src"), F.col("__v").alias("va"), F.col("__n").alias("na")
-    )
-    b = with_norm.select(
-        F.col("__id").alias("dst"), F.col("__v").alias("vb"), F.col("__n").alias("nb")
-    )
-    pairs = a.join(b, F.col("src") < F.col("dst"))
-    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
-    return pairs.select("src", "dst", sim.alias("sim")).filter(F.col("sim") >= threshold)
+
+    def block_pairs(batches):
+        ids_all, m_all = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bids = pdf["id"].to_numpy(dtype=np.int64)
+            block = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            block /= np.linalg.norm(block, axis=1, keepdims=True)
+            sims = np.round(block @ m_all.T, 6)  # (batch, n)
+            keep = sims >= threshold
+            # strict upper triangle in id space: src < dst
+            keep &= bids[:, None] < ids_all[None, :]
+            bi, aj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"src": bids[bi], "dst": ids_all[aj], "sim": sims[bi, aj]}
+            )
+
+    return src.mapInPandas(block_pairs, out_schema)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
