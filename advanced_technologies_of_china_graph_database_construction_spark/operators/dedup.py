@@ -183,21 +183,26 @@ def _token_hash_expr(tok: str = "tok") -> str:
 
 def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash): classic bit-voting simhash over whitespace
-    tokens; SIMHASH_BITS bits; tie (sum == 0) votes 0."""
-    session = df.sparkSession
-    bits = session.createDataFrame([(j,) for j in range(SIMHASH_BITS)], "j int")
+    tokens; SIMHASH_BITS bits; tie (sum == 0) votes 0.
+
+    All SIMHASH_BITS votes run in ONE map-side-combinable aggregation
+    (a sum expression per bit) instead of a bits× crossJoin row blow-up —
+    same shape as the MinHash signature aggregation.
+    """
     toks = df.select(
         "doc_id", F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
     ).withColumn("th", F.expr(_token_hash_expr()))
-    votes = (
-        toks.crossJoin(F.broadcast(bits))
-        .withColumn("bit", F.expr("shiftright(th, j) & 1"))
-        .groupBy("doc_id", "j")
-        .agg(F.sum(F.when(F.col("bit") == 1, 1).otherwise(-1)).alias("v"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.expr(f"shiftright(th, {j}) & 1") == 1, 1).otherwise(-1)).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(F.expr("CASE WHEN v > 0 THEN shiftleft(1L, j) ELSE 0L END")).alias("simhash")
-    )
+    sig = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_dups(
@@ -234,7 +239,14 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    sh = char_shingles(df, text_col).join(df.select("doc_id", block_col), "doc_id")
+    # Materialize the shingle set once: three downstream branches (global
+    # frequencies, prefix ranking, verification index) would otherwise
+    # re-run the explode+distinct subtree per branch.
+    sh = (
+        char_shingles(df, text_col)
+        .join(df.select("doc_id", block_col), "doc_id")
+        .localCheckpoint(eager=True)
+    )
     freq = sh.groupBy("shingle_hash").agg(F.count("*").alias("gdf"))
     ranked = sh.join(freq, "shingle_hash")
     wdoc = Window.partitionBy("doc_id")
@@ -273,18 +285,53 @@ def ngram_jaccard_pairs(
         .select("src", "dst")
         .distinct()
     )
+    # Verification: broadcast the shingle-set index (sorted arrays; ~2
+    # kB/doc) and count intersections map-side over bare (src, dst)
+    # candidates — shipping the arrays through the candidate join would
+    # shuffle |cands| × |set| longs (~3 GB at sf0.1) for nothing.  At a
+    # scale where the index outgrows the broadcast budget, block the
+    # corpus first (the `block_col` already bounds each index).
     sets = sh.groupBy("doc_id").agg(F.sort_array(F.collect_list("shingle_hash")).alias("arr"))
-    sa = sets.select(F.col("doc_id").alias("src"), F.col("arr").alias("arr_a"))
-    sb = sets.select(F.col("doc_id").alias("dst"), F.col("arr").alias("arr_b"))
-    inter = F.size(F.array_intersect("arr_a", "arr_b"))
-    jac = F.round(
-        inter.cast("double")
-        / (F.size("arr_a") + F.size("arr_b") - inter).cast("double"),
-        6,
+    sets_pdf = sets.toPandas()  # Arrow path; py4j Row conversion is ~10× slower
+    index = {
+        did: np.asarray(arr, dtype=np.int64)
+        for did, arr in zip(sets_pdf["doc_id"], sets_pdf["arr"])
+    }
+    bc = df.sparkSession.sparkContext.broadcast(index)
+
+    verify_schema = T.StructType(
+        [
+            T.StructField("src", T.LongType()),
+            T.StructField("dst", T.LongType()),
+            T.StructField("inter", T.LongType()),
+            T.StructField("sz_sum", T.LongType()),
+        ]
     )
-    return (
-        cands.join(sa, "src")
-        .join(sb, "dst")
-        .select("src", "dst", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+
+    def count_intersections(batches):
+        idx = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            srcs = pdf["src"].to_numpy()
+            dsts = pdf["dst"].to_numpy()
+            inter = np.empty(len(srcs), dtype=np.int64)
+            sz_sum = np.empty(len(srcs), dtype=np.int64)
+            for i in range(len(srcs)):
+                x, y = idx[srcs[i]], idx[dsts[i]]
+                if len(x) > len(y):
+                    x, y = y, x
+                pos = np.searchsorted(y, x)
+                pos[pos == len(y)] = 0  # x > max(y) there; y[0] == x impossible
+                inter[i] = int((y[pos] == x).sum())
+                sz_sum[i] = len(x) + len(y)
+            yield pd.DataFrame({"src": srcs, "dst": dsts, "inter": inter, "sz_sum": sz_sum})
+
+    verified = cands.mapInPandas(count_intersections, verify_schema)
+    # rounding stays JVM-side (HALF_UP) to match the SQL oracle exactly
+    jac = F.round(
+        F.col("inter").cast("double") / (F.col("sz_sum") - F.col("inter")).cast("double"), 6
+    )
+    return verified.select("src", "dst", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
