@@ -1,0 +1,131 @@
+"""Property-based checks (hypothesis) for the algorithmic cores whose
+correctness arguments are the subtlest: connected components vs a
+reference union-find, pigeonhole-LSH minhash vs brute force, and
+partitioning invariance (results must not depend on
+spark.sql.shuffle.partitions).
+"""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from advanced_technologies_of_china_graph_database_construction_spark.operators.connected_components import (
+    connected_components,
+)
+from advanced_technologies_of_china_graph_database_construction_spark.operators.dedup import (
+    N_PERMS,
+    PERMS,
+    MINHASH_PRIME,
+    minhash_near_dups,
+)
+
+SETTINGS = settings(
+    max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+)
+
+
+def _union_find_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id representative per component
+    reps = {}
+    for n in nodes:
+        r = find(n)
+        reps.setdefault(r, min(r, n))
+    return {n: min(x for x in nodes if find(x) == find(n)) for n in nodes}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=0,
+        max_size=80,
+    )
+)
+@SETTINGS
+def test_connected_components_matches_union_find(spark, edge_list):
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    if not edge_list:
+        return
+    nodes = sorted({x for e in edge_list for x in e})
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    want = _union_find_components(edge_list, nodes)
+    assert got == {n: want[n] for n in nodes}
+
+
+def _brute_minhash_pairs(docs, min_matching=8):
+    def sig(text):
+        hashes = [
+            ord(text[i]) * 65536 + ord(text[i + 1]) * 256 + ord(text[i + 2])
+            for i in range(len(text) - 2)
+        ]
+        return [min((a * h + b) % MINHASH_PRIME for h in hashes) for _, a, b in PERMS]
+
+    sigs = {d: sig(t) for d, t, _ in docs if len(t) >= 3}
+    blocks = {d: blk for d, _, blk in docs}
+    out = set()
+    for a in sigs:
+        for b in sigs:
+            if a < b and blocks[a] == blocks[b]:
+                n = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+                if n >= min_matching:
+                    out.add((a, b, n))
+    return out
+
+
+@given(st.integers(0, 2**31 - 1))
+@SETTINGS
+def test_minhash_near_dups_match_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    docs = []
+    for i in range(24):
+        base = " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 10)))
+        docs.append((i, base, f"b{i % 2}"))
+        if rng.random() < 0.5:  # inject near-duplicates
+            docs.append((100 + i, base + " zeta", f"b{i % 2}"))
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = {
+        (r["src"], r["dst"], r["n_matching"])
+        for r in minhash_near_dups(df).collect()
+    }
+    assert got == _brute_minhash_pairs(docs)
+
+
+def test_results_invariant_to_shuffle_partitions(spark):
+    """The flagship graph query returns identical rows under 3 and 32
+    shuffle partitions — no partitioning-dependent semantics anywhere in
+    the plan."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.graph_queries import (
+        g10_docs_per_year_for_keyword,
+        g13_cooccurring_keywords,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n in ("3", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results[n] = {
+                "g10": sorted(map(tuple, g10_docs_per_year_for_keyword(spark, sf).collect())),
+                "g13": sorted(map(tuple, g13_cooccurring_keywords(spark, sf).collect())),
+            }
+        assert results["3"] == results["32"]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
