@@ -498,6 +498,33 @@ GROUP BY lang
 """
 
 
+def g20_motif_author_keyword_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative motif surface (GraphFrames-style find()): per author,
+    how many distinct keywords their documents reach — the 2-hop
+    (a)-[:AUTHORED]->(d); (d)-[:HAS_KEYWORD]->(k) pattern compiled to
+    the same join chain the hand-written traversals use."""
+    from ..operators.motif import find
+
+    g = build_graph(spark, sf_dir)
+    m = find(g, "(a)-[:AUTHORED]->(d); (d)-[:HAS_KEYWORD]->(k)", attrs=False)
+    return (
+        m.groupBy("a_id")
+        .agg(F.countDistinct("k_id").alias("n_keywords"))
+        .orderBy(F.desc("n_keywords"), F.asc("a_id"))
+        .limit(20)
+        .select(F.col("a_id").alias("author_id"), "n_keywords")
+    )
+
+
+G20_SQL = GRAPH_ORACLE_CTES + """
+SELECT a.src AS author_id, count(DISTINCT k.dst) AS n_keywords
+FROM e_authored a JOIN e_has_keyword k ON a.dst = k.src
+GROUP BY a.src
+ORDER BY n_keywords DESC, author_id ASC
+LIMIT 20
+"""
+
+
 SPECS = [
     QuerySpec("g01_docs_by_author", g01_docs_by_author, G01_SQL, "graph", "类型一: docs by author (J3)"),
     QuerySpec("g02_keywords_of_doc", g02_keywords_of_doc, G02_SQL, "graph", "类型一: keywords of doc"),
@@ -521,4 +548,6 @@ SPECS = [
     QuerySpec("g17_alias_expanded_docs", g17_alias_expanded_docs, G17_SQL, "graph", "J9 alias expansion"),
     QuerySpec("g18_fulltext_and", g18_fulltext_and, G18_SQL, "graph", "fallback AND-of-terms (P8/J10)"),
     QuerySpec("g19_fulltext_or", g19_fulltext_or, G19_SQL, "graph", "fallback OR-of-terms regex (P9)"),
+    QuerySpec("g20_motif_author_keyword_reach", g20_motif_author_keyword_reach, G20_SQL, "graph",
+              "motif find() surface: 2-hop author→doc→keyword reach"),
 ]
