@@ -59,12 +59,47 @@ def _signature(edges: DataFrame) -> tuple:
     return (row["cnt"], row["hx"])
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def _driver_union_find(spark, rows) -> DataFrame:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:  # min-id root wins → root IS the component min
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    out = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(out, "id long, component long")
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, driver_threshold: int = 2_000_000
+) -> DataFrame:
     """Return (id, component) where component = min node id reachable.
 
     ``edges`` needs columns (src, dst); direction is ignored. Nodes that
     appear in no edge are absent — callers union isolated nodes back in
     (see er.canonical_mapping).
+
+    Adaptive execution: similarity graphs after an ε-threshold join are
+    usually a small fraction of the input (alias pairs, not the corpus),
+    so edge sets at/below ``driver_threshold`` (≈32 MB at 2M edges) are
+    closed with a driver-side union-find — exact, one collect, no
+    iterative shuffles.  Larger graphs use alternating large-star/
+    small-star contraction, whose round count is O(log² n) regardless of
+    component diameter.  Pass ``driver_threshold=0`` to force the
+    distributed path (the property tests do).
     """
     cur = (
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
@@ -72,6 +107,8 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if driver_threshold and cur.count() <= driver_threshold:
+        return _driver_union_find(edges.sparkSession, cur.collect())
     prev_sig = _signature(cur)
     for _ in range(max_iter):
         ss = _small_star(_large_star(cur)).localCheckpoint(eager=True)

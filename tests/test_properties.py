@@ -63,9 +63,16 @@ def test_connected_components_matches_union_find(spark, edge_list):
         return
     nodes = sorted({x for e in edge_list for x in e})
     edges = spark.createDataFrame(edge_list, "src long, dst long")
-    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     want = _union_find_components(edge_list, nodes)
+    # distributed star-contraction path (driver_threshold=0 forces it)
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
     assert got == {n: want[n] for n in nodes}
+    # adaptive driver union-find path must agree
+    got_small = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got_small == got
 
 
 def _brute_minhash_pairs(docs, min_matching=8):
