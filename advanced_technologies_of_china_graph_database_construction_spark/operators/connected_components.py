@@ -79,8 +79,14 @@ def _driver_union_find(spark, rows) -> DataFrame:
                 parent[rb] = ra
             else:
                 parent[ra] = rb
-    out = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(out, "id long, component long")
+    import pandas as pd
+
+    nodes = list(parent)
+    pdf = pd.DataFrame(
+        {"id": pd.array(nodes, dtype="int64"),
+         "component": pd.array([find(n) for n in nodes], dtype="int64")}
+    )
+    return spark.createDataFrame(pdf)  # Arrow path, not py4j row conversion
 
 
 def connected_components(
