@@ -159,6 +159,30 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
 """
 
 
+def e08_click_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join: purchases by the same user within 30
+    minutes after a click — the stream-stream join shape (watermarked on
+    both sides in streaming mode; see streaming/windows.interval_join)."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = windows.interval_join(clicks, purchases)
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.sum("r_value"), 6).alias("purchase_value"),
+    )
+
+
+E08_SQL = """
+SELECT l.user_id, count(*) AS n_pairs, round(sum(r.value), 6) AS purchase_value
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'purchase'
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '30 minutes'
+GROUP BY l.user_id
+"""
+
+
 SPECS = [
     QuerySpec("e01_tumbling_daily", e01_tumbling_daily, E01_SQL, "events",
               "tumbling 1-day window stats per event_type", bench=True),
@@ -174,4 +198,6 @@ SPECS = [
               "per-user totals (stateful operator batch face)"),
     QuerySpec("e07_cumulative_by_event", e07_cumulative_by_event, E07_SQL, "events",
               "per-user cumulative totals (window spec)"),
+    QuerySpec("e08_click_purchase_interval_join", e08_click_purchase_interval_join, E08_SQL,
+              "events", "event-time interval join (stream-stream join shape)"),
 ]

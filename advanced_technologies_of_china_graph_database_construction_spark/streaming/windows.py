@@ -117,6 +117,50 @@ def props_extracted(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    lower: str = "INTERVAL 0 SECONDS",
+    upper: str = "INTERVAL 30 MINUTES",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Event-time interval join: pair each left event with right events
+    of the same ``key`` whose timestamp falls in
+    ``[l.ts + lower, l.ts + upper]`` — the stream-stream join shape
+    (each side watermarked so the join state is bounded; the time-range
+    condition is what lets Spark expire buffered rows).
+
+    Works identically on batch DataFrames, where Catalyst executes it as
+    an equi-join on ``key`` with the range as a post-join predicate.
+    """
+    if watermark is not None and left.isStreaming:
+        left = left.withWatermark("ts", watermark)
+    if watermark is not None and right.isStreaming:
+        right = right.withWatermark("ts", watermark)
+    l = left.select(
+        F.col(key).alias("k"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("value").alias("l_value"),
+    )
+    r = right.select(
+        F.col(key).alias("k2"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    )
+    cond = (
+        (F.col("k") == F.col("k2"))
+        & (F.col("r_ts") >= F.col("l_ts") + F.expr(lower))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(upper))
+    )
+    return l.join(r, cond).select(
+        F.col("k").alias("user_id"), "l_event_id", "r_event_id", "l_ts", "r_ts",
+        "l_value", "r_value",
+    )
+
+
 def dedup_events(events: DataFrame, within: str | None = None) -> DataFrame:
     """Exactly-once by event_id.  In streaming mode, ``within`` bounds
     the dedup state via ``dropDuplicatesWithinWatermark``."""

@@ -84,6 +84,26 @@ def test_streaming_dedup(spark, event_dir, tmp_path):
     assert got == sorted((i,) for i in range(200))
 
 
+def test_interval_join_stream_matches_batch(spark, event_dir):
+    stream = windows.streaming_source(spark, event_dir, watermark=None)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    # unwatermarked: the file source doesn't guarantee ts-ordered
+    # micro-batches, so a watermark would drop "late" earlier files;
+    # inner stream-stream joins permit unbounded state for this check
+    joined = windows.interval_join(clicks, purchases, watermark=None)
+    name = _run_stream(joined, "append")
+    batch_ev = spark.read.parquet(event_dir)
+    batch = windows.interval_join(
+        batch_ev.filter(F.col("event_type") == "click"),
+        batch_ev.filter(F.col("event_type") == "purchase"),
+    )
+    cols = ["user_id", "l_event_id", "r_event_id"]
+    got = _rows(spark, name, cols)
+    want = sorted(tuple(r[c] for c in cols) for r in batch.collect())
+    assert got == want and len(got) > 0
+
+
 def test_stateful_running_totals(spark, event_dir):
     stream = windows.streaming_source(spark, event_dir, watermark=None)
     name = _run_stream(stateful.running_totals_stream(stream), "update")
