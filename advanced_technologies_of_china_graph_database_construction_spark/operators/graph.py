@@ -170,6 +170,19 @@ def build_graph(spark: SparkSession, sf_dir: str) -> GraphModel:
     )
 
 
+def register_graph_views(g: GraphModel, spark: SparkSession) -> None:
+    """Expose the graph as SQL temp views (``g_docs``, ``g_authors``,
+    ``g_keywords``, ``g_orgs``, ``g_addresses``, ``g_topics``,
+    ``g_edges``, ``g_kw_alias``) so the whole workload is reachable from
+    ``spark.sql`` — the serving layer's compilation target (the
+    reference compiles NL to a query string against a schema catalog,
+    `neo4j_query_executor.py:207-237`; here the catalog is DESCRIBE over
+    these views)."""
+    for name in ("docs", "authors", "keywords", "orgs", "addresses", "topics",
+                 "edges", "kw_alias"):
+        getattr(g, name).createOrReplaceTempView(f"g_{name}")
+
+
 # ANSI-SQL mirror of build_graph for the DuckDB oracle. Prepend to any
 # oracle query that consumes the graph model.
 GRAPH_ORACLE_CTES = """
