@@ -25,6 +25,7 @@ doc_id, which is the natural bucketing key for the edges table.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -79,14 +80,53 @@ class GraphModel:
         return self.edges.filter(F.col("rel_type") == rel_type).select("src", "dst")
 
 
-def build_graph(spark: SparkSession, sf_dir: str) -> GraphModel:
+# Build-once, query-many: the reference builds its graph once (batch
+# load into Neo4j) and serves every query from the built store.  The
+# Spark analogue is the partitioned Parquet store (sources/graph_store):
+# on first use per sf_dir the derived graph (two `distinct()` shuffles
+# over lineitem, window over part) is materialized to
+# `spark-warehouse/_graph_cache/<sf>` and every subsequent query reads
+# the compact store — rel-type predicates become partition pruning
+# instead of union-branch recomputation.  At 100 TB this is exactly the
+# production path: ETL writes the store, the query layer only scans it.
+_GRAPH_CACHE: dict[tuple[str, str], "GraphModel"] = {}
+_STORE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "spark-warehouse", "_graph_cache")
+_STORE_MARKER = "_GRAPH_STORE_COMPLETE"
+
+
+def build_graph(spark: SparkSession, sf_dir: str, *, use_cache: bool = True) -> GraphModel:
     """Construct the property graph from the relational tables.
 
     Mirrors the reference's batch construction path (SURVEY.md §3.2):
     scan → project → explode-like edge extraction → per-edge-type
     distinct; node identity by natural key, edge tuples deduplicated on
     (src, dst, rel_type) (`csv_extractor.py:168,196-207`).
+
+    With ``use_cache`` (default) the derived graph is materialized once
+    per ``sf_dir`` into the Parquet graph store and re-served from it
+    (see ``sources.graph_store``); ``use_cache=False`` returns the raw
+    derivation plan (used by store/ETL tests).
     """
+    if not use_cache:
+        return _build_graph_uncached(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _GRAPH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from ..sources.graph_store import read_graph, write_graph
+
+    root = os.path.join(_STORE_ROOT, os.path.basename(os.path.abspath(sf_dir)))
+    marker = os.path.join(root, _STORE_MARKER)
+    if not os.path.exists(marker):
+        write_graph(_build_graph_uncached(spark, sf_dir), root)
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    g = read_graph(spark, root)
+    _GRAPH_CACHE[key] = g
+    return g
+
+
+def _build_graph_uncached(spark: SparkSession, sf_dir: str) -> GraphModel:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     part = load_table(spark, sf_dir, "part")
