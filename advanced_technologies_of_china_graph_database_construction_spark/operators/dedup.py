@@ -98,6 +98,39 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # --- MinHash --------------------------------------------------------------
 
+def _minhash_sig_udf(n: int = 3):
+    """Fused shingle→signature kernel: per text, hash every overlapping
+    n-gram (same base-256 codepoint polynomial as `_shingle_hash_udf`)
+    and take the 16 permutation mins inside the same Arrow batch.
+
+    Fusing the min into the vectorized kernel removes BOTH the shingle
+    explode (~|text| rows per doc) and the signature groupBy shuffle —
+    signatures become a narrow map stage, which is the shape you want
+    when the corpus is 100 TB: shuffle volume goes from Σ|text| rows to
+    zero.  Output: array<long>[N_PERMS], null when the text has no
+    n-gram (no signature row, matching the explode+groupBy semantics).
+    """
+    weights = np.array([256 ** (n - 1 - i) for i in range(n)], dtype=np.int64)
+    a_arr = np.array([a for _, a, _ in PERMS], dtype=np.int64)[:, None]
+    b_arr = np.array([b for _, _, b in PERMS], dtype=np.int64)[:, None]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash_sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None or len(t) < n:
+                out.append(None)
+                continue
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            h = np.zeros(len(cp) - n + 1, dtype=np.int64)
+            for i in range(n):
+                h += cp[i : len(cp) - n + 1 + i] * weights[i]
+            out.append(((a_arr * h[None, :] + b_arr) % MINHASH_PRIME).min(axis=1))
+        return pd.Series(out)
+
+    return minhash_sig
+
+
 def minhash_signature_array(shingles: DataFrame) -> DataFrame:
     """(doc_id, sig array<long>[N_PERMS]): all permutation mins in ONE
     map-side-combinable aggregation — no perms× row blow-up before the
@@ -132,8 +165,13 @@ def minhash_near_dups(
     then verify the exact match count.  Cuts candidate-join fan-out ~16/9
     and replaces the (src,dst,k) groupBy with a distinct + array compare.
     """
-    sh = char_shingles(df, text_col, dedup_set=False)
-    sig = minhash_signature_array(sh).join(df.select("doc_id", block_col), "doc_id")
+    # Three downstream branches (candidate probe, src/dst verification)
+    # would each re-run the signature kernel; persist so it runs once.
+    sig = (
+        df.select("doc_id", F.col(block_col), _minhash_sig_udf()(F.col(text_col)).alias("sig"))
+        .filter(F.col("sig").isNotNull())
+        .persist()
+    )
     n_cand_perms = N_PERMS - min_matching + 1
     probe = sig.select(
         "doc_id",
@@ -156,14 +194,21 @@ def minhash_near_dups(
         .select("src", "dst")
         .distinct()
     )
+    # Verification: the signature table is n_docs × 16 longs (~140 B/doc),
+    # orders of magnitude smaller than the candidate pair set — broadcast
+    # it to both sides so the exact-match count is computed map-side over
+    # the candidates with no further shuffle.  At a scale where the sig
+    # table outgrows the broadcast budget, drop the hints and Catalyst
+    # falls back to shuffled joins (`block_col` already bounds each
+    # verification domain).
     sa = sig.select(F.col("doc_id").alias("src"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("dst"), F.col("sig").alias("sig_b"))
     n_match = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     )
     return (
-        cands.join(sa, "src")
-        .join(sb, "dst")
+        cands.join(F.broadcast(sa), "src")
+        .join(F.broadcast(sb), "dst")
         .select("src", "dst", n_match.alias("n_matching"))
         .filter(F.col("n_matching") >= min_matching)
     )
