@@ -159,14 +159,16 @@ def t_org_topics(g: GraphModel, org: str) -> DataFrame:
     o = g.orgs.filter(F.col("name") == org)
     e_pub = g.edges_of(REL_PUBLISHED_BY)
     e_top = g.edges_of(REL_HAS_TOPIC).withColumnsRenamed({"src": "tsrc", "dst": "tdst"})
+    # topics renamed BEFORE the join: both orgs and topics carry `name`,
+    # and grouping on the bare column is ambiguous post-join
+    topics = g.topics.withColumnsRenamed({"name": "topic"})
     return (
         F.broadcast(o)
         .join(e_pub, o.org_id == e_pub.dst)
         .join(e_top, e_pub.src == F.col("tsrc"))
-        .join(g.topics, F.col("tdst") == g.topics.topic_id)
-        .groupBy("name")
+        .join(topics, F.col("tdst") == topics.topic_id)
+        .groupBy("topic")
         .agg(F.count("*").alias("n_docs"))
-        .withColumnsRenamed({"name": "topic"})
     )
 
 

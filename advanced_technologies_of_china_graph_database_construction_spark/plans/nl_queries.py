@@ -1,0 +1,132 @@
+"""NL serving-path queries inside the correctness gate.
+
+The reference's serving layer compiles a natural-language question to a
+query and executes it (`neo4j_query_executor.py:240-322`).  These specs
+run that exact path — :func:`nl.planner.plan` (Q1, deterministic
+template planner + quoted-term extraction F13) followed by
+:func:`nl.engine.execute_plan` (Q2) — and check the *result* against the
+same DuckDB oracles as the hand-written graph queries, proving the
+NL front-end compiles to plans equivalent to the direct DataFrame code.
+
+Only templates whose full result set is below the LIMIT-10 prompt rule
+(`neo4j_query_executor.py:264`) are used, so `.limit(10)` never makes
+the compared result nondeterministic.  The fulltext fallback (Q3) is
+checked through its own deterministic ORDER BY doc_id / LIMIT cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..nl.engine import execute_plan, fulltext_search
+from ..nl.planner import plan
+from ..operators.graph import GRAPH_ORACLE_CTES
+from .spec import QuerySpec
+
+# Questions phrased the way a user would ask them; entities quoted so the
+# term extractor (F13 analogue) binds them.
+Q_PER_YEAR = 'How many papers per year are about "cold widget"?'
+# Customer#000001328 is DOC-7's author at sf0.01 (the gate's sf), so the
+# existence check exercises the non-empty branch there; at other sfs the
+# Spark and oracle sides still agree by construction.
+Q_WROTE = 'Did "Customer#000001328" write "DOC-7"?'
+Q_PROPS = 'What is the year and abstract of "DOC-7"?'
+Q_ORG_TOPICS = 'Which topics does the organization "Supplier#000000001" publish on?'
+# no intent rule matches → planner degrades to the fulltext template
+Q_FALLBACK = 'Find documents mentioning "merge batch"'
+
+
+def _run(question: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return execute_plan(spark, sf_dir, plan(question))
+
+    return fn
+
+
+def n05_fallback_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = plan(Q_FALLBACK)
+    assert p.template == "fulltext", p
+    tokens = [w for t in p.terms for w in t.split()]
+    return fulltext_search(spark, sf_dir, tokens, require_all=True)
+
+
+N01_SQL = GRAPH_ORACLE_CTES + """
+SELECT d.year, count(*) AS n_docs
+FROM keywords k JOIN e_has_keyword e ON k.keyword_id = e.dst
+JOIN docs d ON e.src = d.doc_id
+WHERE k.name = 'cold widget'
+GROUP BY d.year
+"""
+
+N02_SQL = GRAPH_ORACLE_CTES + """
+SELECT 'Customer#000001328' AS author, 'DOC-7' AS title
+FROM authors a JOIN e_authored e ON a.author_id = e.src
+JOIN docs d ON e.dst = d.doc_id
+WHERE a.name = 'Customer#000001328' AND d.title = 'DOC-7'
+"""
+
+N03_SQL = GRAPH_ORACLE_CTES + """
+SELECT title, label, year, totalprice, status
+FROM docs WHERE title = 'DOC-7'
+"""
+
+N04_SQL = GRAPH_ORACLE_CTES + """
+SELECT t.name AS topic, count(*) AS n_docs
+FROM orgs o JOIN e_published_by ep ON o.org_id = ep.dst
+JOIN e_has_topic et ON ep.src = et.src
+JOIN topics t ON et.dst = t.topic_id
+WHERE o.name = 'Supplier#000000001'
+GROUP BY t.name
+"""
+
+N05_SQL = """
+SELECT doc_id, substring(text, 1, 120) AS snippet
+FROM documents
+WHERE contains(lower(text), 'merge') AND contains(lower(text), 'batch')
+ORDER BY doc_id
+LIMIT 100
+"""
+
+SPECS = [
+    QuerySpec(
+        name="n01_nl_docs_per_year",
+        fn=_run(Q_PER_YEAR),
+        oracle=N01_SQL,
+        category="nl",
+        description="Q1+Q2: NL question compiled by the template planner to the "
+        "docs-per-year-for-keyword plan; result oracle-checked (Q.txt Q10 shape).",
+    ),
+    QuerySpec(
+        name="n02_nl_author_wrote_doc",
+        fn=_run(Q_WROTE),
+        oracle=N02_SQL,
+        category="nl",
+        description="Q1+Q2: relationship-existence question (Q.txt 类型四) through "
+        "the NL planner; semi-join result oracle-checked.",
+    ),
+    QuerySpec(
+        name="n03_nl_doc_properties",
+        fn=_run(Q_PROPS),
+        oracle=N03_SQL,
+        category="nl",
+        description="Q1+Q2: property-lookup question (Q.txt 类型三) through the NL "
+        "planner.",
+    ),
+    QuerySpec(
+        name="n04_nl_org_topics",
+        fn=_run(Q_ORG_TOPICS),
+        oracle=N04_SQL,
+        category="nl",
+        description="Q1+Q2: 3-hop org→doc→topic question (Q.txt Q15) through the "
+        "NL planner.",
+    ),
+    QuerySpec(
+        name="n05_nl_fallback_fulltext",
+        fn=n05_fallback_search,
+        oracle=N05_SQL,
+        category="nl",
+        description="Q3: unknown-intent question degrades to the AND-of-terms "
+        "fulltext fallback scan (P8, LIMIT 100) — the reference's empty-result "
+        "cascade (`neo4j_query_executor.py:389-459`).",
+    ),
+]

@@ -18,6 +18,7 @@ def all_specs() -> list[QuerySpec]:
         "events_queries",
         "enrich_queries",
         "media_queries",
+        "nl_queries",
     ):
         try:
             modules.append(__import__(f"{__package__}.{optional}", fromlist=["SPECS"]))
