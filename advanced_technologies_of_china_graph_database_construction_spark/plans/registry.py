@@ -19,6 +19,7 @@ def all_specs() -> list[QuerySpec]:
         "enrich_queries",
         "media_queries",
         "nl_queries",
+        "skew_queries",
     ):
         try:
             modules.append(__import__(f"{__package__}.{optional}", fromlist=["SPECS"]))
