@@ -1,0 +1,88 @@
+"""Physical-plan audits: the properties that make these queries survive a
+100 TB scale-up, asserted as regressions.
+
+Each test pins one plan property the engine relies on:
+- filters and column projections reach the parquet scan (Catalyst
+  pushdown/pruning — SURVEY.md §4 "built-in once declarative");
+- dimension joins broadcast instead of shuffling;
+- graph rel-type predicates prune store partitions;
+- hot-path expressions stay inside whole-stage codegen with no
+  row-at-a-time Python evaluation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_CORRECT
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_filter_pushdown_and_column_pruning(spark):
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.relational import q01_pricing_summary
+
+    plan = _plan(q01_pricing_summary(spark, SF_CORRECT))
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l and "lineitem" in l)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in scan, scan
+    # projection pruning: the 16-column table is read as just the agg inputs
+    read_schema = scan.split("ReadSchema:")[1]
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema, read_schema
+
+
+def test_q03_dimension_joins_broadcast(spark):
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.relational import q03_regional_volume
+
+    plan = _plan(q03_regional_volume(spark, SF_CORRECT))
+    # nation and region must come in via broadcast, not shuffle
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    for line in plan.splitlines():
+        if "FileScan parquet" in line and "region" in line:
+            assert "r_comment" not in line.split("ReadSchema:")[1]
+
+
+def test_graph_query_prunes_rel_type_partitions(spark):
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.graph_queries import g01_docs_by_author
+
+    plan = _plan(g01_docs_by_author(spark, SF_CORRECT))
+    pruned = [
+        l for l in plan.splitlines()
+        if "PartitionFilters" in l and "rel_type" in l and "AUTHORED" in l
+    ]
+    assert pruned, plan
+    # the selective author filter enters via a broadcast join
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_text_pipeline_has_no_python_row_evaluation(spark):
+    """i01's parse/clean path is pure column expressions: no
+    BatchEvalPython (row-at-a-time UDF) anywhere, and the final plan
+    runs inside whole-stage codegen."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.ingest_queries import i01_parse_clean_records
+
+    plan = _plan(i01_parse_clean_records(spark, SF_CORRECT))
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
+def test_token_totals_stays_jvm_side_with_partial_agg(spark):
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.registry import spec_map
+
+    plan = _plan(spec_map()["d09_token_totals"].fn(spark, SF_CORRECT))
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    # map-side combine: partial aggregation below the exchange
+    assert "partial_sum" in plan, plan
+
+
+def test_minhash_verify_join_broadcasts_signatures(spark):
+    """d02's verification joins ship the 16-long signature table
+    broadcast — match counting is map-side over the candidate pairs."""
+    from advanced_technologies_of_china_graph_database_construction_spark.catalog import load_table
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.dedup import minhash_near_dups
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    plan = _plan(minhash_near_dups(docs))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
