@@ -117,13 +117,26 @@ def build_graph(spark: SparkSession, sf_dir: str, *, use_cache: bool = True) -> 
 
     root = os.path.join(_STORE_ROOT, os.path.basename(os.path.abspath(sf_dir)))
     marker = os.path.join(root, _STORE_MARKER)
-    if not os.path.exists(marker):
+    fingerprint = _source_fingerprint(sf_dir)
+    if not (os.path.exists(marker) and open(marker).read().strip() == fingerprint):
         write_graph(_build_graph_uncached(spark, sf_dir), root)
         with open(marker, "w") as fh:
-            fh.write("ok\n")
+            fh.write(fingerprint + "\n")
     g = read_graph(spark, root)
     _GRAPH_CACHE[key] = g
     return g
+
+
+def _source_fingerprint(sf_dir: str) -> str:
+    """(size, mtime) digest of the source parquet files — a regenerated
+    dataset invalidates the materialized store instead of poisoning it."""
+    parts = []
+    for name in sorted(os.listdir(sf_dir)):
+        p = os.path.join(sf_dir, name)
+        if name.endswith(".parquet") and os.path.isfile(p):
+            st = os.stat(p)
+            parts.append(f"{name}:{st.st_size}:{int(st.st_mtime)}")
+    return "|".join(parts)
 
 
 def _build_graph_uncached(spark: SparkSession, sf_dir: str) -> GraphModel:
