@@ -95,3 +95,58 @@ def test_formatter_values():
     txt = formatter.format_rows(rows)
     assert "1. a: 1, b: [1, 2], c: null" in txt
     assert "2. a: 2, b: [], c: x" in txt
+
+
+# ------------------------------------------------------- schema catalog ----
+
+def test_schema_catalog_reflects_live_schemas(spark):
+    from advanced_technologies_of_china_graph_database_construction_spark.nl import catalog as nlcat
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.graph import build_graph
+
+    g = build_graph(spark, SF)
+    cat = nlcat.schema_catalog(g)
+    for fam in ("g_docs", "g_authors", "g_keywords", "g_orgs", "g_addresses", "g_topics"):
+        assert fam in cat
+    for rel in ("AUTHORED", "HAS_KEYWORD", "PUBLISHED_BY", "AUTHOR_ADDRESS", "HAS_TOPIC", "ALIAS_OF"):
+        assert rel in cat
+    # live-derived: doc properties come from the actual schema
+    assert "title:string" in cat and "year:int" in cat
+
+
+def test_few_shot_sql_executes_and_matches_dataframe_path(spark):
+    """The prompt's worked examples must be runnable truth: execute them
+    over the registered g_* views and compare with the direct DataFrame
+    queries they claim to equal."""
+    from pyspark.sql import functions as F
+
+    from advanced_technologies_of_china_graph_database_construction_spark.nl import catalog as nlcat
+    from advanced_technologies_of_china_graph_database_construction_spark.nl.engine import t_docs_per_year_for_keyword
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.graph import (
+        build_graph,
+        register_graph_views,
+    )
+
+    g = build_graph(spark, SF)
+    register_graph_views(g, spark)
+    _, sql_docs = nlcat.FEW_SHOT[0]
+    _, sql_years = nlcat.FEW_SHOT[1]
+    assert spark.sql(sql_docs).count() > 0
+    got = sorted(
+        (r["year"], r["n_docs"]) for r in spark.sql(sql_years).collect()
+    )
+    want = sorted(
+        (r["year"], r["n_docs"])
+        for r in t_docs_per_year_for_keyword(g, "cold widget").collect()
+    )
+    assert got == want
+
+
+def test_build_prompt_contains_rules_and_question(spark):
+    from advanced_technologies_of_china_graph_database_construction_spark.nl import catalog as nlcat
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.graph import build_graph
+
+    prompt = nlcat.build_prompt(build_graph(spark, SF), "How many docs in 2020?")
+    assert "LIMIT 10" in prompt
+    assert "g_kw_alias" in prompt
+    assert prompt.rstrip().endswith("SQL:")
+    assert "How many docs in 2020?" in prompt
