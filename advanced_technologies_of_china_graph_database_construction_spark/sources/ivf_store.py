@@ -1,0 +1,94 @@
+"""Partitioned IVF store: the inverted-file ANN layout at rest.
+
+`operators.similarity.ivf_topk` computes coarse-quantizer assignments on
+the fly; at 100 TB the assignment IS the storage layout — vectors are
+written `partitionBy("centroid_id")`, so probing nprobe buckets reads
+nprobe partition directories and Spark's partition pruning does the
+bucket selection (verify with `.explain`: `PartitionFilters:
+[centroid_id IN (...)]`).  Centroid vectors are persisted alongside so
+search never re-derives the quantizer from data.
+
+Same store discipline as the graph store (`sources.graph_store`):
+idempotent overwrite writes, search reads only the store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_rounded
+from ..operators.similarity import ivf_assign
+
+
+def write_ivf_store(
+    emb: DataFrame,
+    root: str,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Assign every vector to its nearest centroid and cluster the
+    dataset by that assignment on disk."""
+    cent = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    cent.write.mode("overwrite").parquet(f"{root}/centroids")
+    assign = ivf_assign(emb, n_centroids, id_col, vec_col)
+    (
+        emb.join(assign, id_col)
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{root}/vectors")
+    )
+
+
+def ivf_topk_from_store(
+    spark: SparkSession,
+    root: str,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, sim, rank) — same contract as
+    `similarity.ivf_topk`, but candidates come from the stored buckets:
+    the nprobe bucket ids per query are resolved driver-side (centroid
+    table is tiny) and pushed into the scan as a partition-pruning
+    `isin` filter."""
+    cent = spark.read.parquet(f"{root}/centroids")
+    vectors = spark.read.parquet(f"{root}/vectors")
+    q = vectors.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine_rounded(F.col("qv"), F.col("cv"))), F.asc("centroid_id")
+    )
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    # Driver-side bucket resolution: |queries| × nprobe ids — the isin
+    # literal reaches the vectors scan as a partition filter.
+    probe_rows = probes.select("query_id", "centroid_id").collect()
+    bucket_ids = sorted({r["centroid_id"] for r in probe_rows})
+    cands = (
+        probes.join(
+            vectors.filter(F.col("centroid_id").isin(bucket_ids)).select(
+                F.col(id_col), F.col(vec_col).alias("nv"), "centroid_id"
+            ),
+            "centroid_id",
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine_rounded(F.col("qv"), F.col("nv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,49 @@
+"""Partitioned IVF store: search-from-store must agree with the
+in-memory IVF operator, and bucket probing must appear in the plan as
+partition pruning."""
+
+from __future__ import annotations
+
+import pytest
+
+from advanced_technologies_of_china_graph_database_construction_spark.catalog import load_table
+from advanced_technologies_of_china_graph_database_construction_spark.operators.similarity import ivf_topk
+from advanced_technologies_of_china_graph_database_construction_spark.sources.ivf_store import (
+    ivf_topk_from_store,
+    write_ivf_store,
+)
+
+from .conftest import SF_CORRECT
+
+QUERY_IDS = [100, 101, 102]
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ivf_store"))
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    write_ivf_store(emb, root, n_centroids=8)
+    return root
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["neighbor_id"], r["sim"], r["rank"]) for r in df.collect()
+    )
+
+
+def test_store_search_matches_inmemory_ivf(spark, store):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    want = _rows(ivf_topk(emb, QUERY_IDS, k=5, n_centroids=8, nprobe=2))
+    got = _rows(ivf_topk_from_store(spark, store, QUERY_IDS, k=5, nprobe=2))
+    assert got == want
+
+
+def test_bucket_probe_is_partition_pruned(spark, store):
+    df = ivf_topk_from_store(spark, store, QUERY_IDS, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        l for l in plan.splitlines()
+        if "PartitionFilters" in l and "centroid_id" in l and "vectors" in l
+    ]
+    assert any("IN (" in l or "In(" in l or "isin" in l.lower() for l in pruned), plan
