@@ -1,0 +1,83 @@
+"""Batch graph analytics on DataFrames: PageRank and triangle counting.
+
+The north-star approach for this engine is "GraphX/Pregel for graph
+analytics" — connected components (operators.connected_components)
+covers the entity-resolution closure; this module adds the two other
+canonical batch analytics in the same DataFrame message-passing shape:
+
+- ``pagerank``: fixed-iteration power method.  Each iteration is one
+  edges⋈ranks join (messages = rank/outdeg), one groupBy(dst) sum
+  (combine), one left join back onto the node set (apply + dangling
+  default) — exactly Pregel's superstep as two shuffles.  Fixed
+  iteration count keeps it deterministic and SQL-oracle-able.
+- ``triangle_count``: the o1<o2<o3 wedge-closing 3-way self-join; the
+  ordered predicate counts each triangle exactly once and keeps the
+  join from enumerating permutations.
+
+Scale notes (100 TB): PageRank shuffles scale with |E| per iteration;
+pre-partitioning edges by src lets every iteration reuse the layout
+(one exchange, not two).  Triangle counting's worst case is the
+hub-node wedge blow-up — the standard mitigation (degree-ordered
+orientation: orient every edge low-degree→high-degree) is what the
+o1<o2<o3 id ordering approximates on this fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetric_edges(pairs: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected pair list (one row per unordered pair) → symmetric
+    directed edges."""
+    fwd = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85) -> DataFrame:
+    """(node, pagerank) after ``n_iter`` power iterations over directed
+    ``edges(src, dst)``.
+
+    Node set = sources ∪ destinations; nodes without out-edges
+    contribute nothing (their mass leaks, the (1−d)/n floor keeps them
+    ranked) — the standard simplification when the caller's graph is
+    symmetric, where dangling nodes don't exist.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()  # driver scalar: one tiny job, used as a literal
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        msgs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("m"))
+        )
+        sums = msgs.groupBy("node").agg(F.sum("m").alias("m"))
+        ranks = nodes.join(sums, "node", "left").select(
+            "node",
+            (F.lit((1.0 - damping) / n) + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))).alias("rank"),
+        )
+    return ranks.select("node", F.round("rank", 6).alias("pagerank"))
+
+
+def triangle_count(pairs: DataFrame, a: str = "src", b: str = "dst") -> DataFrame:
+    """1-row (n_triangles) over an undirected pair list (each unordered
+    pair once, ``a < b``)."""
+    e = pairs.select(F.col(a).alias("o1"), F.col(b).alias("o2")).filter(
+        F.col("o1") < F.col("o2")
+    )
+    e12 = e
+    e23 = e.select(F.col("o1").alias("o2"), F.col("o2").alias("o3"))
+    e13 = e.select(F.col("o1").alias("t1"), F.col("o2").alias("t3"))
+    return (
+        e12.join(e23, "o2")
+        .join(e13, (F.col("o1") == F.col("t1")) & (F.col("o3") == F.col("t3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -1,0 +1,113 @@
+"""Graph-analytics workload (g21-g22): PageRank and triangle counting
+over the organization co-publication graph — the "GraphX/Pregel for
+graph analytics" north-star surface, expressed as DataFrame message
+passing with exact unrolled-SQL oracles.
+
+The analysis graph: orgs are connected when they co-publish ≥
+MIN_SHARED documents (thresholded so the graph has real structure —
+the raw co-publication graph at sf0.01 is complete).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.analytics import pagerank, symmetric_edges, triangle_count
+from .spec import QuerySpec
+
+MIN_SHARED = 30
+N_ITER = 3
+DAMPING = 0.85
+
+
+def _copub_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected org pairs (o1 < o2) sharing ≥ MIN_SHARED docs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(F.col("l_orderkey").alias("doc"), F.col("l_suppkey").alias("org")).distinct()
+    e2 = e.withColumnsRenamed({"org": "org2"})
+    return (
+        e.join(e2, "doc")
+        .filter(F.col("org") < F.col("org2"))
+        .groupBy(F.col("org").alias("src"), F.col("org2").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= MIN_SHARED)
+        .select("src", "dst")
+    )
+
+
+def g21_copub_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranks = pagerank(symmetric_edges(_copub_pairs(spark, sf_dir)), N_ITER, DAMPING)
+    return ranks.select(F.col("node").alias("org_id"), "pagerank")
+
+
+def g22_copub_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_count(_copub_pairs(spark, sf_dir))
+
+
+# Unrolled power-method oracle: p0 = 1/n; p_{k+1}(v) = (1-d)/n +
+# d * Σ_{u→v} p_k(u)/outdeg(u) over the symmetric edge set.
+_GRAPH_CTES = f"""
+WITH de AS (SELECT DISTINCT l_orderkey AS doc, l_suppkey AS org FROM lineitem),
+pairs AS (
+  SELECT a.org AS src, b.org AS dst
+  FROM de a JOIN de b ON a.doc = b.doc AND a.org < b.org
+  GROUP BY 1, 2 HAVING count(*) >= {MIN_SHARED}),
+edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)
+"""
+
+
+def _iter_cte(k: int) -> str:
+    prev = f"r{k - 1}"
+    return f"""
+r{k} AS (
+  SELECT nodes.node,
+         0.15 / (SELECT n FROM nn)
+           + 0.85 * coalesce(s.m, 0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum({prev}.rank / deg.outdeg) AS m
+    FROM edges e JOIN {prev} ON e.src = {prev}.node JOIN deg ON e.src = deg.src
+    GROUP BY e.dst) s ON nodes.node = s.node)
+"""
+
+
+G21_SQL = (
+    _GRAPH_CTES
+    + ", r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),"
+    + ",".join(_iter_cte(k) for k in range(1, N_ITER + 1))
+    + f"\nSELECT node AS org_id, round(rank, 6) AS pagerank FROM r{N_ITER}"
+)
+
+G22_SQL = (
+    _GRAPH_CTES
+    + """
+SELECT count(*) AS n_triangles
+FROM pairs p12
+JOIN pairs p23 ON p12.dst = p23.src
+JOIN pairs p13 ON p12.src = p13.src AND p23.dst = p13.dst
+"""
+)
+
+SPECS = [
+    QuerySpec(
+        name="g21_copub_pagerank",
+        fn=g21_copub_pagerank,
+        oracle=G21_SQL,
+        category="analytics",
+        description="Fixed-iteration PageRank over the org co-publication graph "
+        "as DataFrame message passing (Pregel superstep = join + groupBy sum); "
+        "oracle is the unrolled power method in SQL.",
+    ),
+    QuerySpec(
+        name="g22_copub_triangles",
+        fn=g22_copub_triangles,
+        oracle=G22_SQL,
+        category="analytics",
+        description="Triangle count via ordered wedge-closing self-joins over "
+        "the thresholded co-publication graph.",
+    ),
+]

@@ -20,6 +20,7 @@ def all_specs() -> list[QuerySpec]:
         "media_queries",
         "nl_queries",
         "skew_queries",
+        "analytics_queries",
     ):
         try:
             modules.append(__import__(f"{__package__}.{optional}", fromlist=["SPECS"]))
