@@ -136,3 +136,28 @@ def test_results_invariant_to_shuffle_partitions(spark):
         assert results["3"] == results["32"]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_fused_minhash_kernel_equals_explode_groupby_path(spark):
+    """The Arrow-fused signature kernel and the explode+groupBy
+    aggregation are two implementations of the same definition — they
+    must agree signature-for-signature."""
+    from pyspark.sql import functions as F
+
+    from advanced_technologies_of_china_graph_database_construction_spark.catalog import load_table
+    from advanced_technologies_of_china_graph_database_construction_spark.operators import dedup as D
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fused = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in docs.select(
+            "doc_id", D._minhash_sig_udf()(F.col("text")).alias("sig")
+        ).filter(F.col("sig").isNotNull()).collect()
+    }
+    unfused = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in D.minhash_signature_array(
+            D.char_shingles(docs, dedup_set=False)
+        ).collect()
+    }
+    assert fused == unfused
