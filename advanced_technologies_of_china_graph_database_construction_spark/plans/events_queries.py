@@ -183,6 +183,30 @@ GROUP BY l.user_id
 """
 
 
+def e09_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag analytics: per-user value delta vs. the previous event
+    and the next event's type (deterministic order: ts, event_id)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+E09_SQL = """
+SELECT user_id, event_id,
+       round(value - lag(value) OVER w, 6) AS delta,
+       lead(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 SPECS = [
     QuerySpec("e01_tumbling_daily", e01_tumbling_daily, E01_SQL, "events",
               "tumbling 1-day window stats per event_type", bench=True),
@@ -200,4 +224,6 @@ SPECS = [
               "per-user cumulative totals (window spec)"),
     QuerySpec("e08_click_purchase_interval_join", e08_click_purchase_interval_join, E08_SQL,
               "events", "event-time interval join (stream-stream join shape)"),
+    QuerySpec("e09_value_deltas", e09_value_deltas, E09_SQL, "events",
+              "lead/lag window analytics per user"),
 ]
