@@ -290,6 +290,37 @@ SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
 """
 
 
+# --- q13: correlated scalar subquery (TPC-H Q17-style) ---
+def q13_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost if small-quantity orders stopped:
+    lineitems below 20% of their part's average quantity.
+
+    The correlated subquery is expressed decorrelated — per-part
+    averages via groupBy then a join — which is exactly the rewrite
+    Catalyst (and every optimizer since Kim's algorithm) applies to the
+    correlated form; the oracle states it correlated to prove the
+    equivalence.
+    """
+    part, li = _t(spark, sf_dir, "part", "lineitem")
+    brand = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    avg_qty = li.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.2).alias("qty_limit"))
+    return (
+        li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+Q13_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
 SPECS = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "relational",
               "TPC-H Q1-style wide aggregate (map-side partial agg)", bench=True),
@@ -315,4 +346,6 @@ SPECS = [
               "ROLLUP hierarchical aggregate"),
     QuerySpec("q12_nations_with_both", q12_nations_with_both, Q12_SQL, "relational",
               "INTERSECT set op (U-family)"),
+    QuerySpec("q13_small_quantity_revenue", q13_small_quantity_revenue, Q13_SQL, "relational",
+              "correlated scalar subquery, expressed decorrelated"),
 ]
