@@ -207,6 +207,63 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def e10_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attribute each purchase to the user's latest click at
+    or before the purchase (left outer; ties broken by max click id).
+    Composition route — union + single key shuffle + running-window
+    forward fill; see operators/asof.py for why not an inequality join."""
+    from ..operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.round("value", 6).alias("purchase_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_id", "click_ts"],
+        tiebreak="click_id",
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
+
+
+E10_SQL = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+         round(value, 6) AS purchase_value
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'),
+ranked AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_ts, p.purchase_value,
+         c.click_id, c.click_ts,
+         row_number() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+  FROM p LEFT JOIN c
+    ON p.user_id = c.user_id AND c.click_ts <= p.purchase_ts)
+SELECT purchase_id, user_id, purchase_ts, purchase_value, click_id, click_ts
+FROM ranked WHERE rn = 1
+"""
+
+
 SPECS = [
     QuerySpec("e01_tumbling_daily", e01_tumbling_daily, E01_SQL, "events",
               "tumbling 1-day window stats per event_type", bench=True),
@@ -226,4 +283,6 @@ SPECS = [
               "events", "event-time interval join (stream-stream join shape)"),
     QuerySpec("e09_value_deltas", e09_value_deltas, E09_SQL, "events",
               "lead/lag window analytics per user"),
+    QuerySpec("e10_asof_click_attribution", e10_asof_click_attribution, E10_SQL, "events",
+              "as-of join (union + single shuffle + window fill, no inequality join)"),
 ]

@@ -321,6 +321,56 @@ WHERE p.p_brand = 'Brand#1'
 """
 
 
+# --- q14: exact percentiles per group (sort-based distributed agg) ---
+def q14_segment_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of order value per market segment.
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` both compute
+    the linearly-interpolated quantile at p*(n-1), so the engines agree
+    exactly.  (``percentile_approx`` is the 100 TB path when 2-decimal
+    fidelity isn't contractual; it can't be oracle-hash-checked.)
+    """
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99_price"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT c_mktsegment,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+       round(quantile_cont(o_totalprice, 0.99), 6) AS p99_price,
+       count(*) AS n_orders
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --- q15: CUBE (all grouping-set combinations; complements q11's ROLLUP) ---
+def q15_status_year_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .cube("o_orderstatus", "order_year")
+        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+    )
+
+
+Q15_SQL = """
+SELECT o_orderstatus, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+FROM orders GROUP BY CUBE (o_orderstatus, order_year)
+"""
+
+
 SPECS = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "relational",
               "TPC-H Q1-style wide aggregate (map-side partial agg)", bench=True),
@@ -348,4 +398,8 @@ SPECS = [
               "INTERSECT set op (U-family)"),
     QuerySpec("q13_small_quantity_revenue", q13_small_quantity_revenue, Q13_SQL, "relational",
               "correlated scalar subquery, expressed decorrelated"),
+    QuerySpec("q14_segment_price_quantiles", q14_segment_price_quantiles, Q14_SQL, "relational",
+              "exact interpolated percentiles per group"),
+    QuerySpec("q15_status_year_cube", q15_status_year_cube, Q15_SQL, "relational",
+              "CUBE grouping sets (complements q11 ROLLUP)"),
 ]
