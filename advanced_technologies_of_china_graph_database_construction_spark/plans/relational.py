@@ -26,16 +26,23 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 # --- q01: TPC-H Q1-style pricing summary (wide agg, map-side partials) ---
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # disc_price / charge sums use exact decimals: at sf0.01 their true
+    # group totals land within 0.0006 of a half-cent rounding boundary,
+    # inside double-summation noise for 60k-row groups, so the rounded
+    # cent would otherwise depend on partial-agg merge order (flaky vs
+    # the oracle).  2-decimal-exact columns (qty, base price) stay
+    # double: their sums are exact at the rounding precision.
+    ext_d = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_price = ext_d * (1 - F.col("l_discount").cast("decimal(18,2)"))
+    charge = disc_price * (1 + F.col("l_tax").cast("decimal(18,2)"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -48,8 +55,11 @@ Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
        round(avg(l_quantity), 2) AS avg_qty,
        round(avg(l_extendedprice), 2) AS avg_price,
        round(avg(l_discount), 4) AS avg_disc,
