@@ -48,7 +48,15 @@ def get_spark(app_name: str = "atcgdc-spark", shuffle_partitions: int | None = N
         # (cleaner.py:7-26; sources/txt_records.py).
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # local[N] puts all executor threads in the driver JVM, so the
+        # heap must hold every live broadcast + block-manager state for
+        # the whole workload: at 16g a 14-query bench run degrades ~3.5x
+        # (GC thrash: er02 19.1s->2.0s, i01 24.2s->1.4s at 48g).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # With a large heap, minor GCs are rare and the ContextCleaner's
+        # weak-ref queue (stale broadcasts/shuffles) drains too slowly;
+        # force a periodic sweep well under the workload's lifetime.
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
