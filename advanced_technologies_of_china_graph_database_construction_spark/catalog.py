@@ -27,8 +27,43 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Runtime-settable SQL confs every query plan assumes.  The correctness
+# driver supplies its OWN SparkSession (not session.get_spark), so these
+# must not live only in the session factory: a default session renders
+# timestamps in local time (breaking oracle comparison), uses 200 shuffle
+# partitions (pure overhead at test scale), and leaves AQE's skew/coalesce
+# features off.  All of these are runtime-settable SQL confs — static
+# confs like driver memory stay in session.py where they belong.
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.shuffle.partitions": (
+        os.environ.get("SPARK_GRAFT_CPUS", "32")
+        if os.environ.get("SPARK_GRAFT_CPUS", "32").isdigit()
+        else "32"
+    ),
+}
+_CONF_SENTINEL = "spark.atcgdc.runtimeConfsApplied"
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Apply the engine's runtime SQL confs once per session (idempotent)."""
+    if spark.conf.get(_CONF_SENTINEL, None) == "true":
+        return
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in this deployment — keep going
+    spark.conf.set(_CONF_SENTINEL, "true")
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_runtime_confs(spark)
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = f"{sf_dir}/{name}.parquet"

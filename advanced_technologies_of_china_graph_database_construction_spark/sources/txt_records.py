@@ -93,7 +93,11 @@ def parse_blocks(files: DataFrame, text_col: str = "text", file_col: str = "file
     Mirrors ``parse_entries`` (`cleaner.py:7-26`): blocks are separated
     by blank (possibly whitespace-only) lines; within a block only lines
     matching ``{Field}: Value`` contribute; a duplicated field keeps the
-    last value (dict-assignment semantics → LAST_WIN map policy).
+    last value (dict-assignment semantics).  The keep-last dedup happens
+    inside the array expression — NOT via `spark.sql.mapKeyDedupPolicy` —
+    so the plan is correct under any session configuration (the driver
+    supplies its own SparkSession whose default policy throws on
+    duplicate map keys).
     """
     blocks = files.select(
         F.col(file_col).alias("file"),
@@ -108,7 +112,16 @@ def parse_blocks(files: DataFrame, text_col: str = "text", file_col: str = "file
             F.trim(F.regexp_extract(l, r"^\{[^}]+\}:\s*(.*)$", 1)).alias("value"),
         ),
     )
-    return blocks.select("file", "pos", F.map_from_entries(entries).alias("rec"))
+    # Keep-last per key: an entry survives iff no LATER entry repeats its
+    # key (O(k²) over ≤ ~25 fields per record — a per-row constant).
+    deduped = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + F.lit(2), F.size(entries)),
+            lambda e2: e2["key"] == e["key"],
+        ),
+    )
+    return blocks.select("file", "pos", F.map_from_entries(deduped).alias("rec"))
 
 
 # ----------------------------------------------------------- field cleaning --
