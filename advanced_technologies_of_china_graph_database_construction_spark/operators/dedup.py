@@ -166,11 +166,15 @@ def minhash_near_dups(
     and replaces the (src,dst,k) groupBy with a distinct + array compare.
     """
     # Three downstream branches (candidate probe, src/dst verification)
-    # would each re-run the signature kernel; persist so it runs once.
+    # would each re-run the signature kernel; localCheckpoint materializes
+    # it once and cuts lineage.  (Not `persist()`: a cached plan pinned by
+    # the returned DataFrame accumulates storage-pool blocks across
+    # repeated invocations in one session; checkpoint blocks are released
+    # by the ContextCleaner as soon as the result goes out of scope.)
     sig = (
         df.select("doc_id", F.col(block_col), _minhash_sig_udf()(F.col(text_col)).alias("sig"))
         .filter(F.col("sig").isNotNull())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n_cand_perms = N_PERMS - min_matching + 1
     probe = sig.select(
@@ -254,13 +258,47 @@ def simhash_near_dups(
     df: DataFrame, text_col: str = "text", block_col: str = "source", max_hamming: int = 3
 ) -> DataFrame:
     """(src, dst, hamming) pairs within a block with Hamming distance ≤
-    ``max_hamming`` on the simhash."""
+    ``max_hamming`` on the simhash.
+
+    Exact-result banded candidate generation: the signature is split into
+    ``max_hamming + 1`` bit-bands, and by pigeonhole a pair within the
+    Hamming budget must agree EXACTLY on at least one band — so
+    candidates come from an equi-join on (band_index, band_bits, block)
+    instead of same-block all-pairs, and shuffle volume tracks band
+    collisions, not block-size².  Verification (xor + bit_count,
+    JVM-side) then makes the result identical to the naive self-join.
+    """
     sig = simhash_signatures(df, text_col).join(df.select("doc_id", block_col), "doc_id")
-    a = sig.select(F.col("doc_id").alias("src"), F.col("simhash").alias("h1"), F.col(block_col).alias("blk"))
-    b = sig.select(F.col("doc_id").alias("dst"), F.col("simhash").alias("h2"), F.col(block_col).alias("blk2"))
-    pairs = a.join(b, (F.col("blk") == F.col("blk2")) & (F.col("src") < F.col("dst")))
+    n_bands = max_hamming + 1
+    base_bits = SIMHASH_BITS // n_bands
+
+    def band_val(j: int) -> F.Column:
+        width = base_bits + (SIMHASH_BITS - base_bits * n_bands if j == n_bands - 1 else 0)
+        return F.shiftright("simhash", j * base_bits).bitwiseAND(F.lit((1 << width) - 1))
+
+    bands_arr = F.array(
+        *[F.struct(F.lit(j).alias("b"), band_val(j).alias("bv")) for j in range(n_bands)]
+    )
+    exploded = sig.select(
+        "doc_id",
+        "simhash",
+        F.col(block_col).alias("blk"),
+        F.explode(bands_arr).alias("band"),
+    ).select("doc_id", "simhash", "blk", F.col("band.b").alias("b"), F.col("band.bv").alias("bv"))
+    a = exploded.select(
+        F.col("doc_id").alias("src"), F.col("simhash").alias("h1"), "blk", "b", "bv"
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("dst"), F.col("simhash").alias("h2"), "blk", "b", "bv"
+    )
+    cands = (
+        a.join(b, ["b", "bv", "blk"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "h1", "h2")
+        .distinct()  # (h1, h2) are functions of (src, dst) — cardinality unchanged
+    )
     hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    return pairs.select("src", "dst", hamming.alias("hamming")).filter(
+    return cands.select("src", "dst", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
 
@@ -268,7 +306,11 @@ def simhash_near_dups(
 # --- n-gram Jaccard -------------------------------------------------------
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str = "text", block_col: str = "source", threshold: float = 0.5
+    df: DataFrame,
+    text_col: str = "text",
+    block_col: str = "source",
+    threshold: float = 0.5,
+    broadcast_threshold_docs: int = 200_000,
 ) -> DataFrame:
     """(src, dst, jaccard) for same-block pairs with true 3-gram-set
     Jaccard ≥ threshold.
@@ -330,53 +372,23 @@ def ngram_jaccard_pairs(
         .select("src", "dst")
         .distinct()
     )
-    # Verification: broadcast the shingle-set index (sorted arrays; ~2
-    # kB/doc) and count intersections map-side over bare (src, dst)
-    # candidates — shipping the arrays through the candidate join would
-    # shuffle |cands| × |set| longs (~3 GB at sf0.1) for nothing.  At a
-    # scale where the index outgrows the broadcast budget, block the
-    # corpus first (the `block_col` already bounds each index).
-    sets = sh.groupBy("doc_id").agg(F.sort_array(F.collect_list("shingle_hash")).alias("arr"))
-    sets_pdf = sets.toPandas()  # Arrow path; py4j Row conversion is ~10× slower
-    index = {
-        did: np.asarray(arr, dtype=np.int64)
-        for did, arr in zip(sets_pdf["doc_id"], sets_pdf["arr"])
-    }
-    bc = df.sparkSession.sparkContext.broadcast(index)
-
-    verify_schema = T.StructType(
-        [
-            T.StructField("src", T.LongType()),
-            T.StructField("dst", T.LongType()),
-            T.StructField("inter", T.LongType()),
-            T.StructField("sz_sum", T.LongType()),
-        ]
-    )
-
-    def count_intersections(batches):
-        idx = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            srcs = pdf["src"].to_numpy()
-            dsts = pdf["dst"].to_numpy()
-            inter = np.empty(len(srcs), dtype=np.int64)
-            sz_sum = np.empty(len(srcs), dtype=np.int64)
-            for i in range(len(srcs)):
-                x, y = idx[srcs[i]], idx[dsts[i]]
-                if len(x) > len(y):
-                    x, y = y, x
-                pos = np.searchsorted(y, x)
-                pos[pos == len(y)] = 0  # x > max(y) there; y[0] == x impossible
-                inter[i] = int((y[pos] == x).sum())
-                sz_sum[i] = len(x) + len(y)
-            yield pd.DataFrame({"src": srcs, "dst": dsts, "inter": inter, "sz_sum": sz_sum})
-
-    verified = cands.mapInPandas(count_intersections, verify_schema)
+    # Verification: join each candidate pair back to the two shingle-set
+    # arrays and count the intersection JVM-side (`array_intersect` —
+    # shingle sets are distinct per doc, so its size IS the set overlap).
+    # The per-doc array table broadcasts while it fits the executor
+    # budget (map-side join, candidates never shuffle); past the cap it
+    # degrades to shuffled joins whose volume is O(corpus) per side —
+    # never a driver-side materialization of the corpus index.
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle_hash").alias("arr"))
+    sa = sets.select(F.col("doc_id").alias("src"), F.col("arr").alias("arr_a"))
+    sb = sets.select(F.col("doc_id").alias("dst"), F.col("arr").alias("arr_b"))
+    if df.count() <= broadcast_threshold_docs:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    joined = cands.join(sa, "src").join(sb, "dst")
+    inter = F.size(F.array_intersect("arr_a", "arr_b")).cast("double")
+    union = (F.size("arr_a") + F.size("arr_b")).cast("double") - inter
     # rounding stays JVM-side (HALF_UP) to match the SQL oracle exactly
-    jac = F.round(
-        F.col("inter").cast("double") / (F.col("sz_sum") - F.col("inter")).cast("double"), 6
-    )
-    return verified.select("src", "dst", jac.alias("jaccard")).filter(
+    jac = F.round(inter / union, 6)
+    return joined.select("src", "dst", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )

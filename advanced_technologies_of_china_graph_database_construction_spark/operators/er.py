@@ -36,35 +36,57 @@ from ..functions.vectors import as_double, cosine_rounded, dot, norm
 from .connected_components import connected_components
 
 
+def _round_half_up(x: np.ndarray, digits: int = 6) -> np.ndarray:
+    """HALF_UP rounding (away from zero at the .5 boundary) — the same
+    rule as Spark's `F.round` and DuckDB's `round`, so every path (exact
+    kernel, LSH re-score, SQL oracle) makes identical boundary decisions.
+    `np.round` is HALF_EVEN and can disagree at an exact 1e-6 midpoint.
+    """
+    scaled = x * (10.0 ** digits)
+    return np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)) / (
+        10.0 ** digits
+    )
+
+
 def exact_similarity_pairs(
-    emb: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 4096,
 ) -> DataFrame:
     """All pairs (src < dst, sim) with cosine similarity ≥ threshold.
 
-    Block-matrix execution: the unit-normalized (n, d) matrix is
-    broadcast once; each Arrow batch of rows computes its full block of
-    cosines as ONE BLAS matmul (`block @ all.T`) inside `mapInPandas`,
-    emitting only pairs at/above the threshold.  That keeps the O(n²)
-    arithmetic in vectorized native code instead of 12M+ interpreted
-    per-pair expressions, and the shuffle carries only surviving pairs.
+    Distributed block-pair GEMM — no driver-side materialization: rows
+    are hashed into B = ⌈n / block_rows⌉ blocks; each row is replicated
+    to the B unordered block-pairs it participates in; one
+    `applyInPandas` task per (bi, bj) computes its cosine block as a
+    single BLAS matmul and emits only pairs at/above the threshold.
+    The O(n²) arithmetic stays in vectorized native code, the shuffle
+    carries n·B vector copies (not n² pairs), and per-task memory is
+    bounded by 2·block_rows·d doubles regardless of corpus size.
 
-    Scale bound: the broadcast side is the whole vector set (~3 GB at
-    1M × 768 float32) — fine for the reference's real workload (88k
-    surface forms, `keyword_merger.py:183`) and for any per-attribute ER
-    vocabulary; beyond that use `lsh_similarity_pairs`, which never
-    materializes a dense matrix.
+    This is the exact path; its cost is inherently quadratic in n. For
+    vocabularies beyond a few 10⁵ vectors use `lsh_similarity_pairs`,
+    whose candidate generation is collision-proportional.
 
-    The comparison uses cosine rounded to 6 digits so the decision at
-    the threshold boundary is reproducible across engines/hardware.
+    The comparison uses cosine rounded HALF_UP to 6 digits so the
+    decision at the threshold boundary is reproducible across engines.
     """
-    spark = emb.sparkSession
     src = emb.select(F.col(id_col).cast("long").alias("id"), as_double(F.col(vec_col)).alias("v"))
-    ids_and_vecs = src.collect()
-    all_ids = np.array([r["id"] for r in ids_and_vecs], dtype=np.int64)
-    mat = np.array([r["v"] for r in ids_and_vecs], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    order = np.argsort(all_ids)
-    bc = spark.sparkContext.broadcast((all_ids[order], mat[order]))
+    n = src.count()
+    n_blocks = max(1, -(-n // block_rows))
+    src = src.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int"))
+    ks = F.sequence(F.lit(0), F.lit(n_blocks - 1))
+    bp = F.transform(
+        ks,
+        lambda k: F.struct(
+            F.least(F.col("blk"), k).alias("bi"), F.greatest(F.col("blk"), k).alias("bj")
+        ),
+    )
+    replicated = src.select("id", "v", "blk", F.explode(bp).alias("bp")).select(
+        "id", "v", "blk", F.col("bp.bi").alias("bi"), F.col("bp.bj").alias("bj")
+    )
 
     out_schema = T.StructType(
         [
@@ -74,24 +96,40 @@ def exact_similarity_pairs(
         ]
     )
 
-    def block_pairs(batches):
-        ids_all, m_all = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            bids = pdf["id"].to_numpy(dtype=np.int64)
-            block = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            block /= np.linalg.norm(block, axis=1, keepdims=True)
-            sims = np.round(block @ m_all.T, 6)  # (batch, n)
-            keep = sims >= threshold
-            # strict upper triangle in id space: src < dst
-            keep &= bids[:, None] < ids_all[None, :]
-            bi, aj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"src": bids[bi], "dst": ids_all[aj], "sim": sims[bi, aj]}
+    def gemm_block_pair(key, pdf):
+        bi, bj = int(key[0]), int(key[1])
+        a = pdf[pdf["blk"] == bi]
+        if a.empty:
+            return pd.DataFrame({"src": [], "dst": [], "sim": []}).astype(
+                {"src": np.int64, "dst": np.int64, "sim": np.float64}
             )
+        ids_a = a["id"].to_numpy(dtype=np.int64)
+        ma = np.stack(a["v"].to_numpy()).astype(np.float64)
+        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+        if bi == bj:
+            sims = _round_half_up(ma @ ma.T)
+            keep = (sims >= threshold) & (ids_a[:, None] < ids_a[None, :])
+            ii, jj = np.nonzero(keep)
+            return pd.DataFrame(
+                {"src": ids_a[ii], "dst": ids_a[jj], "sim": sims[ii, jj]}
+            )
+        b = pdf[pdf["blk"] == bj]
+        if b.empty:
+            return pd.DataFrame({"src": [], "dst": [], "sim": []}).astype(
+                {"src": np.int64, "dst": np.int64, "sim": np.float64}
+            )
+        ids_b = b["id"].to_numpy(dtype=np.int64)
+        mb = np.stack(b["v"].to_numpy()).astype(np.float64)
+        mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = _round_half_up(ma @ mb.T)
+        keep = sims >= threshold
+        ii, jj = np.nonzero(keep)
+        ia, ib = ids_a[ii], ids_b[jj]
+        return pd.DataFrame(
+            {"src": np.minimum(ia, ib), "dst": np.maximum(ia, ib), "sim": sims[ii, jj]}
+        )
 
-    return src.mapInPandas(block_pairs, out_schema)
+    return replicated.groupBy("bi", "bj").applyInPandas(gemm_block_pair, out_schema)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
