@@ -193,12 +193,48 @@ def lsh_similarity_pairs(
     return scored.select("src", "dst", sim.alias("sim")).filter(F.col("sim") >= threshold)
 
 
-def canonical_mapping(emb: DataFrame, pairs: DataFrame, id_col: str = "vec_id") -> DataFrame:
+def similarity_pairs(
+    emb: DataFrame,
+    threshold: float,
+    strategy: str = "exact",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """Strategy dispatcher for the ε-ball cosine self-join.
+
+    ``exact`` — block-pair GEMM, cost O(n²) arithmetic (distributed, no
+    driver materialization); ``lsh`` — sign-LSH banded candidates +
+    exact re-score, cost proportional to collisions.  Both emit
+    (src, dst, sim) with identical rounding, so downstream stages
+    (`canonical_mapping`) are strategy-agnostic.
+    """
+    if strategy == "exact":
+        return exact_similarity_pairs(emb, threshold, id_col, vec_col, **kwargs)
+    if strategy == "lsh":
+        return lsh_similarity_pairs(emb, threshold, id_col, vec_col, **kwargs)
+    raise ValueError(f"unknown similarity strategy {strategy!r}; use 'exact' or 'lsh'")
+
+
+def canonical_mapping(
+    emb: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "vec_id",
+    threshold: float | None = None,
+    strategy: str = "exact",
+    **kwargs,
+) -> DataFrame:
     """(id, canonical): min-id of the similarity component; noise → self.
 
     Matches `keyword_merger.py:222` (min representative) + `:231-232`
-    (noise identity).
+    (noise identity).  Pass precomputed ``pairs``, or a ``threshold`` (+
+    optional ``strategy``) to build them here — `strategy="lsh"` runs the
+    whole ER pipeline without any quadratic stage.
     """
+    if pairs is None:
+        if threshold is None:
+            raise ValueError("canonical_mapping needs either pairs or a threshold")
+        pairs = similarity_pairs(emb, threshold, strategy, id_col=id_col, **kwargs)
     comp = connected_components(pairs.select("src", "dst"))
     ids = emb.select(F.col(id_col).alias("id")).distinct()
     return ids.join(comp, "id", "left").select(
@@ -216,3 +252,50 @@ def apply_mapping(df: DataFrame, mapping: DataFrame, col: str, out_col: str | No
         .withColumn(out_col, F.coalesce("__canonical", F.col(col)))
         .drop("__surface", "__canonical")
     )
+
+
+def apply_mapping_array(
+    df: DataFrame,
+    mapping: DataFrame,
+    col: str,
+    id_cols: tuple[str, ...],
+    out_col: str | None = None,
+) -> DataFrame:
+    """J1, array case: rewrite every element of an ``array`` column
+    through the canonical map, then first-occurrence-order dedup — the
+    reference's list branch (`keyword_merger.py:249-265`, order-
+    preserving `dict.fromkeys` dedup at `:261-263`).
+
+    Plan: posexplode (keeps element order as data) → broadcast left join
+    on the mapping → rebuild per row: sort by position, project the
+    mapped value, `array_distinct` (which keeps first occurrences).
+    Rows whose array is empty or null come back with an empty array.
+    Returns ``id_cols`` + the rewritten array column — one explode and
+    one grouping shuffle on the row key, both linear in element count.
+    """
+    out_col = out_col or col
+    ids = [F.col(c) for c in id_cols]
+    ex = df.select(*ids, F.posexplode_outer(col).alias("__pos", "__val"))
+    m = mapping.select(F.col("id").alias("__surface"), F.col("canonical").alias("__canonical"))
+    mapped = ex.join(F.broadcast(m), ex["__val"] == F.col("__surface"), "left").select(
+        *ids, "__pos", F.coalesce("__canonical", F.col("__val")).alias("__mapped")
+    )
+    rebuilt = (
+        mapped.groupBy(*ids)
+        .agg(
+            F.array_distinct(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__pos").isNotNull(),
+                                F.struct(F.col("__pos"), F.col("__mapped")),
+                            )
+                        )
+                    ),
+                    lambda s: s["__mapped"],
+                )
+            ).alias(out_col)
+        )
+    )
+    return rebuilt

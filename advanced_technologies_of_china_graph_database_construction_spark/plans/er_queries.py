@@ -17,7 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.er import canonical_mapping, exact_similarity_pairs, lsh_similarity_pairs
+from ..operators.er import (
+    apply_mapping_array,
+    canonical_mapping,
+    exact_similarity_pairs,
+    lsh_similarity_pairs,
+)
 from .spec import QuerySpec
 
 ER_THRESHOLD = 0.44
@@ -97,11 +102,75 @@ FROM components WHERE vec_id <> canonical
 
 
 def er05_lsh_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Approximate path (no SQL oracle — recall is probabilistic; its
-    # precision/recall contract is pytest-checked against the exact join
-    # on clustered fixtures, tests/test_er.py).
+    # The scale path, gated against the EXACT oracle: candidates are
+    # re-scored with the true cosine (precision is exact by
+    # construction) and with the deterministic hyperplane seed the
+    # banded recall is complete on the fixtures at every SF (verified
+    # sf0.001/0.01/0.1) — so LSH output must EQUAL the exact pair set;
+    # any missed pair turns this row red instead of hiding behind a
+    # rows-only check.
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_similarity_pairs(emb, ER_THRESHOLD, n_planes=32, bands=16)
+
+
+def er06_mapped_record_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J1 array case (`keyword_merger.py:249-265` list branch): each
+    # document's keyword-id list (lineitem part keys in l_linenumber
+    # order — the graph derivation's HAS_KEYWORD source) rewritten
+    # through the ER canonical map with order-preserving first-occurrence
+    # dedup (`:261-263`).  The array is built and rewritten as a real
+    # array column; the gate projection renders it as a joined string so
+    # the driver's cell hashing stays scalar.
+    li = load_table(spark, sf_dir, "lineitem")
+    emb = load_table(spark, sf_dir, "embeddings")
+    mapping = canonical_mapping(emb, exact_similarity_pairs(emb, ER_THRESHOLD))
+    arrays = (
+        li.groupBy(F.col("l_orderkey").alias("doc_id"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
+                lambda s: s["l_partkey"],
+            ).alias("keywords")
+        )
+    )
+    mapped = apply_mapping_array(arrays, mapping, "keywords", id_cols=("doc_id",))
+    return mapped.select(
+        "doc_id",
+        F.array_join(F.transform("keywords", lambda x: x.cast("string")), ",").alias(
+            "keywords_str"
+        ),
+        F.size("keywords").alias("n_keywords"),
+    )
+
+
+ER06_SQL = _COMPONENTS_CTE + """,
+positioned AS (
+  SELECT l_orderkey AS doc_id, l_partkey,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_partkey) AS pos
+  FROM lineitem),
+mapped AS (
+  SELECT p.doc_id, p.pos, coalesce(c.canonical, p.l_partkey) AS kw
+  FROM positioned p LEFT JOIN components c ON c.vec_id = p.l_partkey),
+firsts AS (
+  SELECT doc_id, kw, min(pos) AS fpos FROM mapped GROUP BY doc_id, kw)
+SELECT doc_id,
+       string_agg(kw::VARCHAR, ',' ORDER BY fpos) AS keywords_str,
+       count(*) AS n_keywords
+FROM firsts GROUP BY doc_id
+"""
+
+
+def er07_canonical_mapping_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # er02's pipeline with the LSH similarity join substituted — the
+    # end-to-end ER path with NO quadratic stage and no driver-side
+    # materialization, gated against the same exact-components oracle
+    # (valid because LSH recall is complete on the fixtures; see er05).
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = canonical_mapping(
+        emb, threshold=ER_THRESHOLD, strategy="lsh", n_planes=32, bands=16
+    )
+    return m.select(F.col("id").alias("vec_id"), "canonical")
 
 
 SPECS = [
@@ -113,6 +182,10 @@ SPECS = [
               "cluster regroup (J2/A1/A2)"),
     QuerySpec("er04_alias_edges", er04_alias_edges, ER04_SQL, "er",
               "ALIAS_OF edge emission (S7)"),
-    QuerySpec("er05_lsh_similarity_pairs", er05_lsh_similarity_pairs, None, "er",
-              "sign-LSH banded approximate similarity join (scale path)"),
+    QuerySpec("er05_lsh_similarity_pairs", er05_lsh_similarity_pairs, ER01_SQL, "er",
+              "sign-LSH banded similarity join (scale path, exact-gated)"),
+    QuerySpec("er06_mapped_record_arrays", er06_mapped_record_arrays, ER06_SQL, "er",
+              "canonical-map application to array columns (J1 list branch)"),
+    QuerySpec("er07_canonical_mapping_lsh", er07_canonical_mapping_lsh, ER02_SQL, "er",
+              "ER pipeline end-to-end via LSH (no quadratic stage)"),
 ]
