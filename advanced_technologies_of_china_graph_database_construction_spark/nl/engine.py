@@ -231,17 +231,46 @@ def default_synthesizer(question: str, formatted: str) -> str:
     return f"Found {n} result(s):\n{formatted}"
 
 
+# Compiler seam (Q1): (question, catalog_prompt) -> QueryPlan.  The
+# reference's serving path is two-stage compile→execute with an LLM
+# emitting Cypher from a schema-catalog prompt
+# (`neo4j_query_executor.py:240-322`); here a Compiler emits the
+# structured QueryPlan IR instead of a query string, and execution is
+# identical whichever compiler produced the plan.  The deterministic
+# default is the template planner (network-free, covers the templated
+# Q.txt shapes); an LLM-backed Compiler receives the same catalog+rules+
+# few-shot prompt the reference embeds (`nl/catalog.py:build_prompt`).
+Compiler = Callable[[str, str], QueryPlan]
+
+
+def default_compiler(question: str, catalog_prompt: str) -> QueryPlan:
+    return plan(question)
+
+
 def answer(
     spark: SparkSession,
     sf_dir: str,
     question: str,
     synthesizer: Synthesizer | None = None,
+    compiler: Compiler | None = None,
 ) -> dict:
-    """Full serving cascade: plan → execute → (empty? AND-fallback →
+    """Full serving cascade: compile → execute → (empty? AND-fallback →
     OR-fallback) → format → synthesize.  Returns a dict with the answer
     text and provenance of which stage produced it."""
     synth = synthesizer or default_synthesizer
-    p = plan(question)
+    if compiler is None:
+        p = default_compiler(question, "")
+    else:
+        # Build the catalog prompt only when a real compiler wants it —
+        # the reference builds it per request (`neo4j_query_executor.py:250`).
+        from .catalog import build_prompt
+
+        p = compiler(question, build_prompt(build_graph(spark, sf_dir), question))
+    if p.template != FALLBACK_TEMPLATE and p.template not in TEMPLATES:
+        # A compiler (LLM or otherwise) can emit an unknown template —
+        # degrade to the fallback search over its terms, the same
+        # error→fallback shape as the reference (`:329-344`).
+        p = QueryPlan(template=FALLBACK_TEMPLATE, params={}, terms=p.terms)
     stages = [("template", execute_plan(spark, sf_dir, p))]
     # fallback scans tokenize multi-word quoted terms so a partially
     # wrong entity name can still hit (mirrors the reference's per-term

@@ -86,6 +86,49 @@ def test_alias_aware_keyword_lookup(spark):
     assert df.count() >= 0  # runs; alias closure exercised
 
 
+# ------------------------------------------------------- compiler seam ----
+
+def test_injected_compiler_receives_catalog_prompt(spark):
+    """Q1 two-stage shape: answer() hands the compiler the same
+    catalog+rules+few-shot prompt the reference embeds, and executes
+    whatever QueryPlan it returns."""
+    seen = {}
+
+    def fake_compiler(question, catalog_prompt):
+        seen["question"] = question
+        seen["prompt"] = catalog_prompt
+        return planner.QueryPlan(
+            template="docs_by_author", params={"author": "Customer#000000001"}
+        )
+
+    out = engine.answer(spark, SF, "anything at all", compiler=fake_compiler)
+    assert seen["question"] == "anything at all"
+    assert "Rules:" in seen["prompt"] and "g_docs" in seen["prompt"]
+    assert out["stage"] == "template"
+    assert out["template"] == "docs_by_author"
+    assert out["n_rows"] > 0
+
+
+def test_unknown_compiler_template_degrades_to_fallback(spark):
+    """A compiler emitting an unknown template (a hallucinated LLM plan)
+    must degrade to the fallback search over its terms, not raise."""
+
+    def bad_compiler(question, catalog_prompt):
+        return planner.QueryPlan(
+            template="no_such_template", params={}, terms=["spark"]
+        )
+
+    out = engine.answer(spark, SF, 'find "spark"', compiler=bad_compiler)
+    assert out["stage"] in ("template", "fallback_and", "fallback_or")
+    assert out["template"] == planner.FALLBACK_TEMPLATE
+    assert out["n_rows"] > 0
+
+
+def test_default_compiler_is_template_planner():
+    p = engine.default_compiler('Who wrote "DOC-7"?', "")
+    assert p.template == "authors_of_doc"
+
+
 # ----------------------------------------------------------- formatter ----
 
 def test_formatter_values():
