@@ -59,7 +59,10 @@ def _signature(edges: DataFrame) -> tuple:
     return (row["cnt"], row["hx"])
 
 
-def _driver_union_find(spark, rows) -> DataFrame:
+def _driver_union_find(spark, edges_pdf) -> DataFrame:
+    """Union-find over a pandas edge frame (collected via Arrow — a
+    (src, dst) int64 frame is ~16 B/edge, vs ~100+ B/edge for py4j Row
+    objects, so the driver-memory budget math holds as stated)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -70,7 +73,9 @@ def _driver_union_find(spark, rows) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for a, b in rows:
+    for a, b in zip(
+        edges_pdf["src"].to_numpy().tolist(), edges_pdf["dst"].to_numpy().tolist()
+    ):
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
@@ -114,16 +119,23 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     if driver_threshold and cur.count() <= driver_threshold:
-        return _driver_union_find(edges.sparkSession, cur.collect())
+        return _driver_union_find(edges.sparkSession, cur.toPandas())
     prev_sig = _signature(cur)
     for _ in range(max_iter):
         ss = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         # Converged when a full large-star/small-star round leaves the
         # edge set unchanged (it is then a star forest rooted at minima).
+        # The fingerprint is a cheap pre-check; on a match, confirm with
+        # ONE exact set comparison (runs once per call, so a fingerprint
+        # collision can delay convergence detection but never silently
+        # return wrong components).  Both sets are distinct and the
+        # fingerprint already matched counts, so one-sided containment
+        # implies equality.
         sig = _signature(ss)
-        cur = ss
-        if sig == prev_sig:
+        if sig == prev_sig and ss.exceptAll(cur).isEmpty():
+            cur = ss
             break
+        cur = ss
         prev_sig = sig
     # After convergence edges form stars (node -> component min).
     comp = cur.groupBy("src").agg(F.min("dst").alias("component"))

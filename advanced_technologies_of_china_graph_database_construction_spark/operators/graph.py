@@ -120,22 +120,45 @@ def build_graph(spark: SparkSession, sf_dir: str, *, use_cache: bool = True) -> 
     fingerprint = _source_fingerprint(sf_dir)
     if not (os.path.exists(marker) and open(marker).read().strip() == fingerprint):
         write_graph(_build_graph_uncached(spark, sf_dir), root)
-        with open(marker, "w") as fh:
+        # Atomic marker write (temp + rename): a concurrent reader either
+        # sees the complete previous marker or the complete new one, never
+        # a torn write.  The marker is written only AFTER write_graph
+        # finishes, so a crash mid-write leaves a stale/absent marker and
+        # the next session rebuilds instead of serving a half-written store.
+        tmp = marker + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
             fh.write(fingerprint + "\n")
+        os.replace(tmp, marker)
     g = read_graph(spark, root)
     _GRAPH_CACHE[key] = g
     return g
 
 
 def _source_fingerprint(sf_dir: str) -> str:
-    """(size, mtime) digest of the source parquet files — a regenerated
-    dataset invalidates the materialized store instead of poisoning it."""
+    """(size, mtime) digest of the source dataset — a regenerated dataset
+    invalidates the materialized store instead of poisoning it.  Handles
+    both plain ``<name>.parquet`` files and Spark-written directory
+    datasets (walks their part files); raises if nothing was
+    fingerprinted so an empty digest can never validate a stale store."""
     parts = []
     for name in sorted(os.listdir(sf_dir)):
         p = os.path.join(sf_dir, name)
-        if name.endswith(".parquet") and os.path.isfile(p):
+        if not name.endswith(".parquet"):
+            continue
+        if os.path.isfile(p):
             st = os.stat(p)
             parts.append(f"{name}:{st.st_size}:{int(st.st_mtime)}")
+        elif os.path.isdir(p):
+            for dirpath, _dirs, files in sorted(os.walk(p)):
+                for f in sorted(files):
+                    if f.startswith(("_", ".")):
+                        continue  # _SUCCESS / checksums don't carry data
+                    fp = os.path.join(dirpath, f)
+                    st = os.stat(fp)
+                    rel = os.path.relpath(fp, sf_dir)
+                    parts.append(f"{rel}:{st.st_size}:{int(st.st_mtime)}")
+    if not parts:
+        raise FileNotFoundError(f"no parquet datasets to fingerprint under {sf_dir}")
     return "|".join(parts)
 
 

@@ -54,14 +54,21 @@ def ivf_assign(
     cent = emb.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
     )
-    scored = emb.select(F.col(id_col), F.col(vec_col).alias("v")).crossJoin(F.broadcast(cent))
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc(cosine_rounded(F.col("v"), F.col("cv"))), F.asc("centroid_id")
+    scored = (
+        emb.select(F.col(id_col), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col(id_col),
+            "centroid_id",
+            cosine_rounded(F.col("v"), F.col("cv")).alias("sim"),
+        )
     )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col(id_col), "centroid_id")
+    # argmax as an aggregation (max_by over (sim, -centroid_id): best
+    # sim, ties to the smallest centroid) — partial aggregation runs
+    # map-side over the crossJoin output, so the n×C row set never
+    # shuffles the way the old row_number window forced it to.
+    return scored.groupBy(id_col).agg(
+        F.expr("max_by(centroid_id, struct(sim, -centroid_id))").alias("centroid_id")
     )
 
 
