@@ -12,10 +12,13 @@ from advanced_technologies_of_china_graph_database_construction_spark.operators.
     connected_components,
 )
 from advanced_technologies_of_china_graph_database_construction_spark.operators.er import (
+    _round_half_up,
     apply_mapping,
+    apply_mapping_array,
     canonical_mapping,
     exact_similarity_pairs,
     lsh_similarity_pairs,
+    similarity_pairs,
 )
 
 
@@ -80,6 +83,82 @@ def test_lsh_vs_exact(clustered_emb):
     assert approx <= exact, "LSH must have exact precision (candidates re-scored)"
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, f"LSH recall too low: {recall}"
+
+
+def test_exact_pairs_multiblock_equals_singleblock(clustered_emb):
+    """The distributed block-pair GEMM must produce identical pairs
+    whatever the blocking: block_rows small enough to force many
+    cross-block tasks vs. everything in one block."""
+    one = {
+        (r.src, r.dst, r.sim)
+        for r in exact_similarity_pairs(clustered_emb, 0.95, block_rows=10_000).collect()
+    }
+    many = {
+        (r.src, r.dst, r.sim)
+        for r in exact_similarity_pairs(clustered_emb, 0.95, block_rows=16).collect()
+    }
+    assert one == many
+    assert len(one) > 0
+
+
+def test_round_half_up_matches_sql_round():
+    x = np.array([0.1234565, 0.1234575, -0.1234565, 1.9999995, 0.44])
+    got = _round_half_up(x)
+    # HALF_UP: ties away from zero (matches Spark F.round / DuckDB round)
+    assert got[0] == pytest.approx(0.123457)
+    assert got[1] == pytest.approx(0.123458)
+    assert got[2] == pytest.approx(-0.123457)
+    assert got[3] == pytest.approx(2.0)
+    assert got[4] == pytest.approx(0.44)
+
+
+def test_similarity_pairs_strategy_dispatch(clustered_emb):
+    ex = {(r.src, r.dst) for r in similarity_pairs(clustered_emb, 0.95, "exact").collect()}
+    ls = {
+        (r.src, r.dst)
+        for r in similarity_pairs(
+            clustered_emb, 0.95, "lsh", n_planes=64, bands=16
+        ).collect()
+    }
+    assert ls <= ex
+    with pytest.raises(ValueError):
+        similarity_pairs(clustered_emb, 0.95, "nope")
+
+
+def test_canonical_mapping_via_threshold_strategy(clustered_emb):
+    via_pairs = canonical_mapping(clustered_emb, exact_similarity_pairs(clustered_emb, 0.95))
+    via_threshold = canonical_mapping(clustered_emb, threshold=0.95, strategy="exact")
+    a = {(r.id, r.canonical) for r in via_pairs.collect()}
+    b = {(r.id, r.canonical) for r in via_threshold.collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        canonical_mapping(clustered_emb)  # neither pairs nor threshold
+
+
+def test_apply_mapping_array_semantics(spark):
+    """J1 list branch: element-wise rewrite + order-preserving
+    first-occurrence dedup (`keyword_merger.py:249-265`), empty/null
+    arrays come back empty."""
+    mapping = spark.createDataFrame(
+        [(2, 1), (3, 1), (5, 4)], "id long, canonical long"
+    )
+    recs = spark.createDataFrame(
+        [
+            (1, [3, 2, 9, 5, 3]),   # 3->1, 2->1 dedup to first pos; 9 unmapped
+            (2, []),
+            (3, None),
+            (4, [7]),
+        ],
+        "rec long, kws array<long>",
+    )
+    out = {
+        r.rec: list(r.kws)
+        for r in apply_mapping_array(recs, mapping, "kws", id_cols=("rec",)).collect()
+    }
+    assert out[1] == [1, 9, 4]  # [3,2,9,5,3] -> [1,1,9,4,1] -> first-occurrence dedup
+    assert out[2] == []
+    assert out[3] == []
+    assert out[4] == [7]
 
 
 def test_canonical_mapping_and_apply(spark, clustered_emb):

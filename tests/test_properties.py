@@ -114,6 +114,36 @@ def test_minhash_near_dups_match_bruteforce(spark, seed):
     assert got == _brute_minhash_pairs(docs)
 
 
+def test_simhash_banded_candidates_equal_allpairs(spark):
+    """Banded candidate generation is pigeonhole-exact: pairs within the
+    Hamming budget must match the brute-force all-pairs sweep exactly."""
+    from pyspark.sql import functions as F
+
+    from advanced_technologies_of_china_graph_database_construction_spark.catalog import load_table
+    from advanced_technologies_of_china_graph_database_construction_spark.operators import dedup as D
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sigs = [
+        (r["doc_id"], r["simhash"], r["source"])
+        for r in D.simhash_signatures(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .collect()
+    ]
+    brute = set()
+    for i in range(len(sigs)):
+        for j in range(len(sigs)):
+            a, b = sigs[i], sigs[j]
+            if a[0] < b[0] and a[2] == b[2]:
+                h = bin(a[1] ^ b[1]).count("1")
+                if h <= 3:
+                    brute.add((a[0], b[0], h))
+    got = {
+        (r["src"], r["dst"], r["hamming"]) for r in D.simhash_near_dups(docs).collect()
+    }
+    assert got == brute
+    assert len(brute) > 0
+
+
 def test_results_invariant_to_shuffle_partitions(spark):
     """The flagship graph query returns identical rows under 3 and 32
     shuffle partitions — no partitioning-dependent semantics anywhere in
