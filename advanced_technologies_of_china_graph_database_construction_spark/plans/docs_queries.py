@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import dedup, textops
+from ..operators.connected_components import connected_components
 from ..operators.er import exact_similarity_pairs
 from ..operators.similarity import brute_force_topk, ivf_topk
 from .spec import QuerySpec
@@ -329,6 +330,93 @@ JOIN documents db ON p.dst = db.doc_id
 """
 
 
+# -------------------------------------------------- d11 dedup application --
+
+def d11_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline APPLIED: near-dup pairs → connected components
+    → keep the min-id representative per duplicate cluster → surviving
+    corpus summary per source.  This is the operator a training pipeline
+    actually runs (emit the cleaned corpus, not just the pair list);
+    reference analogue is the keep-first title dedup generalized to
+    near-duplicates (`cleaner.py:77-94` + `keyword_merger.py` closure
+    semantics).
+    """
+    corpus = _corpus(spark, sf_dir)
+    pairs = dedup.minhash_near_dups(corpus)
+    comp = connected_components(pairs.select("src", "dst"))
+    removed = comp.filter(F.col("component") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    survivors = corpus.join(removed, "doc_id", "left_anti")
+    return survivors.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+D11_SQL = f"""
+WITH RECURSIVE {_CORPUS_CTE},
+{_SHINGLES_CTE},
+perms(k, a, b) AS (VALUES {_PERMS_VALUES}),
+sigs AS (
+  SELECT doc_id, k, min((a * shingle_hash + b) % {dedup.MINHASH_PRIME}) AS minhash
+  FROM shingles CROSS JOIN perms GROUP BY doc_id, k),
+sigsrc AS (SELECT s.doc_id, s.k, s.minhash, c.source FROM sigs s JOIN corpus c USING (doc_id)),
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM sigsrc a JOIN sigsrc b
+    ON a.k = b.k AND a.minhash = b.minhash AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 8),
+edges2 AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+reach(id, lab) AS (
+  SELECT DISTINCT src, src FROM edges2
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges2 e ON r.id = e.src WHERE r.lab < e.dst),
+comp AS (SELECT id, min(lab) AS canonical FROM reach GROUP BY id),
+removed AS (SELECT id FROM comp WHERE canonical <> id)
+SELECT source, count(*) AS n_docs, min(doc_id) AS min_doc_id,
+       sum(n_chars)::BIGINT AS total_chars
+FROM corpus WHERE doc_id NOT IN (SELECT id FROM removed)
+GROUP BY source
+"""
+
+
+# ------------------------------------------------------ d12 hash split ----
+
+SPLIT_MOD = 100
+VAL_BUCKETS = 10  # 10% validation
+
+
+def d12_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/validation split — the standard
+    leakage-free assignment for training corpora: split follows the
+    document id through any repartition/rerun (pure integer arithmetic,
+    Knuth multiplicative spread, identical in the oracle), never a
+    `rand()` that changes per run or per partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * F.lit(dedup.KNUTH), F.lit(SPLIT_MOD))
+    split = F.when(bucket < VAL_BUCKETS, F.lit("val")).otherwise(F.lit("train"))
+    return (
+        docs.withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+D12_SQL = f"""
+SELECT source,
+       CASE WHEN (doc_id * {dedup.KNUTH}) % {SPLIT_MOD} < {VAL_BUCKETS}
+            THEN 'val' ELSE 'train' END AS split,
+       count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
 # ----------------------------------------------------------- a01/a02 ANN ---
 
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -409,6 +497,10 @@ SPECS = [
               "token budgeting per source (ws + BPE-ish regex)", bench=True),
     QuerySpec("d10_embedding_near_dups", d10_embedding_near_dups, D10_SQL, "dedup",
               "embedding-cosine near-dup pairs with source annotation"),
+    QuerySpec("d11_dedup_keep_canonical", d11_dedup_keep_canonical, D11_SQL, "dedup",
+              "dedup applied: pairs → components → keep-min → clean corpus"),
+    QuerySpec("d12_train_val_split", d12_train_val_split, D12_SQL, "dedup",
+              "deterministic hash train/val split (leakage-free, rerun-stable)"),
     QuerySpec("a01_ann_bruteforce", a01_ann_bruteforce, A01_SQL, "similarity",
               "exact cosine top-k ANN baseline", bench=True),
     QuerySpec("a02_ann_ivf", a02_ann_ivf, A02_SQL, "similarity",
