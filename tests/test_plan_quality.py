@@ -86,3 +86,55 @@ def test_minhash_verify_join_broadcasts_signatures(spark):
     docs = load_table(spark, SF_CORRECT, "documents")
     plan = _plan(minhash_near_dups(docs))
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_exact_similarity_join_is_distributed_group_gemm(spark):
+    """The exact ε-ball join runs as grouped Arrow GEMM tasks — no
+    driver-side collect of the vector table exists at plan-build time,
+    and the physical plan is a FlatMapGroupsInPandas over the block-pair
+    keys (constructing it must schedule nothing but the row-count job)."""
+    from advanced_technologies_of_china_graph_database_construction_spark.catalog import load_table
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.er import exact_similarity_pairs
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    plan = _plan(exact_similarity_pairs(emb, 0.44))
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "CollectLimit" not in plan, plan
+
+
+def test_jaccard_verification_is_jvm_array_intersect(spark):
+    """d05's verification counts overlaps with JVM array_intersect over
+    joined shingle arrays — no Python evaluation after the shingle
+    kernel, no driver-side index."""
+    from advanced_technologies_of_china_graph_database_construction_spark.catalog import load_table
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    plan = _plan(ngram_jaccard_pairs(docs))
+    assert "array_intersect" in plan, plan
+    # the only Python stage is the shingle hasher (ArrowEval), never a
+    # row-at-a-time UDF
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_simhash_candidates_join_on_band_keys(spark):
+    """d04 candidates come from an equi-join keyed on (band, bits, block)
+    — the join keys must include the band value, not just the block."""
+    from advanced_technologies_of_china_graph_database_construction_spark.catalog import load_table
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.dedup import simhash_near_dups
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    plan = _plan(simhash_near_dups(docs))
+    assert "bv" in plan and ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan), plan
+
+
+def test_ivf_assign_partial_aggregates_mapside(spark):
+    """Centroid assignment is an aggregation with map-side partials over
+    the broadcast crossJoin — not a row_number window shuffle."""
+    from advanced_technologies_of_china_graph_database_construction_spark.catalog import load_table
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    plan = _plan(ivf_assign(emb))
+    assert "partial_max_by" in plan or "partial_maxby" in plan.lower(), plan
+    assert "Window" not in plan, plan
