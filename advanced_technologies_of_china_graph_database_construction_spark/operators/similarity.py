@@ -46,14 +46,20 @@ def brute_force_topk(
 
 
 def ivf_assign(
-    emb: DataFrame, n_centroids: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """(vec_id, centroid_id): nearest of the first ``n_centroids``
-    vectors (training-free deterministic coarse quantizer; swap for
-    k-means centroids in production — the plan shape is identical)."""
-    cent = emb.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
-    )
+    """(vec_id, centroid_id): nearest coarse centroid.
+
+    ``centroids`` (centroid_id, cv) plugs in a trained quantizer —
+    ``operators/kmeans.kmeans_centroids`` produces exactly this shape;
+    the default is the training-free first-``n_centroids`` seed."""
+    cent = centroids if centroids is not None else emb.filter(
+        F.col(id_col) < n_centroids
+    ).select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv"))
     scored = (
         emb.select(F.col(id_col), F.col(vec_col).alias("v"))
         .crossJoin(F.broadcast(cent))
@@ -80,13 +86,15 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, sim, rank): IVF search probing the
-    ``nprobe`` nearest centroid buckets per query."""
-    assign = ivf_assign(emb, n_centroids, id_col, vec_col)
-    cent = emb.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
-    )
+    ``nprobe`` nearest centroid buckets per query.  ``centroids``
+    swaps in a trained quantizer (see ``ivf_assign``)."""
+    cent = centroids if centroids is not None else emb.filter(
+        F.col(id_col) < n_centroids
+    ).select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv"))
+    assign = ivf_assign(emb, n_centroids, id_col, vec_col, centroids=cent)
     q = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )

@@ -22,6 +22,7 @@ from ..catalog import load_table
 from ..operators import dedup, textops
 from ..operators.connected_components import connected_components
 from ..operators.er import exact_similarity_pairs
+from ..operators.kmeans import kmeans_assignments
 from ..operators.similarity import brute_force_topk, ivf_topk
 from .spec import QuerySpec
 
@@ -476,6 +477,69 @@ SELECT query_id, neighbor_id, sim, rank FROM (
 """
 
 
+# ------------------------------------------------- a03 k-means training ---
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def a03_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the IVF coarse quantizer: 2 Lloyd iterations of k-means
+    over the embedding table, then report each trained cluster's size
+    and mean member similarity.  Assignment is a broadcast-centroid
+    `max_by` (vectors never shuffle); the update shuffle is ≤ k×dim rows
+    per partition after map-side combine — see operators/kmeans.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_assignments(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    return assign.groupBy("centroid_id").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.avg("sim"), 6).alias("avg_sim"),
+    )
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    """Unrolled Lloyd iterations as chained CTEs (fixed iteration count,
+    so the oracle is a static string — same trick as the PageRank
+    oracle).  Mirrors the Spark plan decision-for-decision: HALF_UP
+    1e-6 rounding before argmax, ties to the smallest centroid id,
+    element-wise mean rebuilt in dim order."""
+    cos = (
+        "round(list_dot_product(e.v, c.cv) / "
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6)"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {k})",
+    ]
+    for i in range(iters + 1):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, centroid_id, sim FROM ("
+            f"  SELECT e.vec_id, c.centroid_id, {cos} AS sim,"
+            f"         row_number() OVER (PARTITION BY e.vec_id"
+            f"                            ORDER BY {cos} DESC, c.centroid_id) AS rn"
+            f"  FROM e CROSS JOIN c{i} c) WHERE rn = 1)"
+        )
+        if i < iters:
+            parts.append(
+                f"c{i + 1} AS (SELECT centroid_id, list(m ORDER BY dim) AS cv FROM ("
+                f"  SELECT centroid_id, dim, avg(x) AS m FROM ("
+                f"    SELECT a.centroid_id, generate_subscripts(e.v, 1) AS dim,"
+                f"           unnest(e.v) AS x"
+                f"    FROM a{i} a JOIN e USING (vec_id))"
+                f"  GROUP BY centroid_id, dim)"
+                f" GROUP BY centroid_id)"
+            )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT centroid_id, count(*) AS n_members, round(avg(sim), 6) AS avg_sim\n"
+        f"FROM a{iters} GROUP BY centroid_id"
+    )
+
+
+A03_SQL = _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS)
+
+
 SPECS = [
     QuerySpec("d01_exact_dup_groups", d01_exact_dup_groups, D01_SQL, "dedup",
               "exact dedup via md5 hash-groupBy"),
@@ -505,4 +569,6 @@ SPECS = [
               "exact cosine top-k ANN baseline", bench=True),
     QuerySpec("a02_ann_ivf", a02_ann_ivf, A02_SQL, "similarity",
               "IVF bucketed ANN (nprobe=2 of 8 centroids)"),
+    QuerySpec("a03_kmeans_clusters", a03_kmeans_clusters, A03_SQL, "similarity",
+              "distributed Lloyd k-means (IVF quantizer training), 2 rounds"),
 ]
