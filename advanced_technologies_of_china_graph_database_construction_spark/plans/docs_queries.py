@@ -21,8 +21,8 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators import dedup, textops
 from ..operators.connected_components import connected_components
-from ..operators.er import exact_similarity_pairs
-from ..operators.kmeans import kmeans_assignments
+from ..operators.er import exact_similarity_pairs, lsh_similarity_pairs
+from ..operators.kmeans import kmeans_assignments, kmeans_centroids
 from ..operators.similarity import brute_force_topk, ivf_topk
 from .spec import QuerySpec
 
@@ -477,6 +477,50 @@ SELECT query_id, neighbor_id, sim, rank FROM (
 """
 
 
+# ------------------------------------------ d13 embedding LSH near-dups ---
+
+# Random-hyperplane config with verified complete recall on the
+# fixtures at every shipped SF (0.001/0.01/0.1) for this threshold —
+# that is what licenses the *exact* self-join SQL as the oracle, the
+# same construction as er05.  0.46 sits above the dense mass of the
+# pair-sim distribution's boundary region (the hardest sign-LSH pairs
+# live at 0.44–0.46).
+EMB_LSH_THRESHOLD = 0.46
+EMB_LSH_PLANES = 128
+EMB_LSH_BANDS = 32
+
+
+def d13_embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d10's embedding near-dup detection on the 100 TB path: banded
+    sign-LSH candidate generation (equi-join on band keys — shuffle
+    proportional to collisions, not n²) with exact cosine re-scoring,
+    then the same source annotation."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_similarity_pairs(
+        emb,
+        EMB_LSH_THRESHOLD,
+        n_planes=EMB_LSH_PLANES,
+        bands=EMB_LSH_BANDS,
+    )
+    a = docs.select(F.col("doc_id").alias("src"), F.col("source").alias("src_source"))
+    b = docs.select(F.col("doc_id").alias("dst"), F.col("source").alias("dst_source"))
+    return pairs.join(a, "src").join(b, "dst").select(
+        "src", "dst", "sim", "src_source", "dst_source"
+    )
+
+
+D13_SQL = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {_COS_ER} AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {_COS_ER} >= {EMB_LSH_THRESHOLD})
+SELECT p.src, p.dst, p.sim, da.source AS src_source, db.source AS dst_source
+FROM pairs p JOIN documents da ON p.src = da.doc_id
+JOIN documents db ON p.dst = db.doc_id
+"""
+
+
 # ------------------------------------------------- a03 k-means training ---
 
 KMEANS_K = 8
@@ -497,12 +541,14 @@ def a03_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql(k: int, iters: int) -> str:
+def _kmeans_ctes(k: int, iters: int) -> list[str]:
     """Unrolled Lloyd iterations as chained CTEs (fixed iteration count,
     so the oracle is a static string — same trick as the PageRank
     oracle).  Mirrors the Spark plan decision-for-decision: HALF_UP
     1e-6 rounding before argmax, ties to the smallest centroid id,
-    element-wise mean rebuilt in dim order."""
+    element-wise mean rebuilt in dim order.  The list ends with
+    ``c{iters}`` (trained centroids) and ``a{iters}`` (final
+    assignments against them)."""
     cos = (
         "round(list_dot_product(e.v, c.cv) / "
         "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6)"
@@ -529,15 +575,60 @@ def _kmeans_oracle_sql(k: int, iters: int) -> str:
                 f"  GROUP BY centroid_id, dim)"
                 f" GROUP BY centroid_id)"
             )
-    body = ",\n".join(parts)
-    return (
-        f"{body}\n"
-        f"SELECT centroid_id, count(*) AS n_members, round(avg(sim), 6) AS avg_sim\n"
-        f"FROM a{iters} GROUP BY centroid_id"
-    )
+    return parts
 
 
-A03_SQL = _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS)
+A03_SQL = (
+    ",\n".join(_kmeans_ctes(KMEANS_K, KMEANS_ITERS))
+    + f"""
+SELECT centroid_id, count(*) AS n_members, round(avg(sim), 6) AS avg_sim
+FROM a{KMEANS_ITERS} GROUP BY centroid_id
+"""
+)
+
+
+# ----------------------------------------------- a04 trained-IVF search ---
+
+_COS_QC = (
+    "round(list_dot_product(q.qv, c.cv) / "
+    "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6)"
+)
+_COS_QN = (
+    "round(list_dot_product(q.qv, n.v) / "
+    "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(n.v, n.v))), 6)"
+)
+
+
+def a04_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end trained ANN: k-means-trained coarse quantizer feeding
+    the IVF probe search — the production composition (train once,
+    assign on write, probe nprobe buckets per query)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    return ivf_topk(emb, ANN_QUERY_IDS, k=5, nprobe=2, centroids=cent)
+
+
+A04_SQL = (
+    ",\n".join(_kmeans_ctes(KMEANS_K, KMEANS_ITERS))
+    + f""",
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4)),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS_QC} DESC, c.centroid_id) AS rn
+    FROM q CROSS JOIN c{KMEANS_ITERS} c) WHERE rn <= 2),
+cands AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id, {_COS_QN} AS sim
+  FROM probes p JOIN a{KMEANS_ITERS} a ON p.centroid_id = a.centroid_id
+  JOIN e n ON a.vec_id = n.vec_id
+  JOIN q ON p.query_id = q.query_id
+  WHERE n.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM cands) WHERE rank <= 5
+"""
+)
 
 
 SPECS = [
@@ -571,4 +662,8 @@ SPECS = [
               "IVF bucketed ANN (nprobe=2 of 8 centroids)"),
     QuerySpec("a03_kmeans_clusters", a03_kmeans_clusters, A03_SQL, "similarity",
               "distributed Lloyd k-means (IVF quantizer training), 2 rounds"),
+    QuerySpec("a04_ann_ivf_trained", a04_ann_ivf_trained, A04_SQL, "similarity",
+              "trained-quantizer IVF ANN (k-means centroids, nprobe=2)"),
+    QuerySpec("d13_embedding_lsh_near_dups", d13_embedding_lsh_near_dups, D13_SQL,
+              "dedup", "embedding near-dup via banded sign-LSH (scale path)"),
 ]
