@@ -15,7 +15,7 @@ rounded rationals of integer counts, and ties break lexicographically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -477,6 +477,95 @@ SELECT query_id, neighbor_id, sim, rank FROM (
 """
 
 
+# --------------------------------------------- d14 sequence packing -------
+
+PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+def d14_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: each source stream's documents are
+    concatenated in ingest order and cut into fixed token-budget bins; a
+    document belongs to the bin where it starts.  Output is per-bin
+    occupancy (docs started, token mass) — the batch-shape report a
+    training pipeline needs before writing packed shards.
+
+    Scale: the cumulative-offset window partitions by source, so each
+    stream packs independently (per-stream order is the semantic
+    anyway); a single giant source is the serial case by definition —
+    shard it first (e.g. partition on (source, doc_id div shard_span))
+    when one stream exceeds an executor."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", textops.token_count(F.col("text")).alias("tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn("start_off", F.sum("tok").over(w) - F.col("tok"))
+    return (
+        packed.withColumn("bin", F.floor(F.col("start_off") / PACK_BUDGET))
+        .groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").cast("long").alias("doc_tokens"),
+        )
+    )
+
+
+D14_SQL = rf"""
+WITH toks AS (
+  SELECT source, doc_id, len(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents),
+packed AS (
+  SELECT source, tok,
+         sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - tok AS start_off
+  FROM toks)
+SELECT source, floor(start_off / {PACK_BUDGET})::BIGINT AS bin,
+       count(*) AS n_docs, sum(tok)::BIGINT AS doc_tokens
+FROM packed GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------- d15 stratified sampling ----
+
+SAMPLE_MOD = 100
+
+
+def d15_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic downsampling — the mixture-weighting
+    step of corpus assembly (each source kept at its own rate).  The
+    keep decision is the same leakage-free integer hash as the d12
+    split (follows doc_id through any repartition; never `rand()`), so
+    it is a pure map-side filter: no shuffle until the final count."""
+    docs = load_table(spark, sf_dir, "documents")
+    suffix = F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("int")
+    rate = F.lit(10) + (suffix * 7) % 80
+    keep = F.pmod(F.col("doc_id") * F.lit(dedup.KNUTH), F.lit(SAMPLE_MOD)) < rate
+    return (
+        docs.withColumn("rate", rate)
+        .filter(keep)
+        .groupBy("source", "rate")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+D15_SQL = f"""
+WITH r AS (
+  SELECT *, 10 + (regexp_extract(source, '[0-9]+')::INT * 7) % 80 AS rate
+  FROM documents)
+SELECT source, rate, count(*) AS n_sampled, sum(n_chars)::BIGINT AS total_chars
+FROM r WHERE (doc_id * {dedup.KNUTH}) % {SAMPLE_MOD} < rate
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------ d13 embedding LSH near-dups ---
 
 # Random-hyperplane config with verified complete recall on the
@@ -666,4 +755,8 @@ SPECS = [
               "trained-quantizer IVF ANN (k-means centroids, nprobe=2)"),
     QuerySpec("d13_embedding_lsh_near_dups", d13_embedding_lsh_near_dups, D13_SQL,
               "dedup", "embedding near-dup via banded sign-LSH (scale path)"),
+    QuerySpec("d14_sequence_packing", d14_sequence_packing, D14_SQL, "text",
+              "GPT-style sequence packing: per-stream token-budget bins"),
+    QuerySpec("d15_stratified_sample", d15_stratified_sample, D15_SQL, "dedup",
+              "per-source deterministic mixture downsampling"),
 ]
