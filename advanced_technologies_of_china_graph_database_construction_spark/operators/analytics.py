@@ -67,6 +67,41 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85) -> DataFr
     return ranks.select("node", F.round("rank", 6).alias("pagerank"))
 
 
+def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """(node, label) after ``n_iter`` synchronous LPA rounds over
+    directed ``edges(src, dst)`` (pass a symmetric edge set for the
+    undirected semantics).
+
+    Deterministic contract: init label(v)=v; each round every node
+    takes its neighbors' most frequent label, ties to the smallest —
+    ``max_by(label, (count, -label))``, the same superstep shape as
+    ``pagerank`` (join = scatter, two-level groupBy = gather/apply),
+    so one round is two shuffles and fixed ``n_iter`` keeps it
+    SQL-oracle-able.  Isolated nodes keep their own label via the left
+    join.  Synchronous LPA can oscillate on bipartite-ish structure;
+    with a fixed round count both engines see the same oscillation,
+    which is exactly what the gate needs.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(n_iter):
+        msgs = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        counts = msgs.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        winner = counts.groupBy("node").agg(
+            F.expr("max_by(label, struct(c, -label))").alias("label")
+        )
+        labels = nodes.join(winner, "node", "left").select(
+            "node", F.coalesce(winner.label, F.col("node")).alias("label")
+        )
+    return labels
+
+
 def triangle_count(pairs: DataFrame, a: str = "src", b: str = "dst") -> DataFrame:
     """1-row (n_triangles) over an undirected pair list (each unordered
     pair once, ``a < b``)."""

@@ -14,7 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.analytics import pagerank, symmetric_edges, triangle_count
+from ..operators.analytics import (
+    label_propagation,
+    pagerank,
+    symmetric_edges,
+    triangle_count,
+)
 from .spec import QuerySpec
 
 MIN_SHARED = 30
@@ -44,6 +49,17 @@ def g21_copub_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def g22_copub_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_copub_pairs(spark, sf_dir))
+
+
+def g23_copub_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community sizes from fixed-round synchronous label propagation
+    over the co-publication graph."""
+    labels = label_propagation(
+        symmetric_edges(_copub_pairs(spark, sf_dir)), N_ITER
+    )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_orgs")
+    )
 
 
 # Unrolled power-method oracle: p0 = 1/n; p_{k+1}(v) = (1-d)/n +
@@ -92,6 +108,32 @@ JOIN pairs p13 ON p12.src = p13.src AND p23.dst = p13.dst
 """
 )
 
+# Unrolled synchronous LPA oracle: l0(v) = v; l_{k+1}(v) = most frequent
+# neighbor label, ties to the smallest, own label if isolated.
+def _lpa_iter_cte(k: int) -> str:
+    prev = f"l{k - 1}"
+    return f"""
+l{k} AS (
+  SELECT nodes.node, coalesce(w.label, nodes.node) AS label
+  FROM nodes LEFT JOIN (
+    SELECT node, label FROM (
+      SELECT e.dst AS node, {prev}.label, count(*) AS c,
+             row_number() OVER (PARTITION BY e.dst
+                                ORDER BY count(*) DESC, {prev}.label ASC) AS rn
+      FROM edges e JOIN {prev} ON e.src = {prev}.node
+      GROUP BY e.dst, {prev}.label) WHERE rn = 1) w
+  ON nodes.node = w.node)
+"""
+
+
+G23_SQL = (
+    _GRAPH_CTES
+    + ", l0 AS (SELECT node, node AS label FROM nodes),"
+    + ",".join(_lpa_iter_cte(k) for k in range(1, N_ITER + 1))
+    + f"\nSELECT label AS community, count(*) AS n_orgs FROM l{N_ITER} GROUP BY label"
+)
+
+
 SPECS = [
     QuerySpec(
         name="g21_copub_pagerank",
@@ -109,5 +151,14 @@ SPECS = [
         category="analytics",
         description="Triangle count via ordered wedge-closing self-joins over "
         "the thresholded co-publication graph.",
+    ),
+    QuerySpec(
+        name="g23_copub_communities",
+        fn=g23_copub_communities,
+        oracle=G23_SQL,
+        category="analytics",
+        description="Fixed-round synchronous label propagation communities "
+        "(deterministic majority-label superstep, ties to smallest); oracle "
+        "is the unrolled rounds in SQL.",
     ),
 ]
