@@ -73,33 +73,40 @@ def predict_lang(text: Column) -> Column:
     return F.array_max(F.array(*entries))["lang"]
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document quality features: token/char counts, average token
-    length, punctuation ratio, stopword ratio, composite score."""
-    text = F.col(text_col)
+def _quality_cols(text: Column) -> dict[str, Column]:
     n_chars = F.length(text)
     n_toks = token_count(text)
     letters = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
     punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
     stop_en = stopword_count(text, LANG_STOPWORDS["en"])
-    avg_tok = F.round(letters.cast("double") / n_toks.cast("double"), 6)
     punct_ratio = F.round(punct.cast("double") / n_chars.cast("double"), 6)
     stop_ratio = F.round(stop_en.cast("double") / n_toks.cast("double"), 6)
-    score = F.round(
-        F.least(F.lit(1.0), n_toks.cast("double") / F.lit(100.0)) * 0.5
-        + (F.lit(1.0) - punct_ratio) * 0.3
-        + stop_ratio * 0.2,
-        6,
-    )
-    return df.select(
-        "doc_id",
-        n_chars.alias("n_chars_computed"),
-        n_toks.alias("n_tokens"),
-        avg_tok.alias("avg_token_len"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        score.alias("quality_score"),
-    )
+    return {
+        "n_chars_computed": n_chars,
+        "n_tokens": n_toks,
+        "avg_token_len": F.round(letters.cast("double") / n_toks.cast("double"), 6),
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": F.round(
+            F.least(F.lit(1.0), n_toks.cast("double") / F.lit(100.0)) * 0.5
+            + (F.lit(1.0) - punct_ratio) * 0.3
+            + stop_ratio * 0.2,
+            6,
+        ),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """The composite quality score alone — for filter stages that don't
+    need the full feature row."""
+    return _quality_cols(text)["quality_score"]
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: token/char counts, average token
+    length, punctuation ratio, stopword ratio, composite score."""
+    cols = _quality_cols(F.col(text_col))
+    return df.select("doc_id", *(c.alias(name) for name, c in cols.items()))
 
 
 def normalize_text(text: Column) -> Column:

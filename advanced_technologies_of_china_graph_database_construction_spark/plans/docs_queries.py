@@ -477,6 +477,85 @@ SELECT query_id, neighbor_id, sim, rank FROM (
 """
 
 
+# --------------------------------------------- d16 curation pipeline ------
+
+CURATION_QUALITY_MIN = 0.7  # sits in a 0.698→0.7026 gap of the score dist
+
+
+def d16_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation composition a training corpus ships through:
+    exact dedup (keep the smallest id per text hash) → quality floor →
+    language-consistency filter (stopword-vote prediction must agree
+    with the declared lang) → leakage-free hash split → per-shard
+    accounting.  One shuffle for the dedup window, one for the final
+    rollup; the quality/lang/split stages are pure map-side
+    expressions, so the pipeline's cost is dedup + count at any scale."""
+    c = _corpus(spark, sf_dir)
+    w = Window.partitionBy(F.md5("text"))
+    kept = (
+        c.withColumn("min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .filter(textops.quality_score(F.col("text")) >= CURATION_QUALITY_MIN)
+        .filter(textops.predict_lang(F.col("text")) == F.col("lang"))
+    )
+    bucket = F.pmod(F.col("doc_id") * F.lit(dedup.KNUTH), F.lit(SPLIT_MOD))
+    split = F.when(bucket < VAL_BUCKETS, F.lit("val")).otherwise(F.lit("train"))
+    return (
+        kept.withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(textops.token_count(F.col("text"))).cast("long").alias("total_tokens"),
+        )
+    )
+
+
+_NTOKS = r"length(string_split_regex(trim(text), '\s+'))"
+
+D16_SQL = rf"""
+WITH {{corpus}},
+deduped AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS min_id FROM corpus)
+  WHERE doc_id = min_id),
+scored AS (
+  SELECT *,
+         round(least(1.0, {_NTOKS} / 100.0) * 0.5
+               + (1.0 - round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+                              / length(text), 6)) * 0.3
+               + round(length(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                          t -> t IN ({{en_stops}})))::DOUBLE
+                       / {_NTOKS}, 6) * 0.2, 6) AS q,
+         {{s_de}} AS s_de, {{s_en}} AS s_en, {{s_es}} AS s_es,
+         {{s_fr}} AS s_fr, {{s_zh}} AS s_zh
+  FROM deduped),
+kept AS (
+  SELECT * FROM scored
+  WHERE q >= {CURATION_QUALITY_MIN}
+    AND lang = CASE
+          WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+          WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+          WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+          WHEN s_fr >= s_zh THEN 'fr'
+          ELSE 'zh' END)
+SELECT source,
+       CASE WHEN (doc_id * {dedup.KNUTH}) % {SPLIT_MOD} < {VAL_BUCKETS}
+            THEN 'val' ELSE 'train' END AS split,
+       count(*) AS n_docs, sum({_NTOKS})::BIGINT AS total_tokens
+FROM kept GROUP BY 1, 2
+"""
+
+D16_SQL = D16_SQL.format(
+    corpus=_CORPUS_CTE,
+    en_stops=_EN_STOPS,
+    s_de=_lang_count_sql("de"),
+    s_en=_lang_count_sql("en"),
+    s_es=_lang_count_sql("es"),
+    s_fr=_lang_count_sql("fr"),
+    s_zh=_lang_count_sql("zh"),
+)
+
+
 # --------------------------------------------- d14 sequence packing -------
 
 PACK_BUDGET = 256  # tokens per packed training sequence
@@ -759,4 +838,6 @@ SPECS = [
               "GPT-style sequence packing: per-stream token-budget bins"),
     QuerySpec("d15_stratified_sample", d15_stratified_sample, D15_SQL, "dedup",
               "per-source deterministic mixture downsampling"),
+    QuerySpec("d16_curated_corpus", d16_curated_corpus, D16_SQL, "dedup",
+              "end-to-end curation: dedup + quality + lang-consistency + split"),
 ]
