@@ -109,6 +109,32 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", *(c.alias(name) for name, c in cols.items()))
 
 
+def word_bigrams(text: Column) -> Column:
+    """Adjacent whitespace-token bigrams as ``"w1 w2"`` strings —
+    zip_with over two shifted slices, so the whole construction stays a
+    JVM array expression (no explode until the caller wants rows)."""
+    toks = ws_tokens(text)
+    return F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """All whitespace-token n-grams as space-joined strings.  Guarded:
+    Spark's ``sequence(1, k)`` DESCENDS when k < 1, so short texts must
+    short-circuit to an empty array rather than produce phantom grams."""
+    toks = ws_tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def normalize_text(text: Column) -> Column:
     """Lowercase + whitespace collapse (F3 normalization)."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
