@@ -193,10 +193,19 @@ def lsh_similarity_pairs(
     return scored.select("src", "dst", sim.alias("sim")).filter(F.col("sim") >= threshold)
 
 
+# Above this many vectors the exact GEMM's O(n²) FLOPs dominate any
+# cluster — `strategy="auto"` switches to the collision-proportional
+# LSH path there.  100k² / 2 ≈ 5G dot products is the ballpark where a
+# single modern node still finishes in minutes; past it, don't.
+AUTO_EXACT_MAX = 100_000
+_EXACT_KWARGS = {"block_rows"}
+_LSH_KWARGS = {"n_planes", "bands", "seed"}
+
+
 def similarity_pairs(
     emb: DataFrame,
     threshold: float,
-    strategy: str = "exact",
+    strategy: str = "auto",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     **kwargs,
@@ -205,15 +214,25 @@ def similarity_pairs(
 
     ``exact`` — block-pair GEMM, cost O(n²) arithmetic (distributed, no
     driver materialization); ``lsh`` — sign-LSH banded candidates +
-    exact re-score, cost proportional to collisions.  Both emit
-    (src, dst, sim) with identical rounding, so downstream stages
-    (`canonical_mapping`) are strategy-agnostic.
+    exact re-score, cost proportional to collisions; ``auto`` (default)
+    — exact up to ``AUTO_EXACT_MAX`` vectors, LSH beyond (one count job
+    to decide).  Both emit (src, dst, sim) with identical rounding, so
+    downstream stages (`canonical_mapping`) are strategy-agnostic.
+
+    With ``auto``, kwargs for both paths may be passed together; each
+    path receives only the ones it understands.
     """
+    if strategy == "auto":
+        strategy = "exact" if emb.count() <= AUTO_EXACT_MAX else "lsh"
+        allowed = _EXACT_KWARGS if strategy == "exact" else _LSH_KWARGS
+        kwargs = {k: v for k, v in kwargs.items() if k in allowed}
     if strategy == "exact":
         return exact_similarity_pairs(emb, threshold, id_col, vec_col, **kwargs)
     if strategy == "lsh":
         return lsh_similarity_pairs(emb, threshold, id_col, vec_col, **kwargs)
-    raise ValueError(f"unknown similarity strategy {strategy!r}; use 'exact' or 'lsh'")
+    raise ValueError(
+        f"unknown similarity strategy {strategy!r}; use 'exact', 'lsh' or 'auto'"
+    )
 
 
 def canonical_mapping(
@@ -221,7 +240,7 @@ def canonical_mapping(
     pairs: DataFrame | None = None,
     id_col: str = "vec_id",
     threshold: float | None = None,
-    strategy: str = "exact",
+    strategy: str = "auto",
     **kwargs,
 ) -> DataFrame:
     """(id, canonical): min-id of the similarity component; noise → self.

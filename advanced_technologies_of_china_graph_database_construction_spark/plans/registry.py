@@ -4,14 +4,51 @@ SURVEY.md §2, exported to the driver via ``__spark_entry__.py``.
 
 from __future__ import annotations
 
+import json
+import re
+from pathlib import Path
+
 from .spec import QuerySpec
 
 
+def gate_history() -> dict[str, int]:
+    """spec name → latest round whose driver gate recorded a fully-green
+    row (rows+schema+hash all matched), read from the ``CORRECTNESS_r*``
+    files the driver writes at the repo root.  Specs absent from every
+    file have never been gated; specs present but not fully green are
+    treated the same as never-green so they re-run at the front.
+    """
+    root = Path(__file__).resolve().parents[2]
+    last: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, r in rows.items():
+            if (
+                isinstance(r, dict)
+                and r.get("rows_match")
+                and r.get("schema_match")
+                and r.get("hash_match")
+            ):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
 def all_specs() -> list[QuerySpec]:
-    """Registry order = gate-run order.  Families the round-1 driver run
-    never reached (it stopped at spec #50) go FIRST so a budget-bounded
-    correctness run covers them before re-proving the already-green
-    relational/graph/docs families.
+    """Registry order = gate-run order.  The driver's correctness gate is
+    budget-bounded (50 specs per round), so ordering is structural:
+    ascending by "latest round with a green gate row" — never-gated specs
+    first, then stalest-green first — with declaration order as the
+    stable tiebreak.  A spec added this round therefore always reaches
+    the gate before any already-green spec is re-proved.
     """
     from . import graph_queries, relational
 
@@ -40,6 +77,8 @@ def all_specs() -> list[QuerySpec]:
                 raise ValueError(f"duplicate query name {s.name}")
             seen.add(s.name)
             specs.append(s)
+    history = gate_history()
+    specs.sort(key=lambda s: history.get(s.name, -1))  # stable: keeps decl order
     return specs
 
 

@@ -19,8 +19,9 @@ Spark plan:
 Everything is built-in column expressions — no Python UDFs — so the whole
 parse/clean path stays inside whole-stage codegen and scales linearly
 with input splits.  The reference's dict semantics (later duplicate field
-wins) are preserved via ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` (set in
-``session.get_spark``).
+wins) are implemented inside the parse expression itself (sort-based
+keep-last in ``parse_blocks``), so the plan is correct under any session
+``mapKeyDedupPolicy``.
 
 Scale notes (100 TB): parsing is a narrow map over file splits
 (``wholetext`` keeps one file per row — fine for reference-manager
@@ -107,21 +108,36 @@ def parse_blocks(files: DataFrame, text_col: str = "text", file_col: str = "file
     field_lines = F.filter(lines, lambda l: l.rlike(r"^\{[^}]+\}:"))
     entries = F.transform(
         field_lines,
-        lambda l: F.struct(
+        lambda l, i: F.struct(
             F.regexp_extract(l, r"^\{([^}]+)\}:", 1).alias("key"),
+            i.alias("idx"),
             F.trim(F.regexp_extract(l, r"^\{[^}]+\}:\s*(.*)$", 1)).alias("value"),
         ),
     )
-    # Keep-last per key: an entry survives iff no LATER entry repeats its
-    # key (O(k²) over ≤ ~25 fields per record — a per-row constant).
-    deduped = F.filter(
-        entries,
-        lambda e, i: ~F.exists(
-            F.slice(entries, i + F.lit(2), F.size(entries)),
-            lambda e2: e2["key"] == e["key"],
+    # Keep-last per key in O(k log k): sort by (key, idx) — the struct's
+    # natural field order — then keep each element whose successor starts
+    # a different key (the last occurrence in its key group).  The sorted
+    # array is bound ONCE as a lambda variable via the single-element
+    # transform; referencing a non-lambda expression inside a HOF lambda
+    # re-evaluates it per element (measured 2.5× slower than even the old
+    # slice/exists k² scan), which was the i01 bench regression.
+    rec = F.element_at(
+        F.transform(
+            F.array(F.array_sort(entries)),
+            lambda a: F.map_from_entries(
+                F.transform(
+                    F.filter(
+                        a,
+                        lambda e, i: (i == F.size(a) - 1)
+                        | (F.element_at(a, i + F.lit(2))["key"] != e["key"]),
+                    ),
+                    lambda e: F.struct(e["key"].alias("key"), e["value"].alias("value")),
+                )
+            ),
         ),
+        1,
     )
-    return blocks.select("file", "pos", F.map_from_entries(deduped).alias("rec"))
+    return blocks.select("file", "pos", rec.alias("rec"))
 
 
 # ----------------------------------------------------------- field cleaning --

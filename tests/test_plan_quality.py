@@ -102,6 +102,18 @@ def test_exact_similarity_join_is_distributed_group_gemm(spark):
     assert "CollectLimit" not in plan, plan
 
 
+def test_er02_default_path_has_no_quadratic_stage(spark):
+    """The gated ER composition (er02 canonical mapping) builds its pair
+    set on the LSH path: candidates via band-key equi-join, never the
+    block-pair GEMM — so no FlatMapGroupsInPandas (the GEMM's physical
+    operator) appears anywhere in the plan."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.er_queries import er02_canonical_mapping
+
+    plan = _plan(er02_canonical_mapping(spark, SF_CORRECT))
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_jaccard_verification_is_jvm_array_intersect(spark):
     """d05's verification counts overlaps with JVM array_intersect over
     joined shingle arrays — no Python evaluation after the shingle
