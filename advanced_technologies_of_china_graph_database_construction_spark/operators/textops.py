@@ -110,28 +110,40 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def word_bigrams(text: Column) -> Column:
-    """Adjacent whitespace-token bigrams as ``"w1 w2"`` strings —
-    zip_with over two shifted slices, so the whole construction stays a
-    JVM array expression (no explode until the caller wants rows)."""
-    toks = ws_tokens(text)
-    return F.zip_with(
-        F.slice(toks, 1, F.size(toks) - 1),
-        F.slice(toks, 2, F.size(toks) - 1),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
+    """Adjacent whitespace-token bigrams as ``"w1 w2"`` strings — a
+    single code path with ``word_ngrams`` so null/empty/short-text
+    semantics cannot diverge."""
+    return word_ngrams(text, 2)
 
 
 def word_ngrams(text: Column, n: int) -> Column:
-    """All whitespace-token n-grams as space-joined strings.  Guarded:
-    Spark's ``sequence(1, k)`` DESCENDS when k < 1, so short texts must
-    short-circuit to an empty array rather than produce phantom grams."""
-    toks = ws_tokens(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
+    """All whitespace-token n-grams as space-joined strings.
+
+    One convention for every degenerate input: null, empty and
+    whitespace-only text all yield ``[]`` (``split`` on trimmed ``''``
+    returns ``['']``, which would otherwise leak a phantom ``''`` gram —
+    empty tokens are filtered before gram construction), as does text
+    with fewer than ``n`` tokens (Spark's ``sequence(1, k)`` DESCENDS
+    when k < 1, so the short case must short-circuit).  The token array
+    is bound once as a lambda variable: a non-lambda expression
+    referenced inside a HOF lambda is re-evaluated per element.
+    """
+    toks = F.filter(ws_tokens(text), lambda t: t != F.lit(""))
+    return F.coalesce(
+        F.element_at(
+            F.transform(
+                F.array(toks),
+                lambda a: F.when(
+                    F.size(a) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(a) - (n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(a, i, n)),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            ),
+            1,
+        ),
+        F.array().cast("array<string>"),
     )
 
 

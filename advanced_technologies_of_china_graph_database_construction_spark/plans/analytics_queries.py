@@ -134,6 +134,68 @@ G23_SQL = (
 )
 
 
+# ------------------------------------------- g24 directed + dangling ------
+
+KW_NODE_OFFSET = 10_000_000  # keeps doc and keyword node-id spaces disjoint
+
+
+def _citation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed doc→keyword edges (the HAS_KEYWORD derivation,
+    `csv_extractor.py:153-241` — directed, like the reference's graph).
+    Every keyword node is a dangling sink, so this is the graph shape
+    that needs the redistribution term."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + KW_NODE_OFFSET).alias("dst"),
+    ).distinct()
+
+
+def g24_directed_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the directed bipartite graph with dangling-mass
+    redistribution — total rank stays 1 even though every keyword node
+    is a sink."""
+    ranks = pagerank(
+        _citation_edges(spark, sf_dir), N_ITER, DAMPING, dangling="redistribute"
+    )
+    return ranks.select(F.col("node").alias("node_id"), "pagerank")
+
+
+_G24_CTES = f"""
+WITH edges AS (
+  SELECT DISTINCT l_orderkey AS src, l_partkey + {KW_NODE_OFFSET} AS dst FROM lineitem),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)
+"""
+
+
+def _g24_iter_cte(k: int) -> str:
+    prev = f"r{k - 1}"
+    return f"""
+dm{k - 1} AS (
+  SELECT coalesce(sum(rank), 0) AS dm FROM {prev}
+  WHERE node NOT IN (SELECT src FROM deg)),
+r{k} AS (
+  SELECT nodes.node,
+         0.15 / (SELECT n FROM nn)
+           + 0.85 * (SELECT dm FROM dm{k - 1}) / (SELECT n FROM nn)
+           + 0.85 * coalesce(s.m, 0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum({prev}.rank / deg.outdeg) AS m
+    FROM edges e JOIN {prev} ON e.src = {prev}.node JOIN deg ON e.src = deg.src
+    GROUP BY e.dst) s ON nodes.node = s.node)
+"""
+
+
+G24_SQL = (
+    _G24_CTES
+    + ", r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),"
+    + ",".join(_g24_iter_cte(k) for k in range(1, N_ITER + 1))
+    + f"\nSELECT node AS node_id, round(rank, 6) AS pagerank FROM r{N_ITER}"
+)
+
+
 SPECS = [
     QuerySpec(
         name="g21_copub_pagerank",
@@ -160,5 +222,14 @@ SPECS = [
         description="Fixed-round synchronous label propagation communities "
         "(deterministic majority-label superstep, ties to smallest); oracle "
         "is the unrolled rounds in SQL.",
+    ),
+    QuerySpec(
+        name="g24_directed_pagerank",
+        fn=g24_directed_pagerank,
+        oracle=G24_SQL,
+        category="analytics",
+        description="PageRank over the directed doc→keyword graph with "
+        "dangling-mass redistribution (every keyword node is a sink); "
+        "oracle is the unrolled power method with the mass term in SQL.",
     ),
 ]

@@ -609,6 +609,91 @@ FROM packed GROUP BY 1, 2
 """
 
 
+# ------------------------------------------ d17 shard-safe packing --------
+
+PACK_SHARD_SPAN = 200  # docs per shard — small enough to shard every source at sf0.01
+
+
+def d17_sharded_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d14's documented escape hatch made real: when one source stream is
+    too large to pack serially, pack ``(source, doc_id div shard_span)``
+    sub-streams independently — the cumulative-offset window partitions
+    by (source, shard), so a single giant source parallelizes across
+    span-sized shards while order within each shard is preserved.  Bins
+    are reported per shard; a downstream writer emits one packed file
+    per (source, shard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        (F.col("doc_id") / PACK_SHARD_SPAN).cast("long").alias("shard"),
+        textops.token_count(F.col("text")).alias("tok"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn("start_off", F.sum("tok").over(w) - F.col("tok"))
+    return (
+        packed.withColumn("bin", F.floor(F.col("start_off") / PACK_BUDGET))
+        .groupBy("source", "shard", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").cast("long").alias("doc_tokens"),
+        )
+    )
+
+
+D17_SQL = rf"""
+WITH toks AS (
+  SELECT source, doc_id, doc_id // {PACK_SHARD_SPAN} AS shard,
+         len(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents),
+packed AS (
+  SELECT source, shard, tok,
+         sum(tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - tok AS start_off
+  FROM toks)
+SELECT source, shard, floor(start_off / {PACK_BUDGET})::BIGINT AS bin,
+       count(*) AS n_docs, sum(tok)::BIGINT AS doc_tokens
+FROM packed GROUP BY 1, 2, 3
+"""
+
+
+# ------------------------------------------------ d18 bigram counts -------
+
+BIGRAM_MIN_COUNT = 20
+
+
+def d18_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level word-bigram frequencies (the n-gram surface behind
+    phrase mining / tokenizer vocabulary induction): grams are built as
+    a JVM array expression per document (``textops.word_ngrams`` — no
+    explode until the rows are wanted), then one explode + one count
+    shuffle.  The integer-count floor keeps the result a deterministic
+    set (no top-k order dependence)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(F.explode(textops.word_ngrams(F.col("text"), 2)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= BIGRAM_MIN_COUNT)
+    )
+
+
+D18_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts
+  FROM documents),
+grams AS (
+  SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS gram
+  FROM toks)
+SELECT gram, count(*) AS n FROM grams GROUP BY gram HAVING count(*) >= {BIGRAM_MIN_COUNT}
+"""
+
+
 # --------------------------------------------- d15 stratified sampling ----
 
 SAMPLE_MOD = 100
@@ -840,4 +925,8 @@ SPECS = [
               "per-source deterministic mixture downsampling"),
     QuerySpec("d16_curated_corpus", d16_curated_corpus, D16_SQL, "dedup",
               "end-to-end curation: dedup + quality + lang-consistency + split"),
+    QuerySpec("d17_sharded_packing", d17_sharded_packing, D17_SQL, "text",
+              "shard-safe sequence packing: (source, shard) sub-streams"),
+    QuerySpec("d18_top_bigrams", d18_top_bigrams, D18_SQL, "text",
+              "corpus word-bigram frequencies via the n-gram array surface"),
 ]

@@ -61,16 +61,20 @@ ER01_SQL = f"WITH {_PAIRS_CTE} SELECT src, dst, sim FROM pairs"
 
 
 def er02_canonical_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The DEFAULT ER composition builds pairs on the collision-
-    # proportional LSH path — no O(n²) stage anywhere in the plan.  The
-    # oracle stays the exact-components SQL: sign-LSH recall at this
-    # (threshold, planes, bands) is complete on the fixtures at every
-    # shipped SF (er05 gates exactly that equality), so a missed pair
-    # turns this row red rather than hiding.  er01 keeps the exact
-    # quadratic definition as its own gated spec.
+    # Builds pairs through the `auto` dispatcher, which at this
+    # threshold resolves to the blocked GEMM — a MEASURED choice, not a
+    # default: at 0.44 the corpus pair-sim mass sits near 0 and the
+    # per-plane agreement gap (0.645 vs 0.5) is too small for sign-LSH
+    # banding to separate, so the banded join emits 98.7 % of all pairs
+    # as candidates for 100 % recall (sf0.1, planes=32/b=16) — a ~n²
+    # shuffle that benches 5× slower than the GEMM's n·B vector
+    # replication and loses at any scale.  LSH genuinely wins only in
+    # the near-dup regime (threshold ≳ 0.7), which is exactly what
+    # `auto` encodes; er05/er07 keep the LSH path itself gated.
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = lsh_similarity_pairs(emb, ER_THRESHOLD, n_planes=32, bands=16)
-    return canonical_mapping(emb, pairs).select(F.col("id").alias("vec_id"), "canonical")
+    return canonical_mapping(emb, threshold=ER_THRESHOLD, strategy="auto").select(
+        F.col("id").alias("vec_id"), "canonical"
+    )
 
 
 ER02_SQL = _COMPONENTS_CTE + "SELECT vec_id, canonical FROM components"
@@ -130,9 +134,7 @@ def er06_mapped_record_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the driver's cell hashing stays scalar.
     li = load_table(spark, sf_dir, "lineitem")
     emb = load_table(spark, sf_dir, "embeddings")
-    mapping = canonical_mapping(
-        emb, lsh_similarity_pairs(emb, ER_THRESHOLD, n_planes=32, bands=16)
-    )
+    mapping = canonical_mapping(emb, threshold=ER_THRESHOLD, strategy="auto")
     arrays = (
         li.groupBy(F.col("l_orderkey").alias("doc_id"))
         .agg(

@@ -50,6 +50,21 @@ def n05_fallback_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fulltext_search(spark, sf_dir, tokens, require_all=True)
 
 
+def n06_formatted_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 + F14 through the gate: the full serving cascade (compile →
+    execute → format_rows → default synthesizer) on a question whose
+    result set is deterministically ordered (the fulltext template
+    orders by doc_id), returned as a one-row DataFrame so the oracle
+    can rebuild the exact answer text with SQL string aggregation."""
+    from ..nl.engine import answer
+
+    res = answer(spark, sf_dir, Q_FALLBACK)
+    return spark.createDataFrame(
+        [(res["answer"], res["stage"], res["template"], res["n_rows"])],
+        schema="answer string, stage string, template string, n_rows long",
+    )
+
+
 N01_SQL = GRAPH_ORACLE_CTES + """
 SELECT d.year, count(*) AS n_docs
 FROM keywords k JOIN e_has_keyword e ON k.keyword_id = e.dst
@@ -85,6 +100,29 @@ FROM documents
 WHERE contains(lower(text), 'merge') AND contains(lower(text), 'batch')
 ORDER BY doc_id
 LIMIT 100
+"""
+
+# The template stage searches the full quoted phrase (p.terms), not the
+# split tokens — the tokenized AND/OR fallbacks only run if it comes up
+# empty.  At the gate SF the phrase hits, so the answer is built from
+# the template stage's rows.
+N06_SQL = """
+WITH hits AS (
+  SELECT doc_id, substring(text, 1, 120) AS snippet
+  FROM documents
+  WHERE contains(lower(text), 'merge batch')
+  ORDER BY doc_id
+  LIMIT 100),
+numbered AS (
+  SELECT row_number() OVER (ORDER BY doc_id) AS i, doc_id, snippet FROM hits),
+fmt AS (
+  SELECT string_agg(i || '. doc_id: ' || doc_id || ', snippet: ' || snippet,
+                    chr(10) ORDER BY i) AS body,
+         count(*) AS n
+  FROM numbered)
+SELECT 'Found ' || n || ' result(s):' || chr(10) || body AS answer,
+       'template' AS stage, 'fulltext' AS template, n AS n_rows
+FROM fmt
 """
 
 SPECS = [
@@ -128,5 +166,14 @@ SPECS = [
         description="Q3: unknown-intent question degrades to the AND-of-terms "
         "fulltext fallback scan (P8, LIMIT 100) — the reference's empty-result "
         "cascade (`neo4j_query_executor.py:389-459`).",
+    ),
+    QuerySpec(
+        name="n06_formatted_answer",
+        fn=n06_formatted_answer,
+        oracle=N06_SQL,
+        category="nl",
+        description="Q4+F14: full serving cascade with result stringification "
+        "(numbered `key: value` lines, `neo4j_query_executor.py:45-121`) and "
+        "answer synthesis; oracle rebuilds the text via SQL string_agg.",
     ),
 ]

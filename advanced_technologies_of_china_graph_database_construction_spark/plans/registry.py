@@ -63,6 +63,7 @@ def all_specs() -> list[QuerySpec]:
         "analytics_queries",
         "er_queries",
         "docs_queries",
+        "sink_queries",
     ):
         try:
             modules.append(__import__(f"{__package__}.{optional}", fromlist=["SPECS"]))

@@ -73,3 +73,56 @@ def test_label_propagation_no_inbound_keeps_own_label(spark):
     edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
     labels = {r["node"]: r["label"] for r in label_propagation(edges, 2).collect()}
     assert labels == {1: 1, 2: 1}
+
+
+def _numpy_pagerank(edges, n_iter=3, d=0.85, redistribute=False):
+    import numpy as np
+
+    nodes = sorted({u for e in edges for u in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {v: 0 for v in nodes}
+    for s, _ in edges:
+        out[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        msgs = np.zeros(n)
+        for s, t in edges:
+            msgs[idx[t]] += r[idx[s]] / out[s]
+        dm = sum(r[idx[v]] for v in nodes if out[v] == 0) if redistribute else 0.0
+        r = (1 - d) / n + d * dm / n + d * msgs
+    return {v: round(float(r[idx[v]]), 6) for v in nodes}
+
+
+def test_pagerank_dangling_redistribution_matches_reference(spark):
+    """Directed graph with a dangling sink (4): redistribution must match
+    the standard power-method reference, conserve total mass, and differ
+    from the drop-mass default."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4), (5, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(df, 3, dangling="redistribute").collect()
+    }
+    assert got == _numpy_pagerank(edges, redistribute=True)
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    dropped = {r["node"]: r["pagerank"] for r in pagerank(df, 3).collect()}
+    assert dropped == _numpy_pagerank(edges, redistribute=False)
+    assert sum(dropped.values()) < 1.0 - 1e-3  # mass leaked via node 4
+
+
+def test_pagerank_redistribute_noop_on_symmetric_graph(spark):
+    """On a symmetric edge set there are no dangling nodes, so both
+    modes agree exactly — g21's caller can switch safely."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import (
+        pagerank,
+        symmetric_edges,
+    )
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    e = symmetric_edges(pairs)
+    a = {r["node"]: r["pagerank"] for r in pagerank(e, 3).collect()}
+    b = {r["node"]: r["pagerank"] for r in pagerank(e, 3, dangling="redistribute").collect()}
+    assert a == b
