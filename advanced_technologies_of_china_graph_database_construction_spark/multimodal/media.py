@@ -97,16 +97,26 @@ def fake_decoder(payload: bytes) -> list[float]:
 
 
 def pil_decoder(payload: bytes) -> list[float]:
-    """Real image decode, gated on the library being present.  The
-    container ships no imaging libs, so this is the documented stub."""
+    """Real image decode → [width, height, channels, mean intensity],
+    gated on Pillow being present (the test container ships no imaging
+    libs, so there this raises the documented ``NotImplementedError``
+    and the conditional test skips; on a cluster with Pillow it runs
+    as-is — same ``Decoder`` contract as ``fake_decoder``)."""
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover — exercised only sans PIL
         raise NotImplementedError(
             "image decoding requires Pillow; install it on the cluster or "
             "use fake_decoder for plumbing tests"
         ) from exc
-    raise NotImplementedError("wire Image.open(BytesIO(payload)) here")  # pragma: no cover
+    import io
+
+    import numpy as np
+
+    with Image.open(io.BytesIO(payload)) as im:
+        arr = np.asarray(im.convert("RGB"), dtype=np.float64)
+    h, w, c = arr.shape
+    return [float(w), float(h), float(c), float(arr.mean())]
 
 
 def extract_features(media: DataFrame, decoder: Decoder | None = None) -> DataFrame:

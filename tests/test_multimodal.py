@@ -37,6 +37,12 @@ def test_decode_error_channel(spark, media_df):
 
 
 def test_pil_decoder_is_stubbed():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present: the decode seam is live, not stubbed")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError):
         mm.pil_decoder(b"\x89PNG")
 
@@ -68,3 +74,25 @@ def test_payload_pruned_when_unread(media_df):
     # metadata-only query must not read the payload column from source
     plan = mm.resize_plan(media_df)._jdf.queryExecution().optimizedPlan().toString()
     assert "payload" not in plan
+
+
+def test_pil_decoder_real_decode(spark):
+    """Runs only where Pillow exists (skipped in the shipped container):
+    the real decoder must honor the same Decoder contract through the
+    extract_features seam — features [w, h, channels, mean]."""
+    PIL = pytest.importorskip("PIL")  # noqa: N806
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 2), color=(10, 20, 30)).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, 1, "image", bytearray(png), 4, 2, 0)],
+        "media_id long, doc_id long, kind string, payload binary, "
+        "width int, height int, duration_ms long",
+    )
+    row = mm.extract_features(media, decoder=mm.pil_decoder).collect()[0]
+    assert row["error"] is None
+    assert row["features"] == [4.0, 2.0, 3.0, 20.0]
