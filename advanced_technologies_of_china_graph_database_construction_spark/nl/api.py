@@ -1,0 +1,97 @@
+"""S12: the HTTP QA endpoint — a thin service layer over the serving
+cascade, keeping the reference's request/response shape
+(`api_server.py:20-33,70-102`: ``POST /answer {query, history,
+neo4j_enabled, session_id} -> {answer}``) without pulling a web
+framework into the engine: the stdlib ``ThreadingHTTPServer`` carries
+the exact same JSON contract.
+
+The engine boundary is ``handle_request`` (pure dict → dict, no
+sockets), so any framework — or no framework — can front it; ``serve``
+is the batteries-included loopback server used by the tests and by a
+single-node deployment.  ``history`` and ``session_id`` are accepted
+and echoed into provenance but don't alter planning (multi-turn glue is
+UI scope, SURVEY §2.10 Q5); ``neo4j_enabled`` maps to "run the graph
+templates vs fulltext-only", mirroring the reference's toggle
+(`api_server.py:78-88`).
+"""
+
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import SparkSession
+
+from .engine import answer, fulltext_search
+from .planner import plan
+
+
+def handle_request(spark: SparkSession, sf_dir: str, payload: dict) -> dict:
+    """``{query, history?, neo4j_enabled?, session_id?} -> {answer, …}``.
+
+    Unknown keys are ignored; a missing/empty query is a 400-shaped
+    error dict (the transport layer decides the status code)."""
+    query = payload.get("query")
+    if not isinstance(query, str) or not query.strip():
+        return {"error": "missing or empty 'query'"}
+    graph_enabled = payload.get("neo4j_enabled", True)
+    if graph_enabled:
+        res = answer(spark, sf_dir, query)
+    else:
+        p = plan(query)
+        tokens = [w for t in p.terms for w in t.split()]
+        rows = fulltext_search(spark, sf_dir, tokens, require_all=True).collect()
+        from .engine import default_synthesizer
+        from .formatter import format_rows
+
+        res = {
+            "answer": default_synthesizer(query, format_rows(rows)),
+            "stage": "fulltext_only",
+            "template": "fulltext",
+            "n_rows": len(rows),
+        }
+    return {
+        "answer": res["answer"],
+        "stage": res["stage"],
+        "template": res["template"],
+        "n_rows": res["n_rows"],
+        "session_id": payload.get("session_id"),
+    }
+
+
+def serve(spark: SparkSession, sf_dir: str, port: int = 0) -> ThreadingHTTPServer:
+    """Start the loopback QA server (port 0 = ephemeral); caller owns
+    shutdown.  One Spark session serves all requests — the engine is
+    thread-safe at the plan level and the server threads only block on
+    collect."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802 — BaseHTTPRequestHandler contract
+            if self.path != "/answer":
+                self.send_error(404)
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+            except (ValueError, TypeError):
+                payload = None
+            if not isinstance(payload, dict):
+                out, status = {"error": "body must be a JSON object"}, 400
+            else:
+                out = handle_request(spark, sf_dir, payload)
+                status = 400 if "error" in out else 200
+            body = json.dumps(out).encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # quiet test output
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    import threading
+
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server

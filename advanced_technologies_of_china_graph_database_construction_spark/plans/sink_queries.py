@@ -18,8 +18,15 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import load_table
+from ..operators import enrich
 from ..operators.graph import GRAPH_ORACLE_CTES, build_graph
-from ..sources.csv_export import render_list_literal, write_relationship_csvs
+from ..sources.csv_export import (
+    render_list_literal,
+    write_relationship_csvs,
+    write_topic_rels_csv,
+)
+from ..sources.records_json import load_records_json, save_records_json
 from .spec import QuerySpec
 
 
@@ -92,6 +99,82 @@ FROM e_authored
 """
 
 
+def s05_topic_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 + F12: the ``(paperTitle, paperLabel, topicName)`` export
+    (`TopicTocsv.py:28-80`) written with the real sink; topic names are
+    fed in WITH a parenthetical gloss so the F12 strip
+    (`utils.py` parenthetical removal) has real work — the read-back
+    must contain the bare taxonomy names."""
+    docs = load_table(spark, sf_dir, "documents")
+    cls = enrich.classify_topics(docs, enrich.taxonomy_df(spark))
+    valid = cls.filter(F.col("error").isNull())
+    classified = valid.select(
+        F.concat(F.lit("Doc-"), F.col("doc_id").cast("string")).alias("title"),
+        F.lit("Journal_Article").alias("label"),
+        F.concat(
+            F.col("topic_name"), F.lit(" ("), F.col("category"), F.lit(" gloss)")
+        ).alias("topic_name"),
+    )
+    out = tempfile.mkdtemp(prefix="sink_topics_")
+    path = write_topic_rels_csv(classified, out)
+    return spark.read.option("header", True).csv(path)
+
+
+def _taxonomy_sql() -> str:
+    from .enrich_queries import _N_TOPICS, _TAXONOMY_CTE
+
+    return (
+        f"WITH {_TAXONOMY_CTE},\n"
+        f"cls AS (SELECT doc_id, (length(text) % {_N_TOPICS} + 1)::INT AS topic_id"
+        " FROM documents)"
+    )
+
+
+def s05_sql() -> str:
+    return (
+        _taxonomy_sql()
+        + """
+SELECT DISTINCT 'Doc-' || CAST(c.doc_id AS VARCHAR) AS paperTitle,
+       'Journal_Article' AS paperLabel,
+       t.topic_name AS topicName
+FROM cls c JOIN taxonomy t USING (topic_id)
+"""
+    )
+
+
+def s06_json_records_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: line-delimited JSON persistence with the sidecar-schema
+    reload contract (`Hype.py:71-72,85-86` checkpoint artifacts) —
+    records including an array column survive the write/read unchanged
+    and with the writer's exact types (no inference pass)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rec = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.slice(F.split(F.trim("text"), r"\s+"), 1, 3).alias("head_toks"),
+    )
+    out = tempfile.mkdtemp(prefix="records_json_")
+    save_records_json(rec, out)
+    back = load_records_json(spark, out)
+    return back.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.array_join("head_toks", "|").alias("head_toks"),
+    )
+
+
+S06_SQL = r"""
+SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, 3), '|')
+         AS head_toks
+FROM documents
+"""
+
+
 SPECS = [
     QuerySpec(
         name="s03_node_csv_roundtrip",
@@ -108,5 +191,21 @@ SPECS = [
         category="sink",
         description="S6 relationship CSV sink (AUTHORED), write/read "
         "round-trip oracle-checked",
+    ),
+    QuerySpec(
+        name="s05_topic_csv_roundtrip",
+        fn=s05_topic_csv_roundtrip,
+        oracle=s05_sql(),
+        category="sink",
+        description="S10 topic-rel CSV sink with F12 parenthetical strip, "
+        "write/read round-trip oracle-checked",
+    ),
+    QuerySpec(
+        name="s06_json_records_roundtrip",
+        fn=s06_json_records_roundtrip,
+        oracle=S06_SQL,
+        category="sink",
+        description="S3 JSON record persistence (sidecar-schema reload), "
+        "write/read round-trip oracle-checked incl. array column",
     ),
 ]

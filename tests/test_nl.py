@@ -193,3 +193,55 @@ def test_build_prompt_contains_rules_and_question(spark):
     assert "g_kw_alias" in prompt
     assert prompt.rstrip().endswith("SQL:")
     assert "How many docs in 2020?" in prompt
+
+
+# ----------------------------------------------------------- S12 HTTP API --
+
+def test_http_answer_endpoint_roundtrip(spark):
+    """S12: the loopback QA server carries the reference's request/
+    response shape — POST /answer {query, history, neo4j_enabled,
+    session_id} -> {answer, ...}."""
+    import json
+    import urllib.request
+
+    from advanced_technologies_of_china_graph_database_construction_spark.nl import api
+
+    server = api.serve(spark, SF)
+    try:
+        port = server.server_address[1]
+
+        def post(payload, path="/answer"):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            try:
+                with urllib.request.urlopen(req) as resp:
+                    return resp.status, json.loads(resp.read())
+            except urllib.error.HTTPError as e:
+                body = e.read()
+                return e.code, json.loads(body) if body.strip().startswith(b"{") else {}
+
+        status, out = post(
+            {
+                "query": 'What is the year and abstract of "DOC-7"?',
+                "history": [],
+                "neo4j_enabled": True,
+                "session_id": "s-1",
+            }
+        )
+        assert status == 200
+        assert out["session_id"] == "s-1"
+        assert out["n_rows"] == 1 and "DOC-7" in out["answer"]
+        # graph disabled → fulltext-only stage, same contract
+        status, out = post(
+            {"query": 'Find documents mentioning "merge batch"', "neo4j_enabled": False}
+        )
+        assert status == 200 and out["stage"] == "fulltext_only" and out["n_rows"] > 0
+        # malformed requests are 400s, not crashes
+        assert post({"history": []})[0] == 400
+        assert post({"query": "x"}, path="/nope")[0] == 404
+    finally:
+        server.shutdown()
