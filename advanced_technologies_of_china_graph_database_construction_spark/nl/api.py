@@ -59,11 +59,20 @@ def handle_request(spark: SparkSession, sf_dir: str, payload: dict) -> dict:
     }
 
 
-def serve(spark: SparkSession, sf_dir: str, port: int = 0) -> ThreadingHTTPServer:
+def serve(
+    spark: SparkSession, sf_dir: str, port: int = 0, history=None
+) -> ThreadingHTTPServer:
     """Start the loopback QA server (port 0 = ephemeral); caller owns
     shutdown.  One Spark session serves all requests — the engine is
     thread-safe at the plan level and the server threads only block on
-    collect."""
+    collect.  Pass a ``nl.history.ChatHistory`` to persist both turns of
+    every answered request per session (S11, the reference UI's SQLite
+    log, `app_new.py:293,341`)."""
+    import itertools
+    import threading
+
+    tick = itertools.count(1)
+    tick_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):  # noqa: N802 — BaseHTTPRequestHandler contract
@@ -80,6 +89,12 @@ def serve(spark: SparkSession, sf_dir: str, port: int = 0) -> ThreadingHTTPServe
             else:
                 out = handle_request(spark, sf_dir, payload)
                 status = 400 if "error" in out else 200
+                if status == 200 and history is not None and out.get("session_id"):
+                    with tick_lock:
+                        t0, t1 = next(tick), next(tick)
+                    sid = out["session_id"]
+                    history.append(sid, "user", payload["query"], t0)
+                    history.append(sid, "assistant", out["answer"], t1)
             body = json.dumps(out).encode("utf-8")
             self.send_response(status)
             self.send_header("Content-Type", "application/json")

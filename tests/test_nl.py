@@ -245,3 +245,55 @@ def test_http_answer_endpoint_roundtrip(spark):
         assert post({"query": "x"}, path="/nope")[0] == 404
     finally:
         server.shutdown()
+
+
+# -------------------------------------------------- S11 chat history ------
+
+def test_chat_history_crud_and_recency_order(tmp_path):
+    from advanced_technologies_of_china_graph_database_construction_spark.nl.history import ChatHistory
+
+    h = ChatHistory(str(tmp_path / "chats.db"))
+    h.append("s1", "user", "first question", ts=1)
+    h.append("s1", "assistant", "first answer", ts=2)
+    h.append("s2", "user", "other chat", ts=3)
+    h.append("s1", "user", "follow-up", ts=4)
+    assert h.messages("s1") == [
+        ("user", "first question"),
+        ("assistant", "first answer"),
+        ("user", "follow-up"),
+    ]
+    # L4: most recently active first (s1 touched at ts=4)
+    assert [sid for sid, _ in h.list_chats()] == ["s1", "s2"]
+    assert h.list_chats()[0][1] == "first question"  # titled from first message
+    h.delete_chat("s1")
+    assert h.messages("s1") == []  # cascade removed the messages
+    assert [sid for sid, _ in h.list_chats()] == ["s2"]
+    h.close()
+
+
+def test_http_endpoint_persists_history(spark, tmp_path):
+    import json
+    import urllib.request
+
+    from advanced_technologies_of_china_graph_database_construction_spark.nl import api
+    from advanced_technologies_of_china_graph_database_construction_spark.nl.history import ChatHistory
+
+    h = ChatHistory(str(tmp_path / "chats.db"))
+    server = api.serve(spark, SF, history=h)
+    try:
+        port = server.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/answer",
+            data=json.dumps(
+                {"query": 'What is the year and abstract of "DOC-7"?', "session_id": "abc"}
+            ).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            out = json.loads(resp.read())
+        msgs = h.messages("abc")
+        assert [r for r, _ in msgs] == ["user", "assistant"]
+        assert msgs[1][1] == out["answer"]
+    finally:
+        server.shutdown()
+        h.close()
