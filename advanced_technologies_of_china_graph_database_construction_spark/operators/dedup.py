@@ -392,3 +392,52 @@ def ngram_jaccard_pairs(
     return joined.select("src", "dst", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+# --- SemDeDup (cluster-then-prune embedding dedup) ------------------------
+
+def embedding_semdedup_removed(
+    emb: DataFrame,
+    assignments: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, deterministic
+    variant): embeddings are bucketed by their trained k-means cluster
+    (``assignments``: (id_col, centroid_id) — the a03 quantizer), and
+    WITHIN each cluster every vector that has a smaller-id neighbor at
+    or above the cosine threshold is marked removed.  Keep-min-id makes
+    the rule order-free and SQL-mirrorable (the paper keeps an arbitrary
+    member per duplicate group; min-id is that choice made
+    deterministic).
+
+    Scale shape: the O(n²) similarity work is confined to each cluster
+    — one Arrow GEMM task per cluster, per-task memory bounded by the
+    cluster's member count × dim.  That is exactly the SemDeDup trick:
+    k ≈ √n clusters turn a corpus-wide quadratic into n·(n/k) work with
+    no cross-cluster shuffle.  A pathologically skewed giant cluster
+    should be sub-blocked with the same block-pair replication as
+    `er.exact_similarity_pairs`; at the fixture scales every cluster
+    fits a task.
+
+    Returns one column (``removed``) — the distinct removed ids.
+    """
+    from .er import _round_half_up
+
+    joined = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
+        assignments.select(F.col(id_col).alias("id"), "centroid_id"), "id"
+    )
+    schema = T.StructType([T.StructField("removed", T.LongType())])
+
+    def prune(key, pdf):
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"removed": np.empty(0, dtype=np.int64)})
+        m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = _round_half_up(m @ m.T)
+        dup = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        return pd.DataFrame({"removed": np.unique(ids[np.nonzero(dup)[1]])})
+
+    return joined.groupBy("centroid_id").applyInPandas(prune, schema)

@@ -840,6 +840,42 @@ FROM a{KMEANS_ITERS} GROUP BY centroid_id
 )
 
 
+# ------------------------------------------------- d19 SemDeDup -----------
+
+SEMDEDUP_THRESHOLD = 0.44  # same boundary as the ER family; rounded
+                           # identically on both sides so decisions agree
+
+
+def d19_semdedup_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: the trained coarse quantizer (a03's k-means) buckets the
+    embedding space, then each cluster is pruned independently — remove
+    every vector with a smaller-id in-cluster neighbor at/above the
+    cosine threshold.  One Arrow GEMM task per cluster; no cross-cluster
+    pair is ever scored (that is the point: semantic dedup at n·(n/k)
+    cost instead of n²)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_assignments(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    return dedup.embedding_semdedup_removed(emb, assign, SEMDEDUP_THRESHOLD)
+
+
+_COS_AB_E = (
+    "round(list_dot_product(ea.v, eb.v) / "
+    "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6)"
+)
+
+D19_SQL = (
+    ",\n".join(_kmeans_ctes(KMEANS_K, KMEANS_ITERS))
+    + f"""
+SELECT DISTINCT b.vec_id AS removed
+FROM a{KMEANS_ITERS} a JOIN a{KMEANS_ITERS} b
+  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+JOIN e ea ON ea.vec_id = a.vec_id
+JOIN e eb ON eb.vec_id = b.vec_id
+WHERE {_COS_AB_E} >= {SEMDEDUP_THRESHOLD}
+"""
+)
+
+
 # ----------------------------------------------- a04 trained-IVF search ---
 
 _COS_QC = (
@@ -927,6 +963,8 @@ SPECS = [
               "end-to-end curation: dedup + quality + lang-consistency + split"),
     QuerySpec("d17_sharded_packing", d17_sharded_packing, D17_SQL, "text",
               "shard-safe sequence packing: (source, shard) sub-streams"),
+    QuerySpec("d19_semdedup_removed", d19_semdedup_removed, D19_SQL, "dedup",
+              "SemDeDup: k-means-bucketed per-cluster embedding dedup"),
     QuerySpec("d18_top_bigrams", d18_top_bigrams, D18_SQL, "text",
               "corpus word-bigram frequencies via the n-gram array surface"),
 ]

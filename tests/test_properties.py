@@ -191,3 +191,38 @@ def test_fused_minhash_kernel_equals_explode_groupby_path(spark):
         ).collect()
     }
     assert fused == unfused
+
+
+@given(st.integers(0, 2 ** 31 - 1))
+@SETTINGS
+def test_semdedup_matches_bruteforce(spark, seed):
+    """Per-cluster SemDeDup pruning equals the brute-force rule computed
+    in numpy: removed = {j : ∃ i < j in the same cluster, cos(i,j) ≥ t}."""
+    import numpy as np
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.dedup import (
+        embedding_semdedup_removed,
+    )
+
+    rng = np.random.RandomState(seed % 2**32)
+    n, dim, k, t = 60, 8, 4, 0.9
+    base = rng.randn(k, dim)
+    vecs = base[rng.randint(0, k, n)] + rng.randn(n, dim) * 0.15
+    clusters = rng.randint(0, k, n)  # arbitrary bucketing, as trained assignments would be
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    assign = spark.createDataFrame(
+        [(i, int(clusters[i])) for i in range(n)], "vec_id long, centroid_id int"
+    )
+    got = {r["removed"] for r in embedding_semdedup_removed(emb, assign, t).collect()}
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = np.round(m @ m.T, 6)
+    want = {
+        j
+        for j in range(n)
+        for i in range(j)
+        if clusters[i] == clusters[j] and sims[i, j] >= t
+    }
+    assert got == want
