@@ -164,6 +164,36 @@ def test_simhash_candidates_join_on_band_keys(spark):
     assert "bv" in plan and ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan), plan
 
 
+def test_d18_bigram_counts_partial_aggregate_mapside(spark):
+    """d18's gram counting must combine map-side before the exchange
+    (one count shuffle over grams, no Python evaluation anywhere)."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.registry import spec_map
+
+    plan = _plan(spec_map()["d18_top_bigrams"].fn(spark, SF_CORRECT))
+    assert "partial_count" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_d17_packing_window_partitions_by_source_and_shard(spark):
+    """The shard-safe packing window must partition by (source, shard) —
+    one serial scan per shard, never per whole source."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.registry import spec_map
+
+    plan = _plan(spec_map()["d17_sharded_packing"].fn(spark, SF_CORRECT))
+    wins = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert wins and all("source" in l and "shard" in l for l in wins), plan
+
+
+def test_d19_semdedup_is_one_grouped_gemm(spark):
+    """SemDeDup's quadratic work is exactly one grouped Arrow stage
+    (per-cluster GEMM) — no second Python stage, no driver collect."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.registry import spec_map
+
+    plan = _plan(spec_map()["d19_semdedup_removed"].fn(spark, SF_CORRECT))
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert "CollectLimit" not in plan, plan
+
+
 def test_ivf_assign_partial_aggregates_mapside(spark):
     """Centroid assignment is an aggregation with map-side partials over
     the broadcast crossJoin — not a row_number window shuffle."""
