@@ -35,8 +35,14 @@ def handle_request(spark: SparkSession, sf_dir: str, payload: dict) -> dict:
     if not isinstance(query, str) or not query.strip():
         return {"error": "missing or empty 'query'"}
     graph_enabled = payload.get("neo4j_enabled", True)
+    raw_history = payload.get("history") or []
+    user_turns = [
+        m.get("content", "")
+        for m in raw_history
+        if isinstance(m, dict) and m.get("role") == "user"
+    ]
     if graph_enabled:
-        res = answer(spark, sf_dir, query)
+        res = answer(spark, sf_dir, query, history=user_turns or None)
     else:
         p = plan(query)
         tokens = [w for t in p.terms for w in t.split()]

@@ -253,13 +253,17 @@ def answer(
     question: str,
     synthesizer: Synthesizer | None = None,
     compiler: Compiler | None = None,
+    history: list[str] | None = None,
 ) -> dict:
     """Full serving cascade: compile → execute → (empty? AND-fallback →
     OR-fallback) → format → synthesize.  Returns a dict with the answer
-    text and provenance of which stage produced it."""
+    text and provenance of which stage produced it.  ``history`` (prior
+    user turns) feeds the Q5 multi-turn glue: a follow-up naming no
+    quoted entity inherits the conversation's most recent quoted terms
+    (see ``planner.plan``)."""
     synth = synthesizer or default_synthesizer
     if compiler is None:
-        p = default_compiler(question, "")
+        p = plan(question, history=history)
     else:
         # Build the catalog prompt only when a real compiler wants it —
         # the reference builds it per request (`neo4j_query_executor.py:250`).

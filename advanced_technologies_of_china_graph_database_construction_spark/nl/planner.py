@@ -61,11 +61,25 @@ _RULES: list[tuple[re.Pattern, str, tuple[str, ...]]] = [
 FALLBACK_TEMPLATE = "fulltext"
 
 
-def plan(question: str) -> QueryPlan:
+def plan(question: str, history: list[str] | None = None) -> QueryPlan:
     """Deterministic NL → QueryPlan (Q1).  Unknown intent or missing
     bindings degrade to the fulltext template over extracted terms —
-    the same degradation the reference's fallback search provides."""
+    the same degradation the reference's fallback search provides.
+
+    Q5 multi-turn glue: a follow-up that names no quoted entity ("Who
+    wrote it?") inherits the most recent quoted terms from ``history``
+    (prior user turns, oldest→newest) — the deterministic core of the
+    reference's history-in-the-prompt behavior (`api_server.py:70-88`
+    passes the chat log to the LLM compiler; an LLM compiler behind the
+    same seam still receives the full history via the catalog prompt).
+    """
     terms = extract_terms(question)
+    if not terms and history:
+        for prev in reversed(history):
+            inherited = extract_terms(prev)
+            if inherited:
+                terms = inherited
+                break
     q = question.lower()
     for pattern, template, binds in _RULES:
         if pattern.search(q):

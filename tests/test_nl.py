@@ -297,3 +297,63 @@ def test_http_endpoint_persists_history(spark, tmp_path):
     finally:
         server.shutdown()
         h.close()
+
+
+# ------------------------------------------------ Q5 multi-turn glue ------
+
+def test_plan_inherits_quoted_terms_from_history():
+    p = planner.plan("Who wrote it?", history=['Tell me about "DOC-7"'])
+    assert p.template == "authors_of_doc"
+    assert p.params == {"title": "DOC-7"}
+
+
+def test_plan_history_uses_most_recent_quoted_turn():
+    p = planner.plan(
+        "what are the keywords of it?",
+        history=['about "DOC-3"', "thanks", 'now consider "DOC-9"'],
+    )
+    assert p.template == "keywords_of_doc"
+    assert p.params == {"title": "DOC-9"}
+
+
+def test_plan_own_terms_beat_history():
+    p = planner.plan('Who wrote "DOC-5"?', history=['about "DOC-7"'])
+    assert p.params == {"title": "DOC-5"}
+
+
+def test_answer_multi_turn_follow_up(spark):
+    out = engine.answer(
+        spark, SF, "What is the year and abstract of it?",
+        history=['Tell me about "DOC-7"'],
+    )
+    assert out["template"] == "doc_properties"
+    assert out["n_rows"] == 1 and "DOC-7" in out["answer"]
+
+
+def test_http_endpoint_threads_history(spark):
+    import json
+    import urllib.request
+
+    from advanced_technologies_of_china_graph_database_construction_spark.nl import api
+
+    server = api.serve(spark, SF)
+    try:
+        port = server.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/answer",
+            data=json.dumps(
+                {
+                    "query": "Who wrote it?",
+                    "history": [
+                        {"role": "user", "content": 'Tell me about "DOC-7"'},
+                        {"role": "assistant", "content": "DOC-7 is …"},
+                    ],
+                }
+            ).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            out = json.loads(resp.read())
+        assert out["template"] == "authors_of_doc"
+    finally:
+        server.shutdown()
