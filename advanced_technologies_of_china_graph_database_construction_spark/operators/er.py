@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.vectors import as_double
+from ..functions.vectors import arrow_cosine_rounded, as_double
 from .connected_components import connected_components
 
 
@@ -193,19 +193,12 @@ def lsh_similarity_pairs(
     # Re-score candidates in Arrow batches (vectorized einsum), not a
     # per-pair interpreted array expression: with c candidates the HOF
     # cosine costs c interpreted O(d) folds — measured 6× slower than
-    # this kernel on the sf0.1 fixture — while the batch kernel is one
-    # BLAS-shaped pass per Arrow batch.  Same float64 arithmetic and
-    # HALF_UP rounding as the exact GEMM and the SQL oracle.
-    @F.pandas_udf(T.DoubleType())
-    def cos_batch(a_vecs: pd.Series, b_vecs: pd.Series) -> pd.Series:
-        a = np.stack(a_vecs.to_numpy()).astype(np.float64)
-        b = np.stack(b_vecs.to_numpy()).astype(np.float64)
-        a /= np.linalg.norm(a, axis=1, keepdims=True)
-        b /= np.linalg.norm(b, axis=1, keepdims=True)
-        return pd.Series(_round_half_up(np.einsum("ij,ij->i", a, b)))
-
+    # the shared kernel on the sf0.1 fixture, which is one BLAS-shaped
+    # pass per Arrow batch with the oracle's exact arithmetic.
     return (
-        scored.select("src", "dst", cos_batch(F.col("va"), F.col("vb")).alias("sim"))
+        scored.select(
+            "src", "dst", arrow_cosine_rounded(F.col("va"), F.col("vb")).alias("sim")
+        )
         .filter(F.col("sim") >= threshold)
     )
 
