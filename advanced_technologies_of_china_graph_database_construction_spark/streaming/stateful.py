@@ -25,6 +25,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -93,3 +94,76 @@ def cumulative_by_event(events: DataFrame) -> DataFrame:
         F.count("*").over(w).alias("n_events"),
         F.round(F.sum("value").over(w), 6).alias("running_value"),
     )
+
+
+# ------------------------------------------------- streaming packing ------
+
+PACK_STATE_SCHEMA = StructType([StructField("next_off", LongType())])
+PACK_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("start_off", LongType()),
+        StructField("bin", LongType()),
+    ]
+)
+
+
+def _pack_stream_fn(budget: int):
+    def update(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (source,) = key
+        off = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")  # arrival order within the batch
+            toks = pdf["tok"].to_numpy()
+            starts = off + toks.cumsum() - toks
+            off = int(off + toks.sum())
+            yield pd.DataFrame(
+                {
+                    "source": source,
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "start_off": starts,
+                    "bin": starts // budget,
+                }
+            )
+        state.update((off,))
+
+    return update
+
+
+def packing_stream(toks: DataFrame, budget: int) -> DataFrame:
+    """Streaming sequence packing (the d14 operator's incremental face):
+    per-source cumulative token offsets held in GroupState, so each
+    micro-batch assigns its documents to token-budget bins exactly where
+    the batch window computation would — append output, one state row
+    (a single long) per source.
+
+    Contract: within a source, documents must arrive in ``doc_id`` order
+    across micro-batches (the batch face sorts globally; a stream cannot
+    retroactively re-order, which is the standard packing-stream caveat —
+    feed it an ordered ingest, e.g. file-source with one file per
+    ingest-order chunk)."""
+    return toks.groupBy("source").applyInPandasWithState(
+        _pack_stream_fn(budget),
+        outputStructType=PACK_OUTPUT_SCHEMA,
+        stateStructType=PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def packing_batch(toks: DataFrame, budget: int) -> DataFrame:
+    """Batch equivalent of :func:`packing_stream` — the same cumulative
+    window as the d14 spec, emitting per-document bins."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return toks.select(
+        "source",
+        "doc_id",
+        (F.sum("tok").over(w) - F.col("tok")).alias("start_off"),
+    ).withColumn("bin", F.floor(F.col("start_off") / budget).cast("long"))

@@ -175,3 +175,36 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     batch_ids = sorted(r["event_id"] for r in full.select("event_id").collect())
     stream_ids = sorted(r["event_id"] for r in got.select("event_id").collect())
     assert stream_ids == batch_ids
+
+
+def test_streaming_packing_matches_batch(spark, tmp_path):
+    """The stateful packing stream must place every document in exactly
+    the bin the batch window assigns, across in-order micro-batches."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators import textops
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    toks = docs.select(
+        "source", "doc_id", textops.token_count(F.col("text")).cast("long").alias("tok")
+    )
+    out = str(tmp_path / "toks_stream")
+    # The packing stream's contract is in-order arrival; the file source
+    # orders micro-batches by modification time, so write the doc_id
+    # ranges sequentially (one file each, strictly increasing mtimes).
+    bounds = [0, 125, 250, 375, 10**9]
+    for lo, hi in zip(bounds, bounds[1:]):
+        (
+            toks.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out)
+        )
+    schema = spark.read.parquet(out).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(out)
+    )
+    name = _run_stream(stateful.packing_stream(stream, 256), "append")
+    batch = stateful.packing_batch(spark.read.parquet(out), 256)
+    cols = ["source", "doc_id", "start_off", "bin"]
+    got = _rows(spark, name, cols)
+    want = sorted(tuple(r[c] for c in cols) for r in batch.collect())
+    assert got == want and len(got) > 0
