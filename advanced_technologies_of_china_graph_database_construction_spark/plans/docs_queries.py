@@ -694,6 +694,109 @@ SELECT gram, count(*) AS n FROM grams GROUP BY gram HAVING count(*) >= {BIGRAM_M
 """
 
 
+# ----------------------------------------- d20 token percentiles ----------
+
+def d20_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length distribution (median/p90/p99 + totals) —
+    the corpus-characterization report that sizes packing budgets and
+    flags outlier sources.  Exact interpolated percentiles (`percentile`
+    ≡ DuckDB `quantile_cont`, both p·(n−1) linear interpolation); the
+    approx sketch (`percentile_approx`) is the 100 TB path when exact
+    quantiles aren't contractual."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", textops.token_count(F.col("text")).alias("tok"))
+    return toks.groupBy("source").agg(
+        F.round(F.expr("percentile(tok, 0.5)"), 6).alias("median_tokens"),
+        F.round(F.expr("percentile(tok, 0.9)"), 6).alias("p90_tokens"),
+        F.round(F.expr("percentile(tok, 0.99)"), 6).alias("p99_tokens"),
+        F.count("*").alias("n_docs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+    )
+
+
+D20_SQL = r"""
+WITH toks AS (
+  SELECT source, len(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+SELECT source,
+       round(quantile_cont(tok, 0.5), 6) AS median_tokens,
+       round(quantile_cont(tok, 0.9), 6) AS p90_tokens,
+       round(quantile_cont(tok, 0.99), 6) AS p99_tokens,
+       count(*) AS n_docs, sum(tok)::BIGINT AS total_tokens
+FROM toks GROUP BY source
+"""
+
+
+# ----------------------------------- d21 benchmark decontamination --------
+
+CONTAM_NGRAM = 8
+CONTAM_MIN_SHARED = 3
+CONTAM_MAX_DF = 10  # drop grams seen in more benchmark docs (stop-grams)
+
+
+def d21_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: find corpus documents sharing ≥
+    ``CONTAM_MIN_SHARED`` distinct word 8-grams with any benchmark
+    document (the standard n-gram-overlap contamination check run
+    before training).  Benchmark = the original documents table;
+    candidates = the injected near/exact duplicates (their shifted
+    copies share long token runs — real contamination by construction).
+
+    Scale shape: gram df-capping first (drop 8-grams present in more
+    than ``CONTAM_MAX_DF`` benchmark docs — stop-grams otherwise make
+    the equi-join quadratic on boilerplate), then one equi-join on the
+    gram and one count shuffle.  At 100 TB the gram key would be
+    xxhash64-packed instead of the string; the string keeps the oracle
+    readable here."""
+    corpus = _corpus(spark, sf_dir).filter(F.col("doc_id") >= 1_000_000)
+    bench = load_table(spark, sf_dir, "documents")
+    ce = corpus.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.explode(F.array_distinct(textops.word_ngrams(F.col("text"), CONTAM_NGRAM))).alias("g"),
+    )
+    be = bench.select(
+        F.col("doc_id").alias("benchmark_id"),
+        F.explode(F.array_distinct(textops.word_ngrams(F.col("text"), CONTAM_NGRAM))).alias("g"),
+    )
+    rare = (
+        be.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CONTAM_MAX_DF)
+        .select("g")
+    )
+    be_rare = be.join(rare, "g")
+    return (
+        ce.join(be_rare, "g")
+        .groupBy("corpus_id", "benchmark_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
+    )
+
+
+_G8 = (
+    "CASE WHEN len(ts) >= {n} THEN list_transform(range(1, len(ts) - {nm2}), i -> "
+    + " || ' ' || ".join(f"ts[i+{j}]" for j in range(CONTAM_NGRAM)).replace("ts[i+0]", "ts[i]")
+    + ") ELSE [] END"
+).format(n=CONTAM_NGRAM, nm2=CONTAM_NGRAM - 2)
+
+D21_SQL = rf"""
+WITH {_CORPUS_CTE},
+ctoks AS (
+  SELECT doc_id AS corpus_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts
+  FROM corpus WHERE doc_id >= 1000000),
+btoks AS (
+  SELECT doc_id AS benchmark_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts
+  FROM documents),
+ce AS (SELECT DISTINCT corpus_id, unnest({_G8}) AS g FROM ctoks),
+be AS (SELECT DISTINCT benchmark_id, unnest({_G8}) AS g FROM btoks),
+rare AS (SELECT g FROM be GROUP BY g HAVING count(*) <= {CONTAM_MAX_DF})
+SELECT ce.corpus_id, be.benchmark_id, count(*) AS n_shared
+FROM ce JOIN be USING (g) JOIN rare USING (g)
+GROUP BY 1, 2 HAVING count(*) >= {CONTAM_MIN_SHARED}
+"""
+
+
 # --------------------------------------------- d15 stratified sampling ----
 
 SAMPLE_MOD = 100
@@ -965,6 +1068,10 @@ SPECS = [
               "shard-safe sequence packing: (source, shard) sub-streams"),
     QuerySpec("d19_semdedup_removed", d19_semdedup_removed, D19_SQL, "dedup",
               "SemDeDup: k-means-bucketed per-cluster embedding dedup"),
+    QuerySpec("d20_token_percentiles", d20_token_percentiles, D20_SQL, "text",
+              "per-source token-length quantiles (exact interpolated)"),
+    QuerySpec("d21_benchmark_contamination", d21_benchmark_contamination, D21_SQL,
+              "dedup", "train/test decontamination via rare word-8-gram overlap"),
     QuerySpec("d18_top_bigrams", d18_top_bigrams, D18_SQL, "text",
               "corpus word-bigram frequencies via the n-gram array surface"),
 ]
