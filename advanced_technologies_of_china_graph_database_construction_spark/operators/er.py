@@ -54,6 +54,7 @@ def exact_similarity_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_rows: int = 4096,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """All pairs (src < dst, sim) with cosine similarity ≥ threshold.
 
@@ -74,7 +75,7 @@ def exact_similarity_pairs(
     decision at the threshold boundary is reproducible across engines.
     """
     src = emb.select(F.col(id_col).cast("long").alias("id"), as_double(F.col(vec_col)).alias("v"))
-    n = src.count()
+    n = n_rows if n_rows is not None else src.count()
     n_blocks = max(1, -(-n // block_rows))
     src = src.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int"))
     ks = F.sequence(F.lit(0), F.lit(n_blocks - 1))
@@ -224,7 +225,7 @@ def lsh_similarity_pairs(
 #   recall ≥ 99.9 % while passing ~1 % of random pairs).
 AUTO_EXACT_MAX = 100_000
 LSH_MIN_THRESHOLD = 0.7
-_EXACT_KWARGS = {"block_rows"}
+_EXACT_KWARGS = {"block_rows", "n_rows"}
 _LSH_KWARGS = {"n_planes", "bands", "seed"}
 
 
@@ -252,10 +253,13 @@ def similarity_pairs(
     passed together; each path receives only the ones it understands.
     """
     if strategy == "auto":
-        use_lsh = threshold >= LSH_MIN_THRESHOLD and emb.count() > AUTO_EXACT_MAX
+        n = emb.count()
+        use_lsh = threshold >= LSH_MIN_THRESHOLD and n > AUTO_EXACT_MAX
         strategy = "lsh" if use_lsh else "exact"
         allowed = _LSH_KWARGS if use_lsh else _EXACT_KWARGS
         kwargs = {k: v for k, v in kwargs.items() if k in allowed}
+        if not use_lsh:
+            kwargs.setdefault("n_rows", n)  # the dispatch count doubles as the block count
     if strategy == "exact":
         return exact_similarity_pairs(emb, threshold, id_col, vec_col, **kwargs)
     if strategy == "lsh":
