@@ -413,31 +413,23 @@ def embedding_semdedup_removed(
     deterministic).
 
     Scale shape: the O(n²) similarity work is confined to each cluster
-    — one Arrow GEMM task per cluster, per-task memory bounded by the
-    cluster's member count × dim.  That is exactly the SemDeDup trick:
-    k ≈ √n clusters turn a corpus-wide quadratic into n·(n/k) work with
-    no cross-cluster shuffle.  A pathologically skewed giant cluster
-    should be sub-blocked with the same block-pair replication as
-    `er.exact_similarity_pairs`; at the fixture scales every cluster
-    fits a task.
+    — the cluster-partitioned block-pair GEMM
+    (`er.exact_similarity_pairs(partition_by="centroid_id")`), so a
+    pathologically skewed giant cluster is sub-blocked across tasks by
+    the same replication scheme instead of landing on one executor,
+    and per-task memory stays bounded by 2·block_rows·dim doubles.
+    That is the SemDeDup trick: k ≈ √n clusters turn a corpus-wide
+    quadratic into n·(n/k) work with no cross-cluster pairs ever
+    scored.
 
     Returns one column (``removed``) — the distinct removed ids.
     """
-    from .er import _round_half_up
+    from .er import exact_similarity_pairs
 
-    joined = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
-        assignments.select(F.col(id_col).alias("id"), "centroid_id"), "id"
+    joined = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).join(assignments.select(F.col(id_col).alias("id"), "centroid_id"), "id")
+    pairs = exact_similarity_pairs(
+        joined, threshold, id_col="id", vec_col="v", partition_by="centroid_id"
     )
-    schema = T.StructType([T.StructField("removed", T.LongType())])
-
-    def prune(key, pdf):
-        ids = pdf["id"].to_numpy(dtype=np.int64)
-        if len(ids) < 2:
-            return pd.DataFrame({"removed": np.empty(0, dtype=np.int64)})
-        m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        sims = _round_half_up(m @ m.T)
-        dup = (sims >= threshold) & (ids[:, None] < ids[None, :])
-        return pd.DataFrame({"removed": np.unique(ids[np.nonzero(dup)[1]])})
-
-    return joined.groupBy("centroid_id").applyInPandas(prune, schema)
+    return pairs.select(F.col("dst").alias("removed")).distinct()

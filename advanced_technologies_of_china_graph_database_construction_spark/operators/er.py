@@ -55,6 +55,7 @@ def exact_similarity_pairs(
     vec_col: str = "embedding",
     block_rows: int = 4096,
     n_rows: int | None = None,
+    partition_by: str | None = None,
 ) -> DataFrame:
     """All pairs (src < dst, sim) with cosine similarity ≥ threshold.
 
@@ -67,26 +68,45 @@ def exact_similarity_pairs(
     carries n·B vector copies (not n² pairs), and per-task memory is
     bounded by 2·block_rows·d doubles regardless of corpus size.
 
-    This is the exact path; its cost is inherently quadratic in n. For
-    vocabularies beyond a few 10⁵ vectors use `lsh_similarity_pairs`,
-    whose candidate generation is collision-proportional.
+    ``partition_by`` names a column of ``emb``: pairs are then computed
+    WITHIN each partition value only (the SemDeDup shape — quadratic
+    work confined to each k-means cluster).  Block counts are derived
+    per partition from a distributed size aggregate (no driver scalar),
+    so a pathological giant partition is sub-blocked by exactly the
+    same replication instead of landing on one task.
+
+    This is the exact path; its cost is inherently quadratic in the
+    (partition) row count. For vocabularies beyond a few 10⁵ vectors
+    per partition use `lsh_similarity_pairs`, whose candidate
+    generation is collision-proportional.
 
     The comparison uses cosine rounded HALF_UP to 6 digits so the
     decision at the threshold boundary is reproducible across engines.
     """
-    src = emb.select(F.col(id_col).cast("long").alias("id"), as_double(F.col(vec_col)).alias("v"))
-    n = n_rows if n_rows is not None else src.count()
-    n_blocks = max(1, -(-n // block_rows))
-    src = src.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int"))
-    ks = F.sequence(F.lit(0), F.lit(n_blocks - 1))
+    cols = [F.col(id_col).cast("long").alias("id"), as_double(F.col(vec_col)).alias("v")]
+    if partition_by is not None:
+        cols.append(F.col(partition_by).alias("part"))
+    src = emb.select(*cols)
+    if partition_by is None:
+        n = n_rows if n_rows is not None else src.count()
+        src = src.withColumn("nb", F.lit(max(1, -(-n // block_rows))))
+        part_keys: list[str] = []
+    else:
+        sizes = src.groupBy("part").agg(F.count(F.lit(1)).alias("__n"))
+        src = src.join(sizes, "part").withColumn(
+            "nb", F.greatest(F.lit(1), F.ceil(F.col("__n") / block_rows)).cast("int")
+        )
+        part_keys = ["part"]
+    src = src.withColumn("blk", F.pmod(F.xxhash64("id"), F.col("nb")).cast("int"))
+    ks = F.sequence(F.lit(0), F.col("nb") - 1)
     bp = F.transform(
         ks,
         lambda k: F.struct(
             F.least(F.col("blk"), k).alias("bi"), F.greatest(F.col("blk"), k).alias("bj")
         ),
     )
-    replicated = src.select("id", "v", "blk", F.explode(bp).alias("bp")).select(
-        "id", "v", "blk", F.col("bp.bi").alias("bi"), F.col("bp.bj").alias("bj")
+    replicated = src.select(*part_keys, "id", "v", "blk", F.explode(bp).alias("bp")).select(
+        *part_keys, "id", "v", "blk", F.col("bp.bi").alias("bi"), F.col("bp.bj").alias("bj")
     )
 
     out_schema = T.StructType(
@@ -98,7 +118,7 @@ def exact_similarity_pairs(
     )
 
     def gemm_block_pair(key, pdf):
-        bi, bj = int(key[0]), int(key[1])
+        bi, bj = int(key[-2]), int(key[-1])  # (part?, bi, bj)
         a = pdf[pdf["blk"] == bi]
         if a.empty:
             return pd.DataFrame({"src": [], "dst": [], "sim": []}).astype(
@@ -130,7 +150,9 @@ def exact_similarity_pairs(
             {"src": np.minimum(ia, ib), "dst": np.maximum(ia, ib), "sim": sims[ii, jj]}
         )
 
-    return replicated.groupBy("bi", "bj").applyInPandas(gemm_block_pair, out_schema)
+    return replicated.groupBy(*part_keys, "bi", "bj").applyInPandas(
+        gemm_block_pair, out_schema
+    )
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:

@@ -174,3 +174,43 @@ def test_canonical_mapping_and_apply(spark, clustered_emb):
     m = {r.id: r.canonical for r in rows}
     for r in out.collect():
         assert r.kw_canonical == m.get(r.kw, r.kw)
+
+
+def test_partitioned_gemm_subblocks_match_global(spark, clustered_emb):
+    """partition_by with a single partition value must equal the global
+    GEMM, including when tiny block_rows forces multi-block sub-splitting
+    of that partition (the giant-cluster path)."""
+    from pyspark.sql import functions as F
+
+    one = clustered_emb.withColumn("grp", F.lit(1))
+    got = {
+        (r.src, r.dst, r.sim)
+        for r in exact_similarity_pairs(
+            one, 0.95, partition_by="grp", block_rows=16
+        ).collect()
+    }
+    want = {
+        (r.src, r.dst, r.sim)
+        for r in exact_similarity_pairs(clustered_emb, 0.95, block_rows=16).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_partitioned_gemm_scores_only_within_partitions(spark, clustered_emb):
+    """With a real partition column, no cross-partition pair may appear,
+    and within-partition pairs must equal the filtered global pair set."""
+    from pyspark.sql import functions as F
+
+    parted = clustered_emb.withColumn("grp", (F.col("vec_id") % 2).cast("int"))
+    got = {
+        (r.src, r.dst, r.sim)
+        for r in exact_similarity_pairs(
+            parted, 0.95, partition_by="grp", block_rows=16
+        ).collect()
+    }
+    glob = {
+        (r.src, r.dst, r.sim)
+        for r in exact_similarity_pairs(clustered_emb, 0.95).collect()
+    }
+    want = {(s, d, v) for s, d, v in glob if s % 2 == d % 2}
+    assert got == want and len(got) > 0
