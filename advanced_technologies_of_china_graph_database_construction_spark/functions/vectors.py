@@ -3,9 +3,10 @@ vector math over ``array<float>``/``array<double>`` columns.
 
 The reference's only vector compute is SentenceTransformer embeddings fed
 to cosine-metric clustering (`keyword_merger.py:183-197`).  Here cosine /
-dot / norm are built from ``zip_with`` + ``aggregate`` so the hot path
-never leaves the JVM; the pandas-UDF path is reserved for model inference
-(see operators/er.py LSH signatures).
+dot / norm are built from ``zip_with`` + ``aggregate`` — right for
+few-row paths (no Python round-trip) but interpreted per element, so
+bulk pair scoring uses :func:`arrow_cosine_rounded` (one einsum per
+Arrow batch, same arithmetic and rounding).
 
 All math is done in double (arrays cast first): float accumulation is
 not associative enough to compare across engines, and the DuckDB oracle

@@ -13,15 +13,18 @@ Spark-first decomposition:
   graph (operators/connected_components.py);
 - mapping application is a **broadcast left join + coalesce** (J1).
 
-Two similarity-join strategies:
-- ``exact_similarity_pairs``: blocked O(n²) join, fine to a few 10⁵
-  vectors per attribute (the reference's real scale is 88k keywords) —
-  and the correctness oracle for the approximate path.
+Two similarity-join strategies plus a measured dispatcher:
+- ``exact_similarity_pairs``: blocked GEMM join (optionally confined to
+  a partition column), fine to a few 10⁵ vectors per attribute (the
+  reference's real scale is 88k keywords) — and the correctness oracle
+  for the approximate path.
 - ``lsh_similarity_pairs``: random-hyperplane (sign) LSH — signatures
   via an Arrow-batched pandas UDF, candidates from banded signature
-  equality, then exact cosine on candidates only.  This is the 100 TB
-  path: candidate generation is an equi-join on (band, band_signature),
-  so the shuffle is proportional to collisions, not n².
+  equality, then Arrow-batched exact cosine on candidates only.
+- ``similarity_pairs(strategy="auto")``: picks between them on vector
+  count AND threshold — sign-LSH banding only prunes in the near-dup
+  regime; see the measured dispatch bounds at ``AUTO_EXACT_MAX`` /
+  ``LSH_MIN_THRESHOLD``.
 """
 
 from __future__ import annotations
