@@ -40,7 +40,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero-norm vector yields NULL instead of crashing the
+    # job under ANSI mode (Spark 4 default) — the same convention as the
+    # Arrow kernel, so degenerate rows are filtered, not ranked or fatal.
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_rounded(a: Column, b: Column, digits: int = 6) -> Column:
@@ -67,13 +70,29 @@ def arrow_cosine_rounded(a: Column, b: Column, digits: int = 6) -> Column:
 
     @F.pandas_udf(T.DoubleType())
     def cos_batch(av: pd.Series, bv: pd.Series) -> pd.Series:
-        ma = np.stack(av.to_numpy()).astype(np.float64)
-        mb = np.stack(bv.to_numpy()).astype(np.float64)
-        num = np.einsum("ij,ij->i", ma, mb)
-        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-        scaled = num / den * scale
-        return pd.Series(
-            np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)) / scale
-        )
+        # Degenerate inputs must match the JVM expression: a NULL array
+        # or zero-norm vector yields NULL (Spark's divide-by-zero →
+        # NULL), never NaN — NaN sorts ABOVE every double in descending
+        # windows, which would rank garbage neighbors first.
+        a_list, b_list = av.tolist(), bv.tolist()
+        valid = [
+            i for i, (x, y) in enumerate(zip(a_list, b_list))
+            if x is not None and y is not None
+        ]
+        out = np.full(len(a_list), np.nan)
+        if valid:
+            ma = np.stack([a_list[i] for i in valid]).astype(np.float64)
+            mb = np.stack([b_list[i] for i in valid]).astype(np.float64)
+            num = np.einsum("ij,ij->i", ma, mb)
+            den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scaled = num / den * scale
+            out[valid] = (
+                np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5))
+                / scale
+            )
+        res = pd.Series(out, dtype="Float64")
+        res[~np.isfinite(out)] = pd.NA
+        return res
 
     return cos_batch(a, b)

@@ -8,10 +8,11 @@ the exact same JSON contract.
 The engine boundary is ``handle_request`` (pure dict → dict, no
 sockets), so any framework — or no framework — can front it; ``serve``
 is the batteries-included loopback server used by the tests and by a
-single-node deployment.  ``history`` and ``session_id`` are accepted
-and echoed into provenance but don't alter planning (multi-turn glue is
-UI scope, SURVEY §2.10 Q5); ``neo4j_enabled`` maps to "run the graph
-templates vs fulltext-only", mirroring the reference's toggle
+single-node deployment.  ``history``'s prior user turns feed the Q5
+multi-turn glue on both branches (a follow-up naming no quoted entity
+inherits the conversation's most recent quoted terms — see
+``planner.plan``); ``neo4j_enabled`` maps to "run the graph templates
+vs fulltext-only", mirroring the reference's toggle
 (`api_server.py:78-88`).
 """
 
@@ -44,7 +45,7 @@ def handle_request(spark: SparkSession, sf_dir: str, payload: dict) -> dict:
     if graph_enabled:
         res = answer(spark, sf_dir, query, history=user_turns or None)
     else:
-        p = plan(query)
+        p = plan(query, history=user_turns or None)
         tokens = [w for t in p.terms for w in t.split()]
         rows = fulltext_search(spark, sf_dir, tokens, require_all=True).collect()
         from .engine import default_synthesizer
@@ -77,7 +78,11 @@ def serve(
     import itertools
     import threading
 
-    tick = itertools.count(1)
+    # Monotonic across restarts: resume after the store's largest
+    # persisted timestamp so recency ordering (L4) survives process
+    # lives.
+    start = (history.max_ts() + 1) if history is not None else 1
+    tick = itertools.count(start)
     tick_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -112,7 +117,5 @@ def serve(
             pass
 
     server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
-    import threading
-
     threading.Thread(target=server.serve_forever, daemon=True).start()
     return server

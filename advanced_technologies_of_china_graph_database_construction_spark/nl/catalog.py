@@ -91,15 +91,22 @@ FEW_SHOT = (
 )
 
 
-def build_prompt(g: GraphModel, question: str) -> str:
-    """Full compilation prompt: catalog + rules + few-shot + question —
-    the same structure as the reference's Cypher prompt
-    (`neo4j_query_executor.py:250-297`), targeting Spark SQL."""
+def build_prompt(
+    g: GraphModel, question: str, history: list[str] | None = None
+) -> str:
+    """Full compilation prompt: catalog + rules + few-shot + (optional
+    conversation history) + question — the same structure as the
+    reference's Cypher prompt (`neo4j_query_executor.py:250-297`, the
+    chat log arriving via `api_server.py:70-88`), targeting Spark SQL."""
     parts = [schema_catalog(g), "", "Rules:"]
     parts += [f"{i + 1}. {r}" for i, r in enumerate(PROMPT_RULES)]
     parts.append("")
     for q, sql in FEW_SHOT:
         parts += [f"Q: {q}", f"SQL: {sql}", ""]
+    if history:
+        parts.append("Conversation so far:")
+        parts += [f"- {turn}" for turn in history]
+        parts.append("")
     parts.append(f"Q: {question}")
     parts.append("SQL:")
     return "\n".join(parts)

@@ -11,6 +11,7 @@ an answer (pluggable; deterministic default so tests never call an LLM,
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -227,7 +228,10 @@ Synthesizer = Callable[[str, str], str]
 def default_synthesizer(question: str, formatted: str) -> str:
     if not formatted:
         return "No results found."
-    n = formatted.count("\n") + 1
+    # Count numbered record lines, not raw newlines: format_rows escapes
+    # newlines inside values, so every line start matching "N. " is a
+    # record.
+    n = len(re.findall(r"(?m)^\d+\. ", formatted))
     return f"Found {n} result(s):\n{formatted}"
 
 
@@ -269,7 +273,9 @@ def answer(
         # the reference builds it per request (`neo4j_query_executor.py:250`).
         from .catalog import build_prompt
 
-        p = compiler(question, build_prompt(build_graph(spark, sf_dir), question))
+        p = compiler(
+            question, build_prompt(build_graph(spark, sf_dir), question, history)
+        )
     if p.template != FALLBACK_TEMPLATE and p.template not in TEMPLATES:
         # A compiler (LLM or otherwise) can emit an unknown template —
         # degrade to the fallback search over its terms, the same

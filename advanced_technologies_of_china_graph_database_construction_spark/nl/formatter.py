@@ -19,7 +19,10 @@ def format_value(v: Any) -> str:
         return "{" + ", ".join(f"{k}: {format_value(x)}" for k, x in v.items()) + "}"
     if isinstance(v, (list, tuple)):
         return "[" + ", ".join(format_value(x) for x in v) + "]"
-    return str(v)
+    # One record = one line: newlines inside string values are escaped so
+    # the numbered-line framing (and anything counting records from the
+    # text) stays exact.
+    return str(v).replace("\r", "\\r").replace("\n", "\\n")
 
 
 def format_rows(rows: list[Row]) -> str:

@@ -16,6 +16,7 @@ deterministic and the store never reads a wall clock itself.
 from __future__ import annotations
 
 import sqlite3
+import threading
 
 _SCHEMA = """
 CREATE TABLE IF NOT EXISTS chats (
@@ -37,11 +38,14 @@ CREATE INDEX IF NOT EXISTS idx_messages_session ON messages(session_id, id);
 
 class ChatHistory:
     """CRUD over the chats/messages tables; safe to share across the
-    API server's handler threads (each call opens a short transaction).
-    """
+    API server's handler threads — a single lock serializes every call
+    (one shared sqlite3 connection means concurrent transactions would
+    otherwise interleave, and append's create-chat check is
+    check-then-act)."""
 
     def __init__(self, path: str = ":memory:"):
         self._conn = sqlite3.connect(path, check_same_thread=False)
+        self._lock = threading.Lock()
         self._conn.execute("PRAGMA foreign_keys = ON")
         self._conn.executescript(_SCHEMA)
 
@@ -50,7 +54,7 @@ class ChatHistory:
     ) -> None:
         """Add one message; creates the chat row on first use (titled
         with the first user message unless given, like the reference)."""
-        with self._conn:
+        with self._lock, self._conn:
             row = self._conn.execute(
                 "SELECT 1 FROM chats WHERE session_id = ?", (session_id,)
             ).fetchone()
@@ -73,20 +77,32 @@ class ChatHistory:
     def messages(self, session_id: str) -> list[tuple[str, str]]:
         """(role, content) in insertion order — the ``history`` payload
         shape the endpoint echoes."""
-        return self._conn.execute(
+        with self._lock:
+            return self._conn.execute(
             "SELECT role, content FROM messages WHERE session_id = ? ORDER BY id",
             (session_id,),
         ).fetchall()
 
     def list_chats(self) -> list[tuple[str, str]]:
         """(session_id, title), most recently active first (L4)."""
-        return self._conn.execute(
-            "SELECT session_id, title FROM chats ORDER BY updated_at DESC, session_id"
-        ).fetchall()
+        with self._lock:
+            return self._conn.execute(
+                "SELECT session_id, title FROM chats ORDER BY updated_at DESC, session_id"
+            ).fetchall()
 
     def delete_chat(self, session_id: str) -> None:
-        with self._conn:
+        with self._lock, self._conn:
             self._conn.execute("DELETE FROM chats WHERE session_id = ?", (session_id,))
+
+    def max_ts(self) -> int:
+        """Largest timestamp ever written (0 when empty) — lets a
+        restarted caller keep its tick monotonic across process lives."""
+        with self._lock:
+            row = self._conn.execute(
+                "SELECT coalesce(max(updated_at), 0), "
+                "(SELECT coalesce(max(created_at), 0) FROM messages) FROM chats"
+            ).fetchone()
+        return max(row)
 
     def close(self) -> None:
         self._conn.close()

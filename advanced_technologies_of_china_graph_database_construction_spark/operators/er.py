@@ -250,7 +250,7 @@ def lsh_similarity_pairs(
 #   recall ≥ 99.9 % while passing ~1 % of random pairs).
 AUTO_EXACT_MAX = 100_000
 LSH_MIN_THRESHOLD = 0.7
-_EXACT_KWARGS = {"block_rows", "n_rows"}
+_EXACT_KWARGS = {"block_rows", "n_rows", "partition_by"}
 _LSH_KWARGS = {"n_planes", "bands", "seed"}
 
 

@@ -108,7 +108,9 @@ LIMIT 100
 # the template stage's rows.
 N06_SQL = """
 WITH hits AS (
-  SELECT doc_id, substring(text, 1, 120) AS snippet
+  SELECT doc_id,
+         replace(replace(substring(text, 1, 120), chr(13), '\\r'), chr(10), '\\n')
+           AS snippet
   FROM documents
   WHERE contains(lower(text), 'merge batch')
   ORDER BY doc_id

@@ -115,20 +115,23 @@ def _pack_stream_fn(budget: int):
     ) -> Iterator[pd.DataFrame]:
         (source,) = key
         off = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id")  # arrival order within the batch
-            toks = pdf["tok"].to_numpy()
-            starts = off + toks.cumsum() - toks
-            off = int(off + toks.sum())
-            yield pd.DataFrame(
-                {
-                    "source": source,
-                    "doc_id": pdf["doc_id"].to_numpy(),
-                    "start_off": starts,
-                    "bin": starts // budget,
-                }
-            )
-        state.update((off,))
+        # A group's micro-batch rows arrive as MULTIPLE Arrow chunks in
+        # arbitrary shuffle order — sorting each chunk independently
+        # would misassign offsets whenever a batch spans chunks, so
+        # materialize the whole group-batch and sort once.  Memory is
+        # bounded by one source's share of one micro-batch.
+        pdf = pd.concat(list(pdfs)).sort_values("doc_id")
+        toks = pdf["tok"].to_numpy()
+        starts = off + toks.cumsum() - toks
+        state.update((int(off + toks.sum()),))
+        yield pd.DataFrame(
+            {
+                "source": source,
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "start_off": starts,
+                "bin": starts // budget,
+            }
+        )
 
     return update
 

@@ -214,3 +214,35 @@ def test_partitioned_gemm_scores_only_within_partitions(spark, clustered_emb):
     }
     want = {(s, d, v) for s, d, v in glob if s % 2 == d % 2}
     assert got == want and len(got) > 0
+
+
+def test_arrow_cosine_degenerate_inputs_match_jvm(spark):
+    """NULL arrays and zero-norm vectors must yield NULL (like the JVM
+    divide-by-zero semantics), never NaN — NaN would outrank every real
+    neighbor in descending top-k windows."""
+    from pyspark.sql import functions as F
+
+    from advanced_technologies_of_china_graph_database_construction_spark.functions.vectors import (
+        arrow_cosine_rounded,
+        cosine_rounded,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),
+            (2, [0.0, 0.0], [1.0, 0.0]),  # zero norm
+            (3, None, [1.0, 0.0]),  # null array
+            (4, [1.0, 1.0], [1.0, 0.0]),
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    got = {
+        r.id: r.s
+        for r in df.select("id", arrow_cosine_rounded(F.col("a"), F.col("b")).alias("s")).collect()
+    }
+    want = {
+        r.id: r.s
+        for r in df.select("id", cosine_rounded(F.col("a"), F.col("b")).alias("s")).collect()
+    }
+    assert got == want
+    assert got[2] is None and got[3] is None and got[1] == 1.0

@@ -357,3 +357,90 @@ def test_http_endpoint_threads_history(spark):
         assert out["template"] == "authors_of_doc"
     finally:
         server.shutdown()
+
+
+# ------------------------------------------- review regression fixes ------
+
+def test_format_rows_escapes_newlines_and_count_is_exact():
+    from pyspark.sql import Row
+
+    rows = [Row(a="line1\nline2\r3. fake"), Row(a="plain")]
+    txt = formatter.format_rows(rows)
+    assert "\n".join(txt.splitlines()) == txt and len(txt.splitlines()) == 2
+    assert "line1\\nline2\\r3. fake" in txt
+    out = engine.default_synthesizer("q", txt)
+    assert out.startswith("Found 2 result(s):")
+
+
+def test_chat_history_is_thread_safe(tmp_path):
+    import threading
+
+    from advanced_technologies_of_china_graph_database_construction_spark.nl.history import ChatHistory
+
+    h = ChatHistory(str(tmp_path / "chats.db"))
+    errors = []
+
+    def hammer(tid):
+        try:
+            for i in range(25):
+                h.append("shared", "user", f"t{tid}-{i}", ts=tid * 1000 + i)
+                h.append(f"s{tid}", "assistant", f"a{tid}-{i}", ts=tid * 1000 + i)
+                h.list_chats()
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=hammer, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert len(h.messages("shared")) == 8 * 25
+    assert h.max_ts() == 7 * 1000 + 24
+    h.close()
+
+
+def test_history_max_ts_keeps_recency_after_restart(tmp_path):
+    from advanced_technologies_of_china_graph_database_construction_spark.nl.history import ChatHistory
+
+    path = str(tmp_path / "chats.db")
+    h = ChatHistory(path)
+    h.append("old", "user", "hello", ts=50)
+    h.close()
+    h2 = ChatHistory(path)
+    assert h2.max_ts() == 50
+    h2.append("new", "user", "hi", ts=h2.max_ts() + 1)
+    assert [sid for sid, _ in h2.list_chats()] == ["new", "old"]
+    h2.close()
+
+
+def test_handle_request_threads_history_when_graph_disabled(spark):
+    from advanced_technologies_of_china_graph_database_construction_spark.nl import api
+
+    out = api.handle_request(
+        spark,
+        SF,
+        {
+            "query": "what else about it?",
+            "neo4j_enabled": False,
+            "history": [{"role": "user", "content": 'docs mentioning "merge batch"'}],
+        },
+    )
+    assert out["stage"] == "fulltext_only"
+    assert out["n_rows"] > 0  # inherited "merge batch" tokens found docs
+
+
+def test_compiler_prompt_includes_history(spark):
+    seen = {}
+
+    def compiler(question, prompt):
+        seen["prompt"] = prompt
+        return planner.QueryPlan(
+            template="doc_properties", params={"title": "DOC-7"}
+        )
+
+    engine.answer(
+        spark, SF, "and its year?", compiler=compiler, history=['about "DOC-7"']
+    )
+    assert "Conversation so far:" in seen["prompt"]
+    assert 'about "DOC-7"' in seen["prompt"]

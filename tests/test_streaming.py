@@ -202,7 +202,15 @@ def test_streaming_packing_matches_batch(spark, tmp_path):
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(out)
     )
-    name = _run_stream(stateful.packing_stream(stream, 256), "append")
+    # Force each group's micro-batch through MULTIPLE Arrow chunks: the
+    # operator must materialize-and-sort the whole group batch, not sort
+    # chunks independently (chunk arrival order is shuffle order).
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        name = _run_stream(stateful.packing_stream(stream, 256), "append")
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)
     batch = stateful.packing_batch(spark.read.parquet(out), 256)
     cols = ["source", "doc_id", "start_off", "bin"]
     got = _rows(spark, name, cols)
