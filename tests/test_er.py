@@ -246,3 +246,21 @@ def test_arrow_cosine_degenerate_inputs_match_jvm(spark):
     }
     assert got == want
     assert got[2] is None and got[3] is None and got[1] == 1.0
+
+
+def test_auto_dispatch_passes_partition_by(spark, clustered_emb):
+    """strategy='auto' must forward partition_by to the exact path —
+    silently stripping it would quietly widen the pair set to
+    cross-partition pairs."""
+    from pyspark.sql import functions as F
+
+    parted = clustered_emb.withColumn("grp", (F.col("vec_id") % 2).cast("int"))
+    auto = {
+        (r.src, r.dst)
+        for r in similarity_pairs(parted, 0.95, "auto", partition_by="grp").collect()
+    }
+    manual = {
+        (r.src, r.dst)
+        for r in exact_similarity_pairs(parted, 0.95, partition_by="grp").collect()
+    }
+    assert auto == manual and len(auto) > 0
