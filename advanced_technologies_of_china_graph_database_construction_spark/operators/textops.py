@@ -147,6 +147,17 @@ def word_ngrams(text: Column, n: int) -> Column:
     )
 
 
+def dup_word_fraction(text: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token
+    (1 − distinct/total) — the word-level Gopher-style repetition
+    signal; 0 for empty text.  Pure JVM array expression."""
+    toks = F.filter(ws_tokens(text), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    return F.when(n > 0, F.round(
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n.cast("double"), 6
+    )).otherwise(F.lit(0.0))
+
+
 def normalize_text(text: Column) -> Column:
     """Lowercase + whitespace collapse (F3 normalization)."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))

@@ -797,6 +797,87 @@ GROUP BY 1, 2 HAVING count(*) >= {CONTAM_MIN_SHARED}
 """
 
 
+# --------------------------------------- d22 repetition filters -----------
+
+DUP_WORD_MAX = 0.8  # Gopher-style repetition caps, tuned to the fixture
+TOP_BIGRAM_MAX = 0.1  # corpus so both branches of the flag fire
+
+
+def d22_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021 §A1.1):
+    per-document duplicate-word fraction (1 − distinct/total tokens) and
+    top-bigram fraction (most frequent word bigram's share of all
+    bigrams), rolled up per source with the count of documents a
+    repetition-capped pipeline would drop.  The unigram signal is one
+    map-side array expression; the bigram mode needs one count shuffle
+    keyed by (doc, gram) and a max_by — both engines compute identical
+    integer-count rationals, so the flag thresholds carry no float
+    boundary risk."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "doc_id",
+        textops.dup_word_fraction(F.col("text")).alias("dup_word_frac"),
+        F.explode_outer(textops.word_ngrams(F.col("text"), 2)).alias("g"),
+    )
+    per_gram = base.groupBy("source", "doc_id", "dup_word_frac", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = per_gram.groupBy("source", "doc_id", "dup_word_frac").agg(
+        F.round(
+            F.when(
+                F.max(F.when(F.col("g").isNotNull(), F.col("c"))).isNotNull(),
+                F.max(F.when(F.col("g").isNotNull(), F.col("c"))).cast("double")
+                / F.sum(F.when(F.col("g").isNotNull(), F.col("c"))).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_bigram_frac")
+    )
+    flagged = (F.col("dup_word_frac") > DUP_WORD_MAX) | (
+        F.col("top_bigram_frac") > TOP_BIGRAM_MAX
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dup_word_frac"), 6).alias("avg_dup_word_frac"),
+        F.round(F.avg("top_bigram_frac"), 6).alias("avg_top_bigram_frac"),
+        F.sum(flagged.cast("long")).alias("n_flagged"),
+    )
+
+
+D22_SQL = rf"""
+WITH toks AS (
+  SELECT source, doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts
+  FROM documents),
+uni AS (
+  SELECT source, doc_id,
+         CASE WHEN len(ts) > 0
+              THEN round(1.0 - len(list_distinct(ts))::DOUBLE / len(ts), 6)
+              ELSE 0.0 END AS dup_word_frac,
+         CASE WHEN len(ts) >= 2
+              THEN list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+              ELSE [] END AS grams
+  FROM toks),
+gcounts AS (
+  SELECT source, doc_id, dup_word_frac, g, count(*) AS c
+  FROM (SELECT source, doc_id, dup_word_frac, unnest(grams) AS g FROM uni)
+  GROUP BY 1, 2, 3, 4),
+per_doc AS (
+  SELECT u.source, u.doc_id, u.dup_word_frac,
+         coalesce(round(gc.mx::DOUBLE / gc.tot, 6), 0.0) AS top_bigram_frac
+  FROM uni u LEFT JOIN (
+    SELECT source, doc_id, max(c) AS mx, sum(c) AS tot
+    FROM gcounts GROUP BY 1, 2) gc USING (source, doc_id))
+SELECT source, count(*) AS n_docs,
+       round(avg(dup_word_frac), 6) AS avg_dup_word_frac,
+       round(avg(top_bigram_frac), 6) AS avg_top_bigram_frac,
+       sum(CASE WHEN dup_word_frac > {DUP_WORD_MAX}
+                  OR top_bigram_frac > {TOP_BIGRAM_MAX}
+                THEN 1 ELSE 0 END)::BIGINT AS n_flagged
+FROM per_doc GROUP BY source
+"""
+
+
 # --------------------------------------------- d15 stratified sampling ----
 
 SAMPLE_MOD = 100
@@ -1072,6 +1153,8 @@ SPECS = [
               "per-source token-length quantiles (exact interpolated)"),
     QuerySpec("d21_benchmark_contamination", d21_benchmark_contamination, D21_SQL,
               "dedup", "train/test decontamination via rare word-8-gram overlap"),
+    QuerySpec("d22_repetition_filters", d22_repetition_filters, D22_SQL, "text",
+              "Gopher-style repetition filters: dup-word + top-bigram fractions"),
     QuerySpec("d18_top_bigrams", d18_top_bigrams, D18_SQL, "text",
               "corpus word-bigram frequencies via the n-gram array surface"),
 ]
