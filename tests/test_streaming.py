@@ -216,3 +216,63 @@ def test_streaming_packing_matches_batch(spark, tmp_path):
     got = _rows(spark, name, cols)
     want = sorted(tuple(r[c] for c in cols) for r in batch.collect())
     assert got == want and len(got) > 0
+
+
+def test_streaming_packing_checkpoint_recovery(spark, tmp_path):
+    """Kill-and-restart the stateful packing stream with the same
+    checkpoint: the GroupState offsets must survive, so documents fed
+    after the restart land in exactly the bins the batch computation
+    assigns over ALL input — nothing re-emitted, no offset reset."""
+    import os
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators import textops
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    toks = docs.select(
+        "source", "doc_id", textops.token_count(F.col("text")).cast("long").alias("tok")
+    )
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def feed(lo, hi):
+        (
+            toks.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    def run_once():
+        schema = toks.schema
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            stateful.packing_stream(stream, 256)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    feed(0, 250)
+    run_once()
+    n1 = spark.read.parquet(sink).count()
+    feed(250, 10**9)  # arrives only after the first query object died
+    run_once()
+
+    got = sorted(
+        (r["source"], r["doc_id"], r["start_off"], r["bin"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    want = sorted(
+        (r["source"], r["doc_id"], r["start_off"], r["bin"])
+        for r in stateful.packing_batch(toks, 256).collect()
+    )
+    assert 0 < n1 < len(want)
+    assert got == want
