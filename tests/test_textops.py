@@ -49,3 +49,30 @@ def test_bigrams_equal_ngrams_2(spark):
     assert _run(spark, textops.word_bigrams(F.col("text")), texts) == _run(
         spark, textops.word_ngrams(F.col("text"), 2), texts
     )
+
+
+# ------------------------------------------------------ property check ----
+
+def test_word_ngrams_matches_python_reference(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    texts_strategy = st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab \t\né中")), max_size=24
+        ),
+        min_size=1,
+        max_size=6,
+    )
+
+    def ref(text, n):
+        toks = [t for t in (text or "").split() if t]
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    @given(texts_strategy, st.integers(1, 4))
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    def check(texts, n):
+        got = _run(spark, textops.word_ngrams(F.col("text"), n), texts)
+        assert got == [ref(t, n) for t in texts]
+
+    check()
