@@ -444,3 +444,13 @@ def test_compiler_prompt_includes_history(spark):
     )
     assert "Conversation so far:" in seen["prompt"]
     assert 'about "DOC-7"' in seen["prompt"]
+
+
+def test_cli_query_prints_answer(spark, capsys):
+    from advanced_technologies_of_china_graph_database_construction_spark.__main__ import main
+
+    rc = main(["--sf-dir", SF, "query", 'What is the year and abstract of "DOC-7"?'])
+    out, err = capsys.readouterr()
+    assert rc == 0
+    assert "DOC-7" in out and "Found 1 result(s)" in out
+    assert "template=doc_properties" in err
