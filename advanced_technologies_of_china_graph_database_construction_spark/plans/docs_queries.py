@@ -797,6 +797,86 @@ GROUP BY 1, 2 HAVING count(*) >= {CONTAM_MIN_SHARED}
 """
 
 
+# --------------------------------------------- d23 PII redaction ----------
+
+# Same Java/RE2-portable character-class forms on both engines.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+
+def d23_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrub pass a training corpus runs
+    before release.  The fixture corpus carries no PII, so emails and
+    phone numbers are INJECTED deterministically (every 7th doc gains an
+    address, every 11th a phone number — same construction in the
+    oracle), then detected and replaced with type tags; output is the
+    per-source audit a redaction job emits (docs touched, matches
+    removed, residual-PII count, which must be zero).  Pure map-side
+    regexp expressions until the final rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 11 == 0,
+            F.concat(F.lit(" tel +86-555-"), F.lpad((d % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    n_email = F.size(F.regexp_extract_all(injected, F.lit(EMAIL_RE), F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all(injected, F.lit(PHONE_RE), F.lit(0)))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(injected, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    residual = F.size(
+        F.regexp_extract_all(scrubbed, F.lit(f"{EMAIL_RE}|{PHONE_RE}"), F.lit(0))
+    )
+    per_doc = docs.select(
+        "source",
+        n_email.alias("n_email"),
+        n_phone.alias("n_phone"),
+        residual.alias("n_residual"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum((F.col("n_email") + F.col("n_phone") > 0).cast("long")).alias("n_docs_with_pii"),
+        F.sum("n_email").cast("long").alias("n_emails"),
+        F.sum("n_phone").cast("long").alias("n_phones"),
+        F.sum("n_residual").cast("long").alias("n_residual"),
+    )
+
+
+D23_SQL = rf"""
+WITH injected AS (
+  SELECT source,
+         text
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ' tel +86-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END AS t
+  FROM documents),
+counted AS (
+  SELECT source,
+         len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_email,
+         len(regexp_extract_all(t, '{PHONE_RE}')) AS n_phone,
+         len(regexp_extract_all(
+               regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g'),
+               '{EMAIL_RE}|{PHONE_RE}')) AS n_residual
+  FROM injected)
+SELECT source,
+       sum(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_with_pii,
+       sum(n_email)::BIGINT AS n_emails,
+       sum(n_phone)::BIGINT AS n_phones,
+       sum(n_residual)::BIGINT AS n_residual
+FROM counted GROUP BY source
+"""
+
+
 # --------------------------------------- d22 repetition filters -----------
 
 DUP_WORD_MAX = 0.8  # Gopher-style repetition caps, tuned to the fixture
@@ -1155,6 +1235,8 @@ SPECS = [
               "dedup", "train/test decontamination via rare word-8-gram overlap"),
     QuerySpec("d22_repetition_filters", d22_repetition_filters, D22_SQL, "text",
               "Gopher-style repetition filters: dup-word + top-bigram fractions"),
+    QuerySpec("d23_pii_redaction", d23_pii_redaction, D23_SQL, "text",
+              "PII detect + redact audit (email/phone regexes, zero residual)"),
     QuerySpec("d18_top_bigrams", d18_top_bigrams, D18_SQL, "text",
               "corpus word-bigram frequencies via the n-gram array surface"),
 ]
