@@ -98,6 +98,26 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         return []
 
 
+def parquet_row_count(sf_dir: str, name: str) -> int | None:
+    """Exact row count from parquet footer metadata — no Spark job, no
+    data scan.  ``pyarrow.dataset.count_rows()`` with no filter sums the
+    per-row-group counts recorded in each file footer, so the cost is
+    O(#files) driver-side footer reads (milliseconds), not O(rows).
+
+    Used by the similarity-join `auto` dispatcher so strategy selection
+    doesn't pay a full extra pass over the embeddings (the er02 +18%
+    regression in round 3).  At cluster scale the same number comes from
+    catalog statistics; this is the path-based-table fallback.  Returns
+    None when the footeronly count isn't available (callers then fall
+    back to a Spark count)."""
+    try:
+        import pyarrow.dataset as ds
+
+        return int(ds.dataset(f"{sf_dir}/{name}.parquet", format="parquet").count_rows())
+    except Exception:
+        return None
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

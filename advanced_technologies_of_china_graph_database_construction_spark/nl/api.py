@@ -98,14 +98,26 @@ def serve(
             if not isinstance(payload, dict):
                 out, status = {"error": "body must be a JSON object"}, 400
             else:
-                out = handle_request(spark, sf_dir, payload)
-                status = 400 if "error" in out else 200
+                # Engine errors (Spark analysis failures, malformed
+                # history contents, …) must come back as a JSON 500, not
+                # kill the connection with a traceback through the
+                # default handle_error.
+                try:
+                    out = handle_request(spark, sf_dir, payload)
+                    status = 400 if "error" in out else 200
+                except Exception as exc:  # noqa: BLE001 — service boundary
+                    out, status = {"error": f"internal error: {exc}"}, 500
                 if status == 200 and history is not None and out.get("session_id"):
+                    # Hold the lock across BOTH appends: ticket allocation
+                    # and insertion must be atomic per request, or two
+                    # concurrent requests for one session interleave
+                    # user/assistant rows and break the alternating-turn
+                    # shape list_chats/messages consumers assume.
+                    sid = out["session_id"]
                     with tick_lock:
                         t0, t1 = next(tick), next(tick)
-                    sid = out["session_id"]
-                    history.append(sid, "user", payload["query"], t0)
-                    history.append(sid, "assistant", out["answer"], t1)
+                        history.append(sid, "user", payload["query"], t0)
+                        history.append(sid, "assistant", out["answer"], t1)
             body = json.dumps(out).encode("utf-8")
             self.send_response(status)
             self.send_header("Content-Type", "application/json")

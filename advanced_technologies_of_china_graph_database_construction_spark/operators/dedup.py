@@ -153,7 +153,11 @@ def minhash_signatures(shingles: DataFrame, spark=None) -> DataFrame:
 
 
 def minhash_near_dups(
-    df: DataFrame, text_col: str = "text", block_col: str = "source", min_matching: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    block_col: str = "source",
+    min_matching: int = 8,
+    broadcast_threshold_docs: int = 200_000,
 ) -> DataFrame:
     """Near-duplicate pairs: docs in the same block agreeing on ≥
     ``min_matching`` of the 16 minhashes (integer threshold — no float
@@ -201,18 +205,23 @@ def minhash_near_dups(
     # Verification: the signature table is n_docs × 16 longs (~140 B/doc),
     # orders of magnitude smaller than the candidate pair set — broadcast
     # it to both sides so the exact-match count is computed map-side over
-    # the candidates with no further shuffle.  At a scale where the sig
-    # table outgrows the broadcast budget, drop the hints and Catalyst
-    # falls back to shuffled joins (`block_col` already bounds each
-    # verification domain).
+    # the candidates with no further shuffle.  The hint is CONDITIONAL on
+    # the doc count (counted off the eager localCheckpoint, so the check
+    # is a block scan, not a source re-read): past the cap a forced
+    # broadcast of ~10⁹ × 140 B signatures would OOM every executor, so
+    # the hints are dropped and Catalyst falls back to shuffled joins
+    # (`block_col` already bounds each verification domain).  Same gate
+    # as `ngram_jaccard_pairs`.
     sa = sig.select(F.col("doc_id").alias("src"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("dst"), F.col("sig").alias("sig_b"))
+    if sig.count() <= broadcast_threshold_docs:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     n_match = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     )
     return (
-        cands.join(F.broadcast(sa), "src")
-        .join(F.broadcast(sb), "dst")
+        cands.join(sa, "src")
+        .join(sb, "dst")
         .select("src", "dst", n_match.alias("n_matching"))
         .filter(F.col("n_matching") >= min_matching)
     )

@@ -95,9 +95,20 @@ def exact_similarity_pairs(
         src = src.withColumn("nb", F.lit(max(1, -(-n // block_rows))))
         part_keys: list[str] = []
     else:
+        # Null-safe size join: groupBy already treats NULL as its own
+        # group, and eqNullSafe keeps those rows in the pair computation
+        # (a plain inner join on "part" would silently drop every
+        # NULL-partition row instead of comparing them to each other).
         sizes = src.groupBy("part").agg(F.count(F.lit(1)).alias("__n"))
-        src = src.join(sizes, "part").withColumn(
-            "nb", F.greatest(F.lit(1), F.ceil(F.col("__n") / block_rows)).cast("int")
+        src = (
+            src.join(
+                sizes.withColumnRenamed("part", "__szpart"),
+                F.col("part").eqNullSafe(F.col("__szpart")),
+            )
+            .drop("__szpart")
+            .withColumn(
+                "nb", F.greatest(F.lit(1), F.ceil(F.col("__n") / block_rows)).cast("int")
+            )
         )
         part_keys = ["part"]
     src = src.withColumn("blk", F.pmod(F.xxhash64("id"), F.col("nb")).cast("int"))
@@ -276,10 +287,31 @@ def similarity_pairs(
     HALF_UP rounding, so downstream stages (`canonical_mapping`) are
     strategy-agnostic.  With ``auto``, kwargs for both paths may be
     passed together; each path receives only the ones it understands.
+
+    Two dispatch details that are semantics, not tuning:
+
+    - ``partition_by`` (the SemDeDup shape — pairs confined to a
+      partition value) FORCES the exact path under ``auto``: the LSH
+      path has no partition confinement, so dispatching to it would
+      silently widen the result to cross-partition pairs.  Forcing
+      exact is also the right scale call — partition confinement exists
+      precisely to keep the quadratic work per-cluster-bounded, which is
+      what the partitioned GEMM does.
+    - ``n_rows`` (when the caller knows the corpus size — e.g. from
+      parquet footer metadata via `catalog.parquet_row_count`) is used
+      for dispatch INSTEAD of running an extra full `count()` pass on
+      every invocation, and is forwarded to the exact path as its block
+      count, so the whole pipeline runs with zero extra input scans.
     """
     if strategy == "auto":
-        n = emb.count()
-        use_lsh = threshold >= LSH_MIN_THRESHOLD and n > AUTO_EXACT_MAX
+        if kwargs.get("n_rows") is None:  # tolerate an explicit None
+            kwargs.pop("n_rows", None)
+        n = kwargs.get("n_rows") if "n_rows" in kwargs else emb.count()
+        use_lsh = (
+            threshold >= LSH_MIN_THRESHOLD
+            and n > AUTO_EXACT_MAX
+            and kwargs.get("partition_by") is None
+        )
         strategy = "lsh" if use_lsh else "exact"
         allowed = _LSH_KWARGS if use_lsh else _EXACT_KWARGS
         kwargs = {k: v for k, v in kwargs.items() if k in allowed}

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, parquet_row_count
 from ..operators.er import (
     apply_mapping_array,
     canonical_mapping,
@@ -71,10 +71,15 @@ def er02_canonical_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replication and loses at any scale.  LSH genuinely wins only in
     # the near-dup regime (threshold ≳ 0.7), which is exactly what
     # `auto` encodes; er05/er07 keep the LSH path itself gated.
+    # n_rows comes from the parquet footers (metadata-only, no job), so
+    # the auto dispatcher doesn't pay a full extra scan per invocation.
     emb = load_table(spark, sf_dir, "embeddings")
-    return canonical_mapping(emb, threshold=ER_THRESHOLD, strategy="auto").select(
-        F.col("id").alias("vec_id"), "canonical"
-    )
+    return canonical_mapping(
+        emb,
+        threshold=ER_THRESHOLD,
+        strategy="auto",
+        n_rows=parquet_row_count(sf_dir, "embeddings"),
+    ).select(F.col("id").alias("vec_id"), "canonical")
 
 
 ER02_SQL = _COMPONENTS_CTE + "SELECT vec_id, canonical FROM components"
@@ -134,7 +139,12 @@ def er06_mapped_record_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the driver's cell hashing stays scalar.
     li = load_table(spark, sf_dir, "lineitem")
     emb = load_table(spark, sf_dir, "embeddings")
-    mapping = canonical_mapping(emb, threshold=ER_THRESHOLD, strategy="auto")
+    mapping = canonical_mapping(
+        emb,
+        threshold=ER_THRESHOLD,
+        strategy="auto",
+        n_rows=parquet_row_count(sf_dir, "embeddings"),
+    )
     arrays = (
         li.groupBy(F.col("l_orderkey").alias("doc_id"))
         .agg(

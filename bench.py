@@ -26,7 +26,17 @@ from advanced_technologies_of_china_graph_database_construction_spark.plans.regi
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("atcgdc-bench")
-    specs = [s for s in all_specs() if s.bench]
+    # ORDER CONTRACT: the bench runs in fixed alphabetical spec-name
+    # order, every round.  all_specs() is gate-staleness-ordered and
+    # reshuffles each round, which made round-over-round per-query deltas
+    # unreadable (whichever spec ran first absorbed session-wide init and
+    # clocked ~2× steady state in r1–r3).
+    specs = sorted((s for s in all_specs() if s.bench), key=lambda s: s.name)
+
+    # One session-wide warm-up before any timed run: JVM/codegen/Arrow
+    # init, file listing, and the Python-worker pool all land here
+    # instead of on the first spec's timed run.
+    specs[0].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for spec in specs:

@@ -264,3 +264,70 @@ def test_auto_dispatch_passes_partition_by(spark, clustered_emb):
         for r in exact_similarity_pairs(parted, 0.95, partition_by="grp").collect()
     }
     assert auto == manual and len(auto) > 0
+
+
+def test_auto_dispatch_forces_exact_when_partitioned_at_scale(spark, clustered_emb):
+    """Above AUTO_EXACT_MAX in the near-dup regime auto normally picks
+    LSH — but LSH has no partition confinement, so with partition_by the
+    dispatcher must stay on the exact path (cluster-confined pairs), not
+    silently widen the result.  n_rows fakes the large-corpus branch."""
+    from pyspark.sql import functions as F
+
+    parted = clustered_emb.withColumn("grp", (F.col("vec_id") % 2).cast("int"))
+    auto = similarity_pairs(
+        parted, 0.95, "auto", partition_by="grp", n_rows=1_000_000, block_rows=16
+    )
+    # exact path is a grouped-GEMM plan; the LSH path has no applyInPandas
+    assert "FlatMapGroupsInPandas" in auto._jdf.queryExecution().executedPlan().toString()
+    got = {(r.src, r.dst) for r in auto.collect()}
+    want = {
+        (r.src, r.dst)
+        for r in exact_similarity_pairs(parted, 0.95, partition_by="grp").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_auto_dispatch_reuses_caller_row_count(spark, clustered_emb):
+    """A caller-supplied n_rows (e.g. parquet footer metadata) must drive
+    the dispatch without an extra count scan: faking a large corpus flips
+    auto to LSH at near-dup thresholds."""
+    lsh = similarity_pairs(clustered_emb, 0.95, "auto", n_rows=1_000_000)
+    assert "FlatMapGroupsInPandas" not in lsh._jdf.queryExecution().executedPlan().toString()
+    exact = {(r.src, r.dst) for r in exact_similarity_pairs(clustered_emb, 0.95).collect()}
+    got = {(r.src, r.dst) for r in lsh.collect()}
+    assert got <= exact  # re-scored candidates: exact precision
+    # and an explicit None must behave like "unknown" (fall back to count)
+    small = similarity_pairs(clustered_emb, 0.95, "auto", n_rows=None)
+    assert "FlatMapGroupsInPandas" in small._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_gemm_null_partition_forms_own_group(spark, clustered_emb):
+    """Rows whose partition value is NULL must be compared among
+    themselves (their own group), not silently dropped by the size
+    join."""
+    from pyspark.sql import functions as F
+
+    parted = clustered_emb.withColumn(
+        "grp",
+        F.when(F.col("vec_id") % 3 == 0, F.lit(None).cast("int")).otherwise(
+            (F.col("vec_id") % 2).cast("int")
+        ),
+    )
+    got = {
+        (r.src, r.dst)
+        for r in exact_similarity_pairs(
+            parted, 0.95, partition_by="grp", block_rows=16
+        ).collect()
+    }
+    glob = {
+        (r.src, r.dst): (r.src % 3 == 0, r.dst % 3 == 0, r.src % 2, r.dst % 2)
+        for r in exact_similarity_pairs(clustered_emb, 0.95).collect()
+    }
+    want = {
+        pair
+        for pair, (s_null, d_null, s_par, d_par) in glob.items()
+        if (s_null and d_null) or (not s_null and not d_null and s_par == d_par)
+    }
+    assert got == want
+    # the NULL group must actually contribute pairs for the test to bite
+    assert any(s % 3 == 0 and d % 3 == 0 for s, d in got)

@@ -243,6 +243,10 @@ def test_http_answer_endpoint_roundtrip(spark):
         # malformed requests are 400s, not crashes
         assert post({"history": []})[0] == 400
         assert post({"query": "x"}, path="/nope")[0] == 404
+        # engine errors surface as a JSON 500, not a dropped connection
+        # (an uniterable history blows up inside handle_request)
+        status, out = post({"query": "x", "history": 5})
+        assert status == 500 and "error" in out
     finally:
         server.shutdown()
 

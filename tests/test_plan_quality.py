@@ -88,6 +88,25 @@ def test_minhash_verify_join_broadcasts_signatures(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
+def test_minhash_verify_broadcast_capped_above_threshold(spark):
+    """Over the doc-count cap the d02 verification joins must NOT carry a
+    forced broadcast hint: at ~10⁹ docs the signature table is tens of
+    GB and a hinted broadcast OOMs every executor.  With the cap at 0 the
+    plan must fall back to shuffled (sort-merge / shuffled-hash) joins."""
+    from advanced_technologies_of_china_graph_database_construction_spark.catalog import load_table
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.dedup import minhash_near_dups
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    plan = _plan(minhash_near_dups(docs, broadcast_threshold_docs=0))
+    # AQE may still *choose* a broadcast at this tiny SF; what must be
+    # gone is the unconditional logical hint — visible as ResolvedHint /
+    # broadcast in the optimized logical plan.
+    logical = minhash_near_dups(docs, broadcast_threshold_docs=0)
+    optimized = logical._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized, optimized
+    assert plan  # physical plan still builds and runs
+
+
 def test_exact_similarity_join_is_distributed_group_gemm(spark):
     """The exact ε-ball join runs as grouped Arrow GEMM tasks — no
     driver-side collect of the vector table exists at plan-build time,
