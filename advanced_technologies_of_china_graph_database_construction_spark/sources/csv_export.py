@@ -21,7 +21,9 @@ export parallelizes per type and per partition file.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.graph import GraphModel
@@ -113,6 +115,52 @@ def write_alias_csv(
         path,
     )
     return path
+
+
+def read_node_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Reader face of S5: a neo4j-admin node CSV (``:ID,:LABEL,props…``)
+    back as ``(id, label, props…)`` — validates the header shape so a
+    file that isn't in import format fails loudly.  Reads the
+    reference's own exported artifacts (`data/neo4j_csv_import/*_nodes.
+    csv`) as well as `write_node_csvs` output, which is the interop
+    contract a user migrating off the reference relies on."""
+    df = spark.read.option("header", True).csv(path)
+    if ":ID" not in df.columns or ":LABEL" not in df.columns:
+        raise ValueError(
+            f"not a neo4j-admin node CSV (missing :ID/:LABEL): {df.columns}"
+        )
+    return df.withColumnsRenamed({":ID": "id", ":LABEL": "label"})
+
+
+_ENDPOINT_RE = re.compile(r"^:(START|END)_ID\(([^)]+)\)$")
+
+
+def read_relationship_csv(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, tuple[str, str]]:
+    """Reader face of S6/S7: a relationship CSV headed
+    ``:START_ID(Label),:END_ID(Label),:TYPE`` back as
+    ``((src, dst, rel_type), (start_label, end_label))`` — endpoint
+    labels parsed from the scoped header, shape violations raised."""
+    df = spark.read.option("header", True).csv(path)
+    start = next((c for c in df.columns if c.startswith(":START_ID")), None)
+    end = next((c for c in df.columns if c.startswith(":END_ID")), None)
+    if start is None or end is None or ":TYPE" not in df.columns:
+        raise ValueError(
+            f"not a neo4j-admin relationship CSV (missing :START_ID/:END_ID/:TYPE): "
+            f"{df.columns}"
+        )
+    ms, me = _ENDPOINT_RE.match(start), _ENDPOINT_RE.match(end)
+    labels = (
+        ms.group(2) if ms else "",
+        me.group(2) if me else "",
+    )
+    out = df.select(
+        F.col(f"`{start}`").alias("src"),
+        F.col(f"`{end}`").alias("dst"),
+        F.col("`:TYPE`").alias("rel_type"),
+    )
+    return out, labels
 
 
 def write_topic_rels_csv(classified_docs: DataFrame, out_dir: str) -> str:

@@ -61,6 +61,28 @@ def load_mapping_json(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def load_dict_mapping_json(spark: SparkSession, path: str) -> DataFrame:
+    """Read the reference's mapping-artifact form — ONE json object
+    ``{surface: canonical}`` per file (`keyword_merger.py:235-247`; the
+    hand-curated `data/merged_publisher.json` is this shape) — into the
+    engine's (surface, canonical) mapping table.
+
+    Driver-side parse is deliberate: these artifacts are vocabulary-
+    sized (the reference's largest is 88k entries, ~a few MB), not
+    corpus-sized, so a single-file dict parse + parallelize is cheaper
+    than spinning a JSON scan, and the dict form isn't line-delimited so
+    executors couldn't split it anyway.  Corpus-scale mappings use the
+    line-delimited `save_mapping_json`/`load_mapping_json` face."""
+    with open(path, encoding="utf-8") as fh:
+        d = json.load(fh)
+    if not isinstance(d, dict):
+        raise ValueError(f"expected a JSON object mapping at {path}")
+    schema = T.StructType(
+        [T.StructField("surface", T.StringType()), T.StructField("canonical", T.StringType())]
+    )
+    return spark.createDataFrame(list(d.items()), schema)
+
+
 def memoized_mapping(
     spark: SparkSession, path: str, compute, force_recompute: bool = False
 ) -> DataFrame:
