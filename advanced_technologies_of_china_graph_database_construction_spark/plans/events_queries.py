@@ -264,6 +264,42 @@ FROM ranked WHERE rn = 1
 """
 
 
+def e11_streaming_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/S4 streaming face, driver-gated: the SAME tumbling_stats plan
+    as e01 executed as a REAL Structured Streaming query — the events
+    table split into 4 ts-ranged parquet files streamed with
+    ``maxFilesPerTrigger=1`` (4 micro-batches), watermarked, aggregated
+    incrementally, complete-mode into the in-memory sink — then returned
+    as the sink table so the batch oracle (E01_SQL) hash-gates the
+    streaming execution path end-to-end.  Unified-API contract: batch
+    and stream faces of one declarative plan must produce identical
+    results (`streaming/windows.py` module docstring)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="e11_events_")
+    try:
+        ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(d)
+        stream = windows.streaming_source(spark, d, watermark="1 hour")
+        name = f"e11_sink_{uuid.uuid4().hex[:8]}"
+        q = (
+            windows.tumbling_stats(stream, "1 day")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name)
+
+
 SPECS = [
     QuerySpec("e01_tumbling_daily", e01_tumbling_daily, E01_SQL, "events",
               "tumbling 1-day window stats per event_type", bench=True),
@@ -285,4 +321,7 @@ SPECS = [
               "lead/lag window analytics per user"),
     QuerySpec("e10_asof_click_attribution", e10_asof_click_attribution, E10_SQL, "events",
               "as-of join (union + single shuffle + window fill, no inequality join)"),
+    QuerySpec("e11_streaming_tumbling_daily", e11_streaming_tumbling_daily, E01_SQL,
+              "events", "REAL readStream micro-batch run of the e01 plan (W2/S4 "
+              "streaming face, batch-oracle-gated)"),
 ]

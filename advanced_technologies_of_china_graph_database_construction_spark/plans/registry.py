@@ -53,16 +53,22 @@ def all_specs() -> list[QuerySpec]:
     from . import graph_queries, relational
 
     modules = []
+    # Module order is the tiebreak among EQUALLY-stale specs (the sort
+    # below is stable).  Families whose shared kernels changed most
+    # recently (er/docs share the cosine+GEMM kernels touched in r3-r4;
+    # events gained the streaming face) lead, so when the driver's
+    # 50-spec budget can't cover every stale spec, the hard gate signal
+    # lands on the code with the newest changes first.
     for optional in (
-        "ingest_queries",
+        "er_queries",
+        "docs_queries",
         "events_queries",
+        "ingest_queries",
         "enrich_queries",
         "media_queries",
         "nl_queries",
         "skew_queries",
         "analytics_queries",
-        "er_queries",
-        "docs_queries",
         "sink_queries",
     ):
         try:
