@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, parquet_row_count
 from ..operators import dedup, textops
 from ..operators.connected_components import connected_components
 from ..operators.er import exact_similarity_pairs, lsh_similarity_pairs
@@ -306,7 +306,10 @@ def d10_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the banded-LSH scale path."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = exact_similarity_pairs(emb, EMB_DEDUP_THRESHOLD)
+    # block count from parquet footer metadata -- no count() job
+    pairs = exact_similarity_pairs(
+        emb, EMB_DEDUP_THRESHOLD, n_rows=parquet_row_count(sf_dir, "embeddings")
+    )
     a = docs.select(F.col("doc_id").alias("src"), F.col("source").alias("src_source"))
     b = docs.select(F.col("doc_id").alias("dst"), F.col("source").alias("dst_source"))
     return pairs.join(a, "src").join(b, "dst").select(

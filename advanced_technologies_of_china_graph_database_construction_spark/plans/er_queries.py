@@ -53,8 +53,11 @@ components AS (SELECT id AS vec_id, min(lab) AS canonical FROM reach GROUP BY id
 
 
 def er01_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # block count from parquet footer metadata — no count() job
     emb = load_table(spark, sf_dir, "embeddings")
-    return exact_similarity_pairs(emb, ER_THRESHOLD)
+    return exact_similarity_pairs(
+        emb, ER_THRESHOLD, n_rows=parquet_row_count(sf_dir, "embeddings")
+    )
 
 
 ER01_SQL = f"WITH {_PAIRS_CTE} SELECT src, dst, sim FROM pairs"
