@@ -275,3 +275,62 @@ def test_llm_corrector_rejects_non_member_election():
     pdf = pd.DataFrame({"id": [1, 2], "canonical": [1, 1]})
     out = corr(pdf)
     assert out["canonical"].tolist() == [1, 1]  # kept, not corrupted
+
+
+# ------------------------------------------------------- http transport ----
+
+def test_http_transport_against_loopback_server():
+    """The real-wire path over a loopback stdlib server: payload shape
+    on the wire, 429/5xx → RetryableTransportError (and retried by the
+    client), 400 → FatalTransportError."""
+    import threading as th
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from advanced_technologies_of_china_graph_database_construction_spark.nl.llm_client import (
+        http_transport,
+    )
+
+    received = []
+    script = [429, 500, 200]  # then 400 on the 4th call
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            assert self.path == "/v1/chat/completions"
+            assert self.headers["Authorization"] == "Bearer sk-test"
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            received.append(body)
+            code = script.pop(0) if script else 400
+            if code != 200:
+                self.send_error(code)
+                return
+            out = json.dumps(reply("pong")).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    th.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        port = server.server_address[1]
+        transport = http_transport(f"http://127.0.0.1:{port}/v1", api_key="sk-test")
+        client = LLMClient(transport, model="deepseek-chat", sleep=lambda s: None)
+        # 429 then 500 are retried; third attempt succeeds
+        out = client.chat(
+            [{"role": "user", "content": "ping"}], temperature=0.0, max_tokens=500
+        )
+        assert out == "pong"
+        assert len(received) == 3
+        # wire payload carries the knobs but NOT the local-only timeout key
+        assert received[0]["model"] == "deepseek-chat"
+        assert received[0]["max_tokens"] == 500
+        assert "timeout" not in received[0]
+        # a 400 is fatal: no retry, immediate raise
+        with pytest.raises(FatalTransportError, match="400"):
+            client.chat([{"role": "user", "content": "bad"}])
+        assert len(received) == 4
+    finally:
+        server.shutdown()

@@ -213,6 +213,25 @@ def test_d19_semdedup_is_one_grouped_gemm(spark):
     assert "CollectLimit" not in plan, plan
 
 
+def test_encode_texts_is_narrow_map(spark):
+    """The M1 encoder must be a single Arrow-batched map over the scan —
+    no Exchange anywhere (encoding never shuffles text or vectors), and
+    column pruning reaches the scan (only id+text read)."""
+    from advanced_technologies_of_china_graph_database_construction_spark.catalog import load_table
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.encoder import (
+        FakeEncoder,
+        encode_texts,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    plan = _plan(encode_texts(docs, encoder=FakeEncoder(dim=16)))
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    read_schema = scan.split("ReadSchema:")[1]
+    assert "text" in read_schema and "source" not in read_schema, read_schema
+
+
 def test_ivf_assign_partial_aggregates_mapside(spark):
     """Centroid assignment is an aggregation with map-side partials over
     the broadcast crossJoin — not a row_number window shuffle."""
