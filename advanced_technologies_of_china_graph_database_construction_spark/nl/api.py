@@ -113,11 +113,18 @@ def serve(
                     # concurrent requests for one session interleave
                     # user/assistant rows and break the alternating-turn
                     # shape list_chats/messages consumers assume.
+                    # Persistence is best-effort AFTER a computed answer:
+                    # a store failure (locked/full sqlite) must not turn
+                    # a successful answer into a dropped connection — the
+                    # client gets its answer plus a history_error note.
                     sid = out["session_id"]
-                    with tick_lock:
-                        t0, t1 = next(tick), next(tick)
-                        history.append(sid, "user", payload["query"], t0)
-                        history.append(sid, "assistant", out["answer"], t1)
+                    try:
+                        with tick_lock:
+                            t0, t1 = next(tick), next(tick)
+                            history.append(sid, "user", payload["query"], t0)
+                            history.append(sid, "assistant", out["answer"], t1)
+                    except Exception as exc:  # noqa: BLE001 — best-effort store
+                        out["history_error"] = f"history not persisted: {exc}"
             body = json.dumps(out).encode("utf-8")
             self.send_response(status)
             self.send_header("Content-Type", "application/json")

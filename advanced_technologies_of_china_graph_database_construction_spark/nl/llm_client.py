@@ -84,6 +84,8 @@ class LLMClient:
         max_concurrency: int = 10,
         sleep: Callable[[float], None] = time.sleep,
     ) -> None:
+        if max_retries < 1:
+            raise ValueError(f"max_retries must be >= 1, got {max_retries}")
         self._transport = transport
         self.model = model
         self.timeout = timeout
@@ -134,11 +136,25 @@ class LLMClient:
             try:
                 with self._sem:
                     resp = self._transport(payload)
-                return resp["choices"][0]["message"]["content"].strip()
             except RetryableTransportError as exc:
                 last = exc
                 if attempt < self.max_retries - 1:
                     self._sleep(min(self.backoff_max, self.backoff_min * (2 ** attempt)))
+                continue
+            # A 200-shaped response that isn't chat-completion-shaped
+            # (gateways commonly return {"error": ...} with HTTP 200, or a
+            # null content) must surface through the SAME failure taxonomy
+            # the adapters catch — not as a raw KeyError that bypasses the
+            # compiler-fallback / dead-letter / keep-mapping contracts.
+            try:
+                content = resp["choices"][0]["message"]["content"]
+                if content is None:
+                    raise TypeError("content is null")
+                return content.strip()
+            except (KeyError, IndexError, TypeError, AttributeError) as exc:
+                raise FatalTransportError(
+                    f"malformed transport response ({exc}): {str(resp)[:200]}"
+                ) from exc
         assert last is not None
         raise last
 
@@ -298,7 +314,10 @@ def llm_classifier(
         if len(pdf) == 0:
             rows = []
         else:
-            with ThreadPoolExecutor(max_workers=10) as pool:
+            # pool width = the client's own concurrency knob: more
+            # threads would just block on the semaphore, fewer would
+            # make the configured cap unreachable
+            with ThreadPoolExecutor(max_workers=client.max_concurrency) as pool:
                 rows = list(pool.map(classify_one, pdf["doc_id"], pdf["text"]))
         out = pd.DataFrame(rows, columns=["doc_id", "topic_id", "error"])
         out["topic_id"] = out["topic_id"].astype("Int32")

@@ -306,17 +306,19 @@ def similarity_pairs(
     if strategy == "auto":
         if kwargs.get("n_rows") is None:  # tolerate an explicit None
             kwargs.pop("n_rows", None)
-        n = kwargs.get("n_rows") if "n_rows" in kwargs else emb.count()
-        use_lsh = (
-            threshold >= LSH_MIN_THRESHOLD
-            and n > AUTO_EXACT_MAX
-            and kwargs.get("partition_by") is None
-        )
+        if kwargs.get("partition_by") is not None:
+            # partition_by forces exact regardless of n — don't pay a
+            # count() whose result the partitioned branch (per-partition
+            # size aggregate) never reads.
+            use_lsh = False
+        else:
+            n = kwargs.get("n_rows") if "n_rows" in kwargs else emb.count()
+            use_lsh = threshold >= LSH_MIN_THRESHOLD and n > AUTO_EXACT_MAX
+            if not use_lsh:
+                kwargs.setdefault("n_rows", n)  # dispatch count doubles as block count
         strategy = "lsh" if use_lsh else "exact"
         allowed = _LSH_KWARGS if use_lsh else _EXACT_KWARGS
         kwargs = {k: v for k, v in kwargs.items() if k in allowed}
-        if not use_lsh:
-            kwargs.setdefault("n_rows", n)  # the dispatch count doubles as the block count
     if strategy == "exact":
         return exact_similarity_pairs(emb, threshold, id_col, vec_col, **kwargs)
     if strategy == "lsh":

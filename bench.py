@@ -33,10 +33,14 @@ def main() -> None:
     # clocked ~2× steady state in r1–r3).
     specs = sorted((s for s in all_specs() if s.bench), key=lambda s: s.name)
 
-    # One session-wide warm-up before any timed run: JVM/codegen/Arrow
-    # init, file listing, and the Python-worker pool all land here
-    # instead of on the first spec's timed run.
-    specs[0].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # One session-wide warm-up before any timed run.  Logically the
+    # first spec's own untimed warm-up should absorb session init, but
+    # measured r1-r3 benches showed the first TIMED run still clocking
+    # ~2x steady state (BENCH_r1-r3: leading spec inflated in all three
+    # rounds despite the per-spec warm-up), so the session gets one
+    # extra explicit warm-up run — cheap insurance for readable deltas.
+    if specs:
+        specs[0].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for spec in specs:

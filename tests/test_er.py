@@ -301,6 +301,23 @@ def test_auto_dispatch_reuses_caller_row_count(spark, clustered_emb):
     assert "FlatMapGroupsInPandas" in small._jdf.queryExecution().executedPlan().toString()
 
 
+def test_auto_dispatch_partitioned_skips_count_scan(monkeypatch, spark, clustered_emb):
+    """With partition_by set, auto forces exact regardless of n — so no
+    count() scan may run during dispatch (the partitioned branch derives
+    block counts from its own size aggregate)."""
+    from pyspark.sql import DataFrame, functions as F
+
+    parted = clustered_emb.withColumn("grp", (F.col("vec_id") % 2).cast("int"))
+
+    def boom(self):
+        raise AssertionError("count() must not run for partitioned auto dispatch")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    df = similarity_pairs(parted, 0.95, "auto", partition_by="grp")
+    monkeypatch.undo()
+    assert len(df.collect()) > 0
+
+
 def test_partitioned_gemm_null_partition_forms_own_group(spark, clustered_emb):
     """Rows whose partition value is NULL must be compared among
     themselves (their own group), not silently dropped by the size

@@ -277,6 +277,48 @@ def test_llm_corrector_rejects_non_member_election():
     assert out["canonical"].tolist() == [1, 1]  # kept, not corrupted
 
 
+def test_malformed_200_response_follows_failure_taxonomy():
+    """A transport returning HTTP-200-shaped garbage ({'error': ...},
+    null content) must raise through the taxonomy the adapters catch —
+    the compiler degrades to fallback instead of propagating KeyError."""
+    for garbage in (
+        {"error": {"message": "quota exceeded"}},
+        {"choices": []},
+        {"choices": [{"message": {"content": None}}]},
+    ):
+        c = LLMClient(ScriptedTransport([garbage]), model="m")
+        with pytest.raises(FatalTransportError, match="malformed"):
+            c.chat([{"role": "user", "content": "q"}])
+    compile = llm_compiler(
+        LLMClient(ScriptedTransport([{"error": "nope"}]), model="m")
+    )
+    p = compile('Find "merge batch" docs', "CAT")
+    assert p.template == FALLBACK_TEMPLATE and p.terms == ["merge batch"]
+
+
+def test_max_retries_validated():
+    with pytest.raises(ValueError, match="max_retries"):
+        LLMClient(ScriptedTransport([]), model="m", max_retries=0)
+
+
+def test_classifier_pool_respects_client_concurrency():
+    lock = threading.Lock()
+    state = {"now": 0, "peak": 0}
+
+    def transport(payload):
+        with lock:
+            state["now"] += 1
+            state["peak"] = max(state["peak"], state["now"])
+        time.sleep(0.02)
+        with lock:
+            state["now"] -= 1
+        return reply('{"topic_id": 1, "topic_name": "processors"}')
+
+    cls = llm_classifier(LLMClient(transport, model="m", max_concurrency=2))
+    out = cls(pd.DataFrame({"doc_id": range(12), "text": ["x"] * 12}))
+    assert len(out) == 12 and state["peak"] <= 2
+
+
 # ------------------------------------------------------- http transport ----
 
 def test_http_transport_against_loopback_server():

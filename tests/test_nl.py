@@ -303,6 +303,41 @@ def test_http_endpoint_persists_history(spark, tmp_path):
         h.close()
 
 
+def test_http_endpoint_answers_even_when_history_store_fails(spark):
+    """Persistence is best-effort: a broken history store must not turn
+    a successful answer into a dropped connection — the client still
+    gets its 200 answer plus a history_error note."""
+    import json
+    import urllib.request
+
+    from advanced_technologies_of_china_graph_database_construction_spark.nl import api
+
+    class BrokenHistory:
+        def max_ts(self):
+            return 0
+
+        def append(self, *a, **k):
+            raise RuntimeError("database is locked")
+
+    server = api.serve(spark, SF, history=BrokenHistory())
+    try:
+        port = server.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/answer",
+            data=json.dumps(
+                {"query": 'What is the year and abstract of "DOC-7"?', "session_id": "s"}
+            ).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+            out = json.loads(resp.read())
+        assert "DOC-7" in out["answer"]
+        assert "database is locked" in out["history_error"]
+    finally:
+        server.shutdown()
+
+
 # ------------------------------------------------ Q5 multi-turn glue ------
 
 def test_plan_inherits_quoted_terms_from_history():
