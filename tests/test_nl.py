@@ -493,3 +493,28 @@ def test_cli_query_prints_answer(spark, capsys):
     assert rc == 0
     assert "DOC-7" in out and "Found 1 result(s)" in out
     assert "template=doc_properties" in err
+
+
+def test_cli_export_csv_writes_readable_bundle(spark, tmp_path, capsys):
+    """export-csv writes the full neo4j-admin bundle, and the bundle
+    round-trips through the engine's own readers (the same readers that
+    parse the reference's exports in test_reference_parity)."""
+    from advanced_technologies_of_china_graph_database_construction_spark.__main__ import main
+    from advanced_technologies_of_china_graph_database_construction_spark.sources.csv_export import (
+        read_node_csv,
+        read_relationship_csv,
+    )
+
+    out_dir = str(tmp_path / "bundle")
+    rc = main(["--sf-dir", SF, "export-csv", "--out", out_dir])
+    out, _ = capsys.readouterr()
+    assert rc == 0
+    assert "documents:" in out and "AUTHORED:" in out
+    docs = read_node_csv(spark, f"{out_dir}/document_nodes")
+    assert docs.count() > 0 and "label" in docs.columns
+    rels, labels = read_relationship_csv(spark, f"{out_dir}/authored_rels")
+    assert labels == ("Author", "Document")
+    assert rels.count() > 0
+    assert [r.rel_type for r in rels.select("rel_type").distinct().collect()] == [
+        "AUTHORED"
+    ]
