@@ -433,6 +433,77 @@ def ngram_jaccard_pairs(
     )
 
 
+# --- containment (asymmetric near-dup: quote / subset detection) ----------
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    block_col: str = "source",
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(src, dst, containment) where containment = |S(src) ∩ S(dst)| /
+    |S(dst)| ≥ threshold — the fraction of dst's 3-gram set contained in
+    src.  Asymmetric by design: a short document quoted inside a long
+    one scores ~1.0 here but low Jaccard, which is why training-data
+    curation needs containment as well as `ngram_jaccard_pairs`
+    (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" measure both).  Both orientations are emitted (src≠dst,
+    same block).
+
+    Scale shape: candidates come from the exploded-shingle equi-join
+    within a block; ``max_doc_freq`` drops shingles appearing in more
+    than that many documents BEFORE the join (the d21 df-cap trick), so
+    stop-shingles ("the ", " of ") never pair the whole block and
+    shuffle volume tracks rare-shingle collisions.  Dropping a shingle
+    from the join can only LOWER a pair's counted intersection, so with
+    the cap the result is a conservative (no-false-positive) subset —
+    exact when ``max_doc_freq`` is None, which is what the tests and the
+    SQL oracle check.  Verification joins per-doc set sizes (tiny table)
+    and computes the ratio JVM-side.
+    """
+    sh = (
+        char_shingles(df, text_col)
+        .join(df.select("doc_id", block_col), "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    joinable = sh
+    if max_doc_freq is not None:
+        dfreq = sh.groupBy("shingle_hash").agg(F.count("*").alias("__df"))
+        joinable = sh.join(
+            dfreq.filter(F.col("__df") <= max_doc_freq), "shingle_hash"
+        ).select(sh.columns)
+    a = joinable.select(
+        F.col("doc_id").alias("src"), "shingle_hash", F.col(block_col).alias("blk")
+    )
+    b = joinable.select(
+        F.col("doc_id").alias("dst"),
+        F.col("shingle_hash").alias("h2"),
+        F.col(block_col).alias("blk2"),
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("shingle_hash") == F.col("h2"))
+            & (F.col("blk") == F.col("blk2"))
+            & (F.col("src") != F.col("dst")),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    dst_size = sizes.select(F.col("doc_id").alias("dst"), F.col("set_size").alias("dst_size"))
+    return (
+        inter.join(F.broadcast(dst_size), "dst")
+        .select(
+            "src",
+            "dst",
+            F.round(F.col("n_inter") / F.col("dst_size"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # --- SemDeDup (cluster-then-prune embedding dedup) ------------------------
 
 def embedding_semdedup_removed(

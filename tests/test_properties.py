@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from advanced_technologies_of_china_graph_database_construction_spark.operators.connected_components import (
     connected_components,
 )
+from advanced_technologies_of_china_graph_database_construction_spark.operators import dedup as D
 from advanced_technologies_of_china_graph_database_construction_spark.operators.dedup import (
     N_PERMS,
     PERMS,
@@ -226,3 +227,75 @@ def test_semdedup_matches_bruteforce(spark, seed):
         if clusters[i] == clusters[j] and sims[i, j] >= t
     }
     assert got == want
+
+
+# ----------------------------------------------------------- containment ---
+
+def _brute_containment(docs, threshold=0.8, n=3):
+    """Driver-side reference: per-doc 3-gram codepoint sets, containment
+    = |A∩B|/|B| within the same block, both orientations."""
+    sets = {}
+    blocks = {}
+    for doc_id, text, block in docs:
+        if text is not None and len(text) >= n:
+            sets[doc_id] = {text[i : i + n] for i in range(len(text) - n + 1)}
+            blocks[doc_id] = block
+    out = set()
+    for a in sets:
+        for b in sets:
+            if a == b or blocks[a] != blocks[b]:
+                continue
+            c = round(len(sets[a] & sets[b]) / len(sets[b]), 6)
+            if c >= threshold:
+                out.add((a, b, c))
+    return out
+
+
+def test_containment_pairs_match_bruteforce(spark):
+    """Exact mode (no df cap) must equal the brute-force double loop —
+    including the asymmetry: the quoted snippet scores ~1.0 as dst of
+    the long doc but the long doc does NOT score as contained."""
+    long_doc = "the quick brown fox jumps over the lazy dog near the river bank"
+    snippet = "quick brown fox jumps over"
+    docs = [
+        (1, long_doc, "a"),
+        (2, snippet, "a"),                      # contained in 1
+        (3, "completely different words here", "a"),
+        (4, long_doc, "b"),                     # same text, other block
+        (5, snippet + "!!", "a"),
+        (6, None, "a"),
+        (7, "ab", "a"),                         # too short for a 3-gram
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = {
+        (r.src, r.dst, r.containment)
+        for r in D.containment_pairs(df, threshold=0.8).collect()
+    }
+    want = _brute_containment(docs, threshold=0.8)
+    assert got == want
+    # the asymmetry actually bites: snippet contained in long doc...
+    assert any(s == 1 and d == 2 for s, d, _ in got)
+    # ...but not the reverse
+    assert not any(s == 2 and d == 1 for s, d, _ in got)
+    # and blocks separate: 4 never pairs with 1/2
+    assert not any(4 in (s, d) for s, d, _ in got)
+
+
+def test_containment_df_cap_is_conservative_subset(spark):
+    """With a doc-frequency cap the result must be a subset of the
+    exact pairs (dropping join shingles can only lower intersections) —
+    never a false positive."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [(i, base + f" unique{i}", "a") for i in range(8)]
+    docs.append((100, base, "a"))  # contained in every padded doc
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    exact = {
+        (r.src, r.dst)
+        for r in D.containment_pairs(df, threshold=0.9).collect()
+    }
+    capped = {
+        (r.src, r.dst)
+        for r in D.containment_pairs(df, threshold=0.9, max_doc_freq=4).collect()
+    }
+    assert capped <= exact
+    assert len(exact) > 0
