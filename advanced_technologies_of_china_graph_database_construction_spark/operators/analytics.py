@@ -101,6 +101,77 @@ def pagerank(
     return ranks.select("node", F.round("rank", 6).alias("pagerank"))
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds,
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, ppr): power iteration with restart concentrated on the
+    ``seeds`` id set instead of uniform teleport — scores measure
+    proximity to the seeds, the standard related-entity/recommendation
+    primitive (e.g. keywords related to a topic seed in the doc→keyword
+    graph).  Same two-shuffle Pregel superstep as ``pagerank``.
+
+    Mass accounting: teleport (1−d) AND the dangling mass both restart
+    onto the seed distribution r (r(v)=1/|seeds| on seeds, 0 elsewhere),
+    so total mass stays exactly 1 every iteration:
+    rank' = (1−d)·r + d·(Σ msgs + dangling_mass·r).
+
+    ``seeds`` is a small id collection — broadcast as a literal frame
+    (the typical seed set is a handful of entities; a DataFrame-sized
+    personalization vector would instead join on node, same shape).
+    Fixed ``n_iter`` keeps it deterministic and SQL-oracle-able like
+    g21/g24.
+    """
+    from pyspark.sql import types as T
+
+    seed_list = list(dict.fromkeys(seeds))
+    if not seed_list:
+        raise ValueError("personalized_pagerank needs at least one seed")
+    spark = edges.sparkSession
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    node_type = edges.schema["src"].dataType
+    sdf = spark.createDataFrame(
+        [(s,) for s in seed_list],
+        T.StructType([T.StructField("node", node_type)]),
+    ).withColumn("__r", F.lit(1.0 / len(seed_list)))
+    nodes_r = nodes.join(F.broadcast(sdf), "node", "left").select(
+        "node", F.coalesce("__r", F.lit(0.0)).alias("r")
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes_r.select("node", "r", F.col("r").alias("rank"))
+    for _ in range(n_iter):
+        msgs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("m"))
+        )
+        sums = msgs.groupBy("node").agg(F.sum("m").alias("m"))
+        dmass = (
+            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+        )
+        ranks = (
+            nodes_r.join(sums, "node", "left")
+            .crossJoin(F.broadcast(dmass))
+            .select(
+                "node",
+                "r",
+                (
+                    F.lit(1.0 - damping) * F.col("r")
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("m"), F.lit(0.0)) + F.col("__dm") * F.col("r"))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.round("rank", 6).alias("ppr"))
+
+
 def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     """(node, label) after ``n_iter`` synchronous LPA rounds over
     directed ``edges(src, dst)`` (pass a symmetric edge set for the
