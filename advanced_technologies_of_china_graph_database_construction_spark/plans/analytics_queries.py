@@ -196,6 +196,73 @@ G24_SQL = (
 )
 
 
+# --------------------------------------- g25 personalized PPR (DEFERRED) ---
+
+def g25_related_keywords_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the directed doc→keyword graph,
+    seeded on the smallest keyword node id: scores are proximity to the
+    seed keyword — the related-entity primitive.  The seed lookup is
+    one tiny min() job (a literal, like pagerank's node count)."""
+    from ..operators.analytics import personalized_pagerank
+
+    edges = _citation_edges(spark, sf_dir)
+    seed = edges.agg(F.min("dst")).first()[0]
+    ranks = personalized_pagerank(edges, [seed], N_ITER, DAMPING)
+    return ranks.select(F.col("node").alias("node_id"), "ppr")
+
+
+_G25_CTES = (
+    _G24_CTES
+    + """,
+seed AS (SELECT min(dst) AS s FROM edges),
+rvec AS (SELECT node, CASE WHEN node = (SELECT s FROM seed) THEN 1.0 ELSE 0.0 END AS r
+         FROM nodes)
+"""
+)
+
+
+def _g25_iter_cte(k: int) -> str:
+    prev = f"r{k - 1}"
+    return f"""
+dm{k - 1} AS (
+  SELECT coalesce(sum(rank), 0) AS dm FROM {prev}
+  WHERE node NOT IN (SELECT src FROM deg)),
+r{k} AS (
+  SELECT nodes.node,
+         0.15 * rvec.r
+           + 0.85 * (SELECT dm FROM dm{k - 1}) * rvec.r
+           + 0.85 * coalesce(s.m, 0) AS rank
+  FROM nodes JOIN rvec ON rvec.node = nodes.node LEFT JOIN (
+    SELECT e.dst AS node, sum({prev}.rank / deg.outdeg) AS m
+    FROM edges e JOIN {prev} ON e.src = {prev}.node JOIN deg ON e.src = deg.src
+    GROUP BY e.dst) s ON nodes.node = s.node)
+"""
+
+
+G25_SQL = (
+    _G25_CTES
+    + ", r0 AS (SELECT node, r AS rank FROM rvec),"
+    + ",".join(_g25_iter_cte(k) for k in range(1, N_ITER + 1))
+    + f"\nSELECT node AS node_id, round(rank, 6) AS ppr FROM r{N_ITER}"
+)
+
+
+# Staged for the NEXT round's registry (this round's gate budget is
+# reserved for the stale-spec rotation).  Oracle already validated by
+# tests/test_correctness.py::test_deferred_specs_match_oracle.
+DEFERRED_SPECS = [
+    QuerySpec(
+        name="g25_related_keywords_ppr",
+        fn=g25_related_keywords_ppr,
+        oracle=G25_SQL,
+        category="analytics",
+        description="Personalized PageRank seeded on a keyword node — teleport "
+        "and dangling mass restart onto the seed, total mass 1; oracle is the "
+        "unrolled seeded power method in SQL.",
+    ),
+]
+
+
 SPECS = [
     QuerySpec(
         name="g21_copub_pagerank",

@@ -34,6 +34,24 @@ def test_rows_only(spark, spec):
     assert len(df.columns) > 0
 
 
+def _deferred_specs():
+    from advanced_technologies_of_china_graph_database_construction_spark.plans import (
+        analytics_queries,
+        docs_queries,
+    )
+
+    return docs_queries.DEFERRED_SPECS + analytics_queries.DEFERRED_SPECS
+
+
+@pytest.mark.parametrize("spec", _deferred_specs(), ids=lambda s: s.name)
+def test_deferred_specs_match_oracle(spark, con, spec):
+    """Specs staged for next round's registry (kept out of this round's
+    budget-bounded gate) must ALREADY pass the same oracle comparison,
+    so registering them later is a zero-risk one-line move."""
+    df = spec.fn(spark, SF_CORRECT)
+    compare(df, con, spec.oracle)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
