@@ -182,17 +182,20 @@ def lsh_similarity_pairs(
     n_planes: int = 32,
     bands: int = 8,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate ε-ball cosine self-join via sign-LSH banding.
 
     Recall is tunable with (n_planes, bands); precision is exact because
     candidates are re-scored with the true cosine. Deterministic given
-    the seed.
+    the seed.  Pass ``dim`` (the embedding width) to skip the one-row
+    probe job that otherwise runs at plan-build time to size the
+    hyperplanes.
     """
     rows_per_band = n_planes // bands
     spark = emb.sparkSession
-    sample = emb.select(vec_col).first()
-    dim = len(sample[0])
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
     bc = spark.sparkContext.broadcast(planes)
 
@@ -262,7 +265,7 @@ def lsh_similarity_pairs(
 AUTO_EXACT_MAX = 100_000
 LSH_MIN_THRESHOLD = 0.7
 _EXACT_KWARGS = {"block_rows", "n_rows", "partition_by"}
-_LSH_KWARGS = {"n_planes", "bands", "seed"}
+_LSH_KWARGS = {"n_planes", "bands", "seed", "dim"}
 
 
 def similarity_pairs(
