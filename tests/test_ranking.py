@@ -1,0 +1,135 @@
+"""Unit tests for ranked retrieval (BM25 / tf-idf) and the kNN graph.
+
+BM25 and tf-idf are checked against an independent pure-Python
+reference over a tiny corpus; `knn_graph` is checked blocked-vs-
+single-block (the blocking must be invisible in the result) and
+against `brute_force_topk` on the fixture embeddings.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from advanced_technologies_of_china_graph_database_construction_spark.operators.ranking import (
+    bm25_topk,
+    tfidf_top_terms,
+)
+from advanced_technologies_of_china_graph_database_construction_spark.operators.similarity import (
+    brute_force_topk,
+    knn_graph,
+)
+
+from .conftest import SF_CORRECT
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox"),
+    (2, "sparse vector retrieval with bm25 scoring"),
+    (3, "dense vector retrieval with embeddings"),
+    (4, "the dog sleeps"),
+    (5, "retrieval retrieval retrieval vector"),
+]
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in text.lower().split() if t]
+
+
+def _py_bm25(query: list[str], k1: float = 1.2, b: float = 0.75) -> dict[int, float]:
+    toks = {d: _tokens(t) for d, t in DOCS}
+    n = float(len(DOCS))
+    avgdl = sum(len(ts) for ts in toks.values()) / n
+    dfs = {q: float(sum(1 for ts in toks.values() if q in ts)) for q in query}
+    out = {}
+    for d, ts in toks.items():
+        score = 0.0
+        for q in query:
+            tf = float(ts.count(q))
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - dfs[q] + 0.5) / (dfs[q] + 0.5))
+            score += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(ts) / avgdl)
+            )
+        if score > 0:
+            out[d] = round(score, 6)
+    return out
+
+
+def test_bm25_matches_python_reference(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {r["doc_id"]: r["score"] for r in bm25_topk(df, ["vector", "dog"], k=10).collect()}
+    assert got == pytest.approx(_py_bm25(["vector", "dog"]))
+
+
+def test_bm25_rarer_term_outranks_common_term(spark):
+    # "bm25" appears in one doc, "the" in three: the unique-term doc
+    # must outrank every doc matched only via the common term.
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    rows = bm25_topk(df, ["bm25", "the"], k=10).collect()
+    assert rows[0]["doc_id"] == 2
+
+
+def test_bm25_k_truncates_by_score(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    all_rows = bm25_topk(df, ["vector"], k=10).collect()
+    top1 = bm25_topk(df, ["vector"], k=1).collect()
+    assert len(top1) == 1
+    assert top1[0] == all_rows[0]
+
+
+def test_tfidf_matches_python_reference(spark):
+    toks = {d: _tokens(t) for d, t in DOCS}
+    n = float(len(DOCS))
+    df_of = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df_of[t] = df_of.get(t, 0.0) + 1.0
+    expect = {}
+    for d, ts in toks.items():
+        scored = sorted(
+            ((round(ts.count(t) * math.log(n / df_of[t]), 6), t) for t in set(ts)),
+            key=lambda p: (-p[0], p[1]),
+        )
+        expect[d] = [
+            (t, s, i + 1) for i, (s, t) in enumerate(scored[:2]) if s > 0
+        ]
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got: dict[int, list] = {d: [] for d, _ in DOCS}
+    for r in tfidf_top_terms(df, top_n=2).collect():
+        got[r["doc_id"]].append((r["term"], r["tfidf"], r["rank"]))
+    for d in got:
+        got[d].sort(key=lambda p: p[2])
+        assert [t for t, _, _ in got[d]] == [t for t, _, _ in expect[d]], d
+        assert [s for _, s, _ in got[d]] == pytest.approx([s for _, s, _ in expect[d]])
+
+
+def test_knn_blocking_is_invisible(spark):
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").limit(120)
+    one = {
+        (r["vec_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in knn_graph(emb, k=3, block_rows=4096, n_rows=120).collect()
+    }
+    many = {
+        (r["vec_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in knn_graph(emb, k=3, block_rows=17, n_rows=120).collect()
+    }
+    assert one == many
+    assert len(one) == 120 * 3
+
+
+def test_knn_agrees_with_brute_force(spark):
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    qids = [3, 77, 250]
+    brute = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in brute_force_topk(emb, qids, k=5).collect()
+    }
+    graph = {
+        (r["vec_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in knn_graph(emb, k=5, block_rows=64).collect()
+        if r["vec_id"] in qids
+    }
+    assert graph == brute
