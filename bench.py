@@ -44,11 +44,22 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for spec in specs:
-        # warmup run (plan compilation, codegen, file listing)
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[spec.name] = round(time.perf_counter() - t0, 4)
+        # Two warm-up runs, then the min of two timed runs.  JVM JIT
+        # keeps recompiling hot codegen stages well past the first
+        # execution (measured on the heaviest spec at sf0.1: 9.8 →
+        # 4.7 → 3.4 → 2.7 → 2.5 s over five consecutive runs), so a
+        # single warm-up + single timed run reports a mix of JIT tail
+        # and steady state — r3/r4 per-query deltas swung ±2× on
+        # unchanged code.  min-of-2 after 2 warm-ups is the stable
+        # steady-state estimate a long-running cluster session sees.
+        for _ in range(2):
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[spec.name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
