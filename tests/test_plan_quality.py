@@ -242,3 +242,43 @@ def test_ivf_assign_partial_aggregates_mapside(spark):
     plan = _plan(ivf_assign(emb))
     assert "partial_max_by" in plan or "partial_maxby" in plan.lower(), plan
     assert "Window" not in plan, plan
+
+
+def test_bm25_is_one_jvm_scan_with_broadcast_stats(spark):
+    """BM25 scoring must stay JVM-side (array-filter tf, no Python
+    evaluation), fold the corpus stats into a broadcast of a 1-row
+    aggregate, and take the top-k as TakeOrderedAndProject — one scan,
+    no global sort."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.ranking import bm25_topk
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    plan = _plan(bm25_topk(docs, ["dup", "vector"], k=10))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
+
+
+def test_tfidf_df_dimension_joins_broadcast(spark):
+    """tf-idf: the (doc,term) tf count partial-aggregates map-side and
+    the per-term df table re-enters as a broadcast dimension."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.ranking import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    plan = _plan(tfidf_top_terms(docs, top_n=3))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2, plan
+    assert "partial_count" in plan, plan
+
+
+def test_knn_graph_shuffles_candidates_not_pair_matrix(spark):
+    """knn_graph's quadratic arithmetic stays inside ONE grouped Arrow
+    GEMM kernel (FlatMapGroupsInPandas); what reaches the final window
+    is the per-block candidate set (n·B·k rows), never n² scores."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.similarity import knn_graph
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    df = knn_graph(emb, k=5, block_rows=64, n_rows=500)
+    plan = _plan(df)
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert "Window" in plan, plan
