@@ -121,8 +121,9 @@ def serve(
                     try:
                         with tick_lock:
                             t0, t1 = next(tick), next(tick)
-                            history.append(sid, "user", payload["query"], t0)
-                            history.append(sid, "assistant", out["answer"], t1)
+                            # single sqlite transaction: both turns
+                            # persist or neither (no orphaned user row)
+                            history.append_turn(sid, payload["query"], out["answer"], t0, t1)
                     except Exception as exc:  # noqa: BLE001 — best-effort store
                         out["history_error"] = f"history not persisted: {exc}"
             body = json.dumps(out).encode("utf-8")

@@ -49,30 +49,57 @@ class ChatHistory:
         self._conn.execute("PRAGMA foreign_keys = ON")
         self._conn.executescript(_SCHEMA)
 
+    def _upsert_chat(self, session_id: str, title: str, ts: int) -> None:
+        """Create-or-touch the chat row (caller holds lock+transaction)."""
+        row = self._conn.execute(
+            "SELECT 1 FROM chats WHERE session_id = ?", (session_id,)
+        ).fetchone()
+        if row is None:
+            self._conn.execute(
+                "INSERT INTO chats VALUES (?, ?, ?, ?)",
+                (session_id, title, ts, ts),
+            )
+        else:
+            self._conn.execute(
+                "UPDATE chats SET updated_at = ? WHERE session_id = ?",
+                (ts, session_id),
+            )
+
+    def _insert_message(self, session_id: str, role: str, content: str, ts: int) -> None:
+        self._conn.execute(
+            "INSERT INTO messages (session_id, role, content, created_at)"
+            " VALUES (?, ?, ?, ?)",
+            (session_id, role, content, ts),
+        )
+
     def append(
         self, session_id: str, role: str, content: str, ts: int, title: str | None = None
     ) -> None:
         """Add one message; creates the chat row on first use (titled
         with the first user message unless given, like the reference)."""
         with self._lock, self._conn:
-            row = self._conn.execute(
-                "SELECT 1 FROM chats WHERE session_id = ?", (session_id,)
-            ).fetchone()
-            if row is None:
-                self._conn.execute(
-                    "INSERT INTO chats VALUES (?, ?, ?, ?)",
-                    (session_id, title or content[:60], ts, ts),
-                )
-            else:
-                self._conn.execute(
-                    "UPDATE chats SET updated_at = ? WHERE session_id = ?",
-                    (ts, session_id),
-                )
-            self._conn.execute(
-                "INSERT INTO messages (session_id, role, content, created_at)"
-                " VALUES (?, ?, ?, ?)",
-                (session_id, role, content, ts),
-            )
+            self._upsert_chat(session_id, title or content[:60], ts)
+            self._insert_message(session_id, role, content, ts)
+
+    def append_turn(
+        self,
+        session_id: str,
+        user_content: str,
+        assistant_content: str,
+        user_ts: int,
+        assistant_ts: int,
+        title: str | None = None,
+    ) -> None:
+        """Persist one user/assistant exchange ATOMICALLY: both message
+        rows commit together or neither does (`with self._conn` rolls
+        the transaction back on any failure), so a mid-pair error —
+        locked database, full disk — can never leave an orphaned user
+        row breaking the alternating-turn shape that ``messages``
+        consumers (quoted-term inheritance, the chat UI) assume."""
+        with self._lock, self._conn:
+            self._upsert_chat(session_id, title or user_content[:60], assistant_ts)
+            self._insert_message(session_id, "user", user_content, user_ts)
+            self._insert_message(session_id, "assistant", assistant_content, assistant_ts)
 
     def messages(self, session_id: str) -> list[tuple[str, str]]:
         """(role, content) in insertion order — the ``history`` payload

@@ -130,16 +130,23 @@ def personalized_pagerank(
     if not seed_list:
         raise ValueError("personalized_pagerank needs at least one seed")
     spark = edges.sparkSession
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
     node_type = edges.schema["src"].dataType
     sdf = spark.createDataFrame(
         [(s,) for s in seed_list],
         T.StructType([T.StructField("node", node_type)]),
     ).withColumn("__r", F.lit(1.0 / len(seed_list)))
+    # Node set includes the seeds even when a seed appears in no edge:
+    # an isolated seed is a legitimate node holding its teleport share
+    # (rank = (1−d)·r + d·dm·r each round).  Deriving nodes from edges
+    # alone would silently drop such a seed's mass and decay every rank
+    # toward 0 — violating the total-mass-1 contract for e.g. a
+    # canonicalized-away entity id.
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .unionByName(sdf.select("node"))
+        .distinct()
+    )
     nodes_r = nodes.join(F.broadcast(sdf), "node", "left").select(
         "node", F.coalesce("__r", F.lit(0.0)).alias("r")
     )

@@ -51,40 +51,31 @@ def _round_half_up(x: np.ndarray, digits: int = 6) -> np.ndarray:
     )
 
 
-def exact_similarity_pairs(
+def replicate_block_pairs(
     emb: DataFrame,
-    threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_rows: int = 4096,
     n_rows: int | None = None,
     partition_by: str | None = None,
-) -> DataFrame:
-    """All pairs (src < dst, sim) with cosine similarity ≥ threshold.
+) -> tuple[DataFrame, list[str]]:
+    """(replicated, part_keys): the shared fan-out stage under every
+    blocked-GEMM operator (threshold pair generation here, the kNN
+    graph in ``operators/similarity.py``).
 
-    Distributed block-pair GEMM — no driver-side materialization: rows
-    are hashed into B = ⌈n / block_rows⌉ blocks; each row is replicated
-    to the B unordered block-pairs it participates in; one
-    `applyInPandas` task per (bi, bj) computes its cosine block as a
-    single BLAS matmul and emits only pairs at/above the threshold.
-    The O(n²) arithmetic stays in vectorized native code, the shuffle
-    carries n·B vector copies (not n² pairs), and per-task memory is
-    bounded by 2·block_rows·d doubles regardless of corpus size.
+    Rows are hashed into B = ⌈n / block_rows⌉ blocks and each row is
+    replicated to the B unordered block pairs (bi ≤ bj) it participates
+    in; downstream kernels run one task per ``groupBy(*part_keys, "bi",
+    "bj")`` group with both blocks in memory.  The shuffle carries n·B
+    vector copies (not n² pairs) and per-task memory is bounded by
+    2·block_rows·d doubles.  Output columns: ``part_keys + [id, v, blk,
+    bi, bj]`` with ``id`` cast long and ``v`` cast array<double>.
 
-    ``partition_by`` names a column of ``emb``: pairs are then computed
-    WITHIN each partition value only (the SemDeDup shape — quadratic
-    work confined to each k-means cluster).  Block counts are derived
-    per partition from a distributed size aggregate (no driver scalar),
-    so a pathological giant partition is sub-blocked by exactly the
-    same replication instead of landing on one task.
-
-    This is the exact path; its cost is inherently quadratic in the
-    (partition) row count. For vocabularies beyond a few 10⁵ vectors
-    per partition use `lsh_similarity_pairs`, whose candidate
-    generation is collision-proportional.
-
-    The comparison uses cosine rounded HALF_UP to 6 digits so the
-    decision at the threshold boundary is reproducible across engines.
+    ``partition_by`` confines pair generation to rows sharing that
+    column's value (block counts derived per partition from a
+    distributed size aggregate, null-safe so NULL partitions form their
+    own group); ``n_rows`` (e.g. parquet footer metadata) skips the
+    count job that otherwise sizes the global block grid.
     """
     cols = [F.col(id_col).cast("long").alias("id"), as_double(F.col(vec_col)).alias("v")]
     if partition_by is not None:
@@ -121,6 +112,47 @@ def exact_similarity_pairs(
     )
     replicated = src.select(*part_keys, "id", "v", "blk", F.explode(bp).alias("bp")).select(
         *part_keys, "id", "v", "blk", F.col("bp.bi").alias("bi"), F.col("bp.bj").alias("bj")
+    )
+    return replicated, part_keys
+
+
+def exact_similarity_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 4096,
+    n_rows: int | None = None,
+    partition_by: str | None = None,
+) -> DataFrame:
+    """All pairs (src < dst, sim) with cosine similarity ≥ threshold.
+
+    Distributed block-pair GEMM — no driver-side materialization: rows
+    are hashed into B = ⌈n / block_rows⌉ blocks; each row is replicated
+    to the B unordered block-pairs it participates in; one
+    `applyInPandas` task per (bi, bj) computes its cosine block as a
+    single BLAS matmul and emits only pairs at/above the threshold.
+    The O(n²) arithmetic stays in vectorized native code, the shuffle
+    carries n·B vector copies (not n² pairs), and per-task memory is
+    bounded by 2·block_rows·d doubles regardless of corpus size.
+
+    ``partition_by`` names a column of ``emb``: pairs are then computed
+    WITHIN each partition value only (the SemDeDup shape — quadratic
+    work confined to each k-means cluster).  Block counts are derived
+    per partition from a distributed size aggregate (no driver scalar),
+    so a pathological giant partition is sub-blocked by exactly the
+    same replication instead of landing on one task.
+
+    This is the exact path; its cost is inherently quadratic in the
+    (partition) row count. For vocabularies beyond a few 10⁵ vectors
+    per partition use `lsh_similarity_pairs`, whose candidate
+    generation is collision-proportional.
+
+    The comparison uses cosine rounded HALF_UP to 6 digits so the
+    decision at the threshold boundary is reproducible across engines.
+    """
+    replicated, part_keys = replicate_block_pairs(
+        emb, id_col, vec_col, block_rows, n_rows, partition_by
     )
 
     out_schema = T.StructType(

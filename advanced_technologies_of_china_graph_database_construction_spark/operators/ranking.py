@@ -65,6 +65,8 @@ def bm25_topk(
     that re-enters via a broadcast nested-loop join of a 1-row
     aggregate; the top-k is a global TakeOrderedAndProject.
     """
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(_tokens(text_col)).cast("double").alias("dl"),

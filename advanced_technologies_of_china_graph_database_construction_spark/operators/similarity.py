@@ -23,8 +23,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.vectors import arrow_cosine_rounded, as_double, cosine_rounded
-from .er import _round_half_up
+from ..functions.vectors import arrow_cosine_rounded, cosine_rounded
+from .er import _round_half_up, replicate_block_pairs
 
 
 def brute_force_topk(
@@ -155,19 +155,8 @@ def knn_graph(
     ``n_rows`` (e.g. from parquet footer metadata) skips the count job
     that otherwise sizes the block grid.
     """
-    src = emb.select(F.col(id_col).cast("long").alias("id"), as_double(F.col(vec_col)).alias("v"))
-    n = n_rows if n_rows is not None else src.count()
-    nb = max(1, -(-n // block_rows))
-    src = src.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int"))
-    ks = F.sequence(F.lit(0), F.lit(nb - 1))
-    bp = F.transform(
-        ks,
-        lambda j: F.struct(
-            F.least(F.col("blk"), j).alias("bi"), F.greatest(F.col("blk"), j).alias("bj")
-        ),
-    )
-    replicated = src.select("id", "v", "blk", F.explode(bp).alias("bp")).select(
-        "id", "v", "blk", F.col("bp.bi").alias("bi"), F.col("bp.bj").alias("bj")
+    replicated, _ = replicate_block_pairs(
+        emb, id_col, vec_col, block_rows, n_rows, partition_by=None
     )
 
     out_schema = T.StructType(

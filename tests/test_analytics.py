@@ -3,6 +3,8 @@ these pin the mathematical properties that hold at any scale)."""
 
 from __future__ import annotations
 
+import pytest
+
 from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import symmetric_edges
 from advanced_technologies_of_china_graph_database_construction_spark.plans.analytics_queries import (
     _copub_pairs,
@@ -180,3 +182,26 @@ def test_personalized_pagerank_matches_reference(spark):
 
     with _pytest.raises(ValueError):
         personalized_pagerank(edges, [])
+
+
+def test_personalized_pagerank_keeps_isolated_seed_mass(spark):
+    """A seed absent from the edge list is an isolated node holding its
+    teleport share — total mass must stay 1, not decay toward 0."""
+    edge_list = [(1, 2), (2, 3), (3, 1)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import (
+        personalized_pagerank,
+    )
+
+    got = {r.node: r.ppr for r in personalized_pagerank(edges, [99], n_iter=3).collect()}
+    assert 99 in got
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    # the isolated seed keeps (almost) all the mass: nothing links to it,
+    # so graph nodes only ever receive what they teleport-inherit (zero)
+    assert got[99] == pytest.approx(1.0, abs=1e-4)
+    # mixed case: one in-graph seed + one isolated seed still conserves
+    got2 = {
+        r.node: r.ppr
+        for r in personalized_pagerank(edges, [1, 99], n_iter=3).collect()
+    }
+    assert abs(sum(got2.values()) - 1.0) < 1e-4

@@ -316,7 +316,7 @@ def test_http_endpoint_answers_even_when_history_store_fails(spark):
         def max_ts(self):
             return 0
 
-        def append(self, *a, **k):
+        def append_turn(self, *a, **k):
             raise RuntimeError("database is locked")
 
     server = api.serve(spark, SF, history=BrokenHistory())
@@ -518,3 +518,26 @@ def test_cli_export_csv_writes_readable_bundle(spark, tmp_path, capsys):
     assert [r.rel_type for r in rels.select("rel_type").distinct().collect()] == [
         "AUTHORED"
     ]
+
+
+def test_append_turn_is_atomic(tmp_path):
+    """A failure mid-pair (here: NOT NULL violation on the assistant
+    row) must roll back the whole turn — no orphaned user row breaking
+    the alternating-turn shape."""
+    import sqlite3
+
+    import pytest
+
+    from advanced_technologies_of_china_graph_database_construction_spark.nl.history import ChatHistory
+
+    h = ChatHistory(str(tmp_path / "chats.db"))
+    h.append_turn("s1", "q1", "a1", 1, 2)
+    assert h.messages("s1") == [("user", "q1"), ("assistant", "a1")]
+    with pytest.raises(sqlite3.IntegrityError):
+        h.append_turn("s1", "q2", None, 3, 4)  # type: ignore[arg-type]
+    # the failed turn left nothing behind — neither message persisted
+    assert h.messages("s1") == [("user", "q1"), ("assistant", "a1")]
+    # and a failed FIRST turn leaves no chat row at all
+    with pytest.raises(sqlite3.IntegrityError):
+        h.append_turn("s2", "q", None, 5, 6)  # type: ignore[arg-type]
+    assert h.list_chats() == [("s1", "q1")]

@@ -133,3 +133,9 @@ def test_knn_agrees_with_brute_force(spark):
         if r["vec_id"] in qids
     }
     assert graph == brute
+
+
+def test_bm25_empty_query_raises(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    with pytest.raises(ValueError, match="query term"):
+        bm25_topk(df, [], k=10)
