@@ -1314,6 +1314,73 @@ SELECT vec_id, neighbor_id, sim, rank FROM (
 """
 
 
+# --------------------------------------- d27 snapshot diff (DEFERRED) ---
+
+def d27_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus diff between two crawl snapshots — the CDC
+    step of a continuously-refreshed training corpus (what changed
+    since the last build decides what re-enters dedup/curation).  The
+    new snapshot is derived deterministically: every 11th doc removed,
+    every 7th remaining doc revised, every 50th re-added under a new
+    id.  One full-outer join on the id (at scale: bucket both snapshots
+    by id and the join is shuffle-free) with a map-side md5 compare."""
+    old = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = old.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    added = old.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+    )
+    new = kept.unionByName(added)
+    o = old.select("doc_id", F.md5("text").alias("h_old"))
+    n = new.select("doc_id", F.md5("text").alias("h_new"))
+    change = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+    )
+    return (
+        o.join(n, "doc_id", "full_outer")
+        .select("doc_id", change.alias("change"))
+        .filter(F.col("change").isNotNull())
+    )
+
+
+D27_SQL = """
+WITH old AS (SELECT doc_id, text FROM documents),
+newsnap AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+  FROM old WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 3000000, text FROM old WHERE doc_id % 50 = 0),
+o AS (SELECT doc_id, md5(text) AS h_old FROM old),
+n AS (SELECT doc_id, md5(text) AS h_new FROM newsnap)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN h_old <> h_new THEN 'changed' END AS change
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR h_old <> h_new)
+"""
+
+
+# ---------------------------------------- d28 BPE induction (DEFERRED) ---
+
+def d28_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merge rules learned from the corpus word-frequency
+    table (`operators/bpe.py`) — tokenizer-vocabulary training as a
+    Spark workload.  Iterative argmax is not SQL-expressible, so the
+    gate is rows-only; the hard check is the Python-reference equality
+    suite in tests/test_bpe.py."""
+    from ..operators.bpe import bpe_merges
+
+    return bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=8)
+
+
 # Staged for the NEXT round's registry (adding them this round would take
 # driver-gate slots from the round-4 stale-spec rotation, the judge's top
 # priority).  Oracles already validated by
@@ -1327,6 +1394,10 @@ DEFERRED_SPECS = [
               "per-document distinctive terms by tf-idf (wordcount + window top-k)"),
     QuerySpec("a05_knn_graph", a05_knn_graph, A05_SQL, "similarity",
               "exact all-pairs kNN graph via blocked GEMM with in-kernel top-k"),
+    QuerySpec("d27_snapshot_diff", d27_snapshot_diff, D27_SQL, "corpus",
+              "incremental snapshot diff (added/removed/changed via hash CDC)"),
+    QuerySpec("d28_bpe_merges", d28_bpe_merges, None, "text",
+              "BPE merge-table induction (rows-only gate; python-reference pytest)"),
 ]
 
 

@@ -47,9 +47,14 @@ def _deferred_specs():
 def test_deferred_specs_match_oracle(spark, con, spec):
     """Specs staged for next round's registry (kept out of this round's
     budget-bounded gate) must ALREADY pass the same oracle comparison,
-    so registering them later is a zero-risk one-line move."""
+    so registering them later is a zero-risk one-line move.  Oracle-less
+    specs get the driver's weaker rows-only check here too (their hard
+    verification lives in their own test file, e.g. test_bpe.py)."""
     df = spec.fn(spark, SF_CORRECT)
-    compare(df, con, spec.oracle)
+    if spec.oracle is None:
+        assert df.count() > 0 and len(df.columns) > 0
+    else:
+        compare(df, con, spec.oracle)
 
 
 def test_entry_smoke(spark):

@@ -299,3 +299,47 @@ def test_containment_df_cap_is_conservative_subset(spark):
     }
     assert capped <= exact
     assert len(exact) > 0
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["ox", "fox", "dog", "data", "spark"]), min_size=1, max_size=8),
+        min_size=1,
+        max_size=10,
+    ),
+    st.lists(st.sampled_from(["ox", "fox", "dog", "vec"]), min_size=1, max_size=3, unique=True),
+)
+@SETTINGS
+def test_bm25_property_matches_reference(spark, word_lists, query):
+    """BM25 over arbitrary tiny corpora must equal the pure-Python
+    formula doc-for-doc (scores rounded to 6, only matching docs)."""
+    import math
+
+    import pytest
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.ranking import bm25_topk
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    k1, b = 1.2, 0.75
+    n = float(len(docs))
+    avgdl = sum(len(ws) for ws in word_lists) / n
+    dfs = {q: float(sum(1 for ws in word_lists if q in ws)) for q in query}
+    want = {}
+    for i, ws in enumerate(word_lists):
+        score = 0.0
+        for q in query:
+            tf = float(ws.count(q))
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - dfs[q] + 0.5) / (dfs[q] + 0.5))
+            score += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * len(ws) / avgdl))
+        if round(score, 6) > 0:
+            want[i] = round(score, 6)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(df, list(query), k=len(docs)).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-9)
