@@ -247,10 +247,14 @@ G25_SQL = (
 )
 
 
-# Staged for the NEXT round's registry (this round's gate budget is
-# reserved for the stale-spec rotation).  Oracle already validated by
-# tests/test_correctness.py::test_deferred_specs_match_oracle.
-DEFERRED_SPECS = [
+# No specs currently staged; new specs register directly (never-gated
+# specs sort first in the staleness-ordered registry, so they take the
+# next driver gate's first slots — zero rows is the weakest signal and
+# gets priority over rotating already-green rows).
+DEFERRED_SPECS: list[QuerySpec] = []
+
+
+SPECS = [
     QuerySpec(
         name="g25_related_keywords_ppr",
         fn=g25_related_keywords_ppr,
@@ -260,10 +264,6 @@ DEFERRED_SPECS = [
         "and dangling mass restart onto the seed, total mass 1; oracle is the "
         "unrolled seeded power method in SQL.",
     ),
-]
-
-
-SPECS = [
     QuerySpec(
         name="g21_copub_pagerank",
         fn=g21_copub_pagerank,

@@ -1381,11 +1381,14 @@ def d28_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=8)
 
 
-# Staged for the NEXT round's registry (adding them this round would take
-# driver-gate slots from the round-4 stale-spec rotation, the judge's top
-# priority).  Oracles already validated by
-# tests/test_correctness.py::test_deferred_specs_match_oracle.
-DEFERRED_SPECS = [
+# No specs currently staged; new specs register directly (never-gated
+# specs sort first in the staleness-ordered registry, so they take the
+# next driver gate's first slots — zero rows is the weakest signal and
+# gets priority over rotating already-green rows).
+DEFERRED_SPECS: list[QuerySpec] = []
+
+
+SPECS = [
     QuerySpec("d24_containment_pairs", d24_containment_pairs, D24_SQL, "dedup",
               "asymmetric containment near-dup (quote/subset detection)"),
     QuerySpec("d25_bm25_search", d25_bm25_search, D25_SQL, "text",
@@ -1398,10 +1401,6 @@ DEFERRED_SPECS = [
               "incremental snapshot diff (added/removed/changed via hash CDC)"),
     QuerySpec("d28_bpe_merges", d28_bpe_merges, None, "text",
               "BPE merge-table induction (rows-only gate; python-reference pytest)"),
-]
-
-
-SPECS = [
     QuerySpec("d01_exact_dup_groups", d01_exact_dup_groups, D01_SQL, "dedup",
               "exact dedup via md5 hash-groupBy"),
     QuerySpec("d02_minhash_near_dups", d02_minhash_near_dups, D02_SQL, "dedup",
