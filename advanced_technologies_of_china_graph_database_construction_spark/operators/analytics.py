@@ -228,3 +228,61 @@ def triangle_count(pairs: DataFrame, a: str = "src", b: str = "dst") -> DataFram
         .join(e13, (F.col("o1") == F.col("t1")) & (F.col("o3") == F.col("t3")))
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """(node, hub, authority): fixed-iteration HITS (Kleinberg's
+    hubs-and-authorities) over a directed edge set — the classic
+    bipartite-influence primitive (here: documents are hubs pointing at
+    keyword authorities).
+
+    Per round: authority(v) = Σ_{u→v} hub(u); hub(u) = Σ_{u→v}
+    authority(v).  Normalization is DEFERRED: the updates are linear,
+    so per-round L1 scaling only rescales the vectors — one L1
+    normalize of the final hub and authority vectors yields the same
+    result as normalizing every half-step, while removing two scalar
+    re-entries per iteration (each of which doubled the unoptimized
+    plan: the vector subtree feeds both the sum and the divide).
+    Raw magnitudes grow like (principal eigenvalue)^k — comfortably
+    inside float64 for any realistic degree at small fixed ``n_iter``.
+
+    Plan shape per round: two edge joins + two groupBy sums (the same
+    two-shuffle Pregel superstep as ``pagerank``); the two final L1
+    sums re-enter as broadcast 1-row aggregates — no driver scalars.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.withColumn("hub", F.lit(1.0))
+    auth = nodes.withColumn("a", F.lit(0.0))
+    for _ in range(n_iter):
+        a_raw = (
+            edges.join(hub, edges.src == hub.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("__a"))
+        )
+        auth = nodes.join(a_raw, "node", "left").select(
+            "node", F.coalesce("__a", F.lit(0.0)).alias("a")
+        )
+        h_raw = (
+            edges.join(auth, edges.dst == auth.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("__h"))
+        )
+        hub = nodes.join(h_raw, "node", "left").select(
+            "node", F.coalesce("__h", F.lit(0.0)).alias("hub")
+        )
+    asum = auth.agg(F.sum("a").alias("__as"))
+    hsum = hub.agg(F.sum("hub").alias("__hs"))
+    return (
+        hub.join(auth, "node")
+        .crossJoin(F.broadcast(asum))
+        .crossJoin(F.broadcast(hsum))
+        .select(
+            "node",
+            F.round(F.col("hub") / F.col("__hs"), 6).alias("hub"),
+            F.round(F.col("a") / F.col("__as"), 6).alias("authority"),
+        )
+    )

@@ -247,6 +247,55 @@ G25_SQL = (
 )
 
 
+# ------------------------------------------------- g26 HITS -------------
+
+def g26_doc_keyword_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the directed doc→keyword bipartite graph: documents
+    are hubs (pointing at many authoritative keywords), keywords are
+    authorities.  L1-normalized fixed-iteration power method — the
+    unrolled SQL oracle reproduces the arithmetic exactly."""
+    from ..operators.analytics import hits
+
+    scores = hits(_citation_edges(spark, sf_dir), N_ITER)
+    return scores.select(F.col("node").alias("node_id"), "hub", "authority")
+
+
+def _g26_iter_ctes(k: int) -> str:
+    # MATERIALIZED is load-bearing: a{k} feeds both h{k} and (for the
+    # final round) the output + its L1 sum, so DuckDB's default CTE
+    # inlining re-evaluates the whole chain multiple times per level —
+    # measured 37 s → 0.3 s on the sf0.01 oracle.  Normalization is
+    # deferred to the end, mirroring the Spark operator exactly.
+    prev_h = f"h{k - 1}"
+    return f"""
+ar{k} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.hub) AS a
+  FROM edges e JOIN {prev_h} h ON e.src = h.node GROUP BY e.dst),
+a{k} AS MATERIALIZED (
+  SELECT nodes.node, coalesce(r.a, 0) AS a
+  FROM nodes LEFT JOIN ar{k} r ON nodes.node = r.node),
+hr{k} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.a) AS h
+  FROM edges e JOIN a{k} a ON e.dst = a.node GROUP BY e.src),
+h{k} AS MATERIALIZED (
+  SELECT nodes.node, coalesce(r.h, 0) AS hub
+  FROM nodes LEFT JOIN hr{k} r ON nodes.node = r.node)
+"""
+
+
+G26_SQL = (
+    _G24_CTES
+    + ", h0 AS (SELECT node, 1.0 AS hub FROM nodes),"
+    + ",".join(_g26_iter_ctes(k) for k in range(1, N_ITER + 1))
+    + f"""
+SELECT h.node AS node_id,
+       round(h.hub / (SELECT sum(hub) FROM h{N_ITER}), 6) AS hub,
+       round(a.a / (SELECT sum(a) FROM a{N_ITER}), 6) AS authority
+FROM h{N_ITER} h JOIN a{N_ITER} a ON h.node = a.node
+"""
+)
+
+
 # No specs currently staged; new specs register directly (never-gated
 # specs sort first in the staleness-ordered registry, so they take the
 # next driver gate's first slots — zero rows is the weakest signal and
@@ -298,5 +347,14 @@ SPECS = [
         description="PageRank over the directed doc→keyword graph with "
         "dangling-mass redistribution (every keyword node is a sink); "
         "oracle is the unrolled power method with the mass term in SQL.",
+    ),
+    QuerySpec(
+        name="g26_doc_keyword_hits",
+        fn=g26_doc_keyword_hits,
+        oracle=G26_SQL,
+        category="analytics",
+        description="HITS hubs-and-authorities over the directed doc→keyword "
+        "bipartite graph, L1-normalized fixed iterations; oracle is the "
+        "unrolled power method in SQL.",
     ),
 ]

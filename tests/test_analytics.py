@@ -205,3 +205,45 @@ def test_personalized_pagerank_keeps_isolated_seed_mass(spark):
         for r in personalized_pagerank(edges, [1, 99], n_iter=3).collect()
     }
     assert abs(sum(got2.values()) - 1.0) < 1e-4
+
+
+def _hits_reference(edge_list, n_iter=3):
+    """numpy HITS, normalization deferred to one final L1 (the updates
+    are linear, so this equals per-round normalization up to float
+    rounding — and mirrors the operator's plan-shape choice)."""
+    import numpy as np
+
+    nodes = sorted({n for e in edge_list for n in e})
+    ix = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(n_iter):
+        a = np.zeros(n)
+        for s, t in edge_list:
+            a[ix[t]] += h[ix[s]]
+        h = np.zeros(n)
+        for s, t in edge_list:
+            h[ix[s]] += a[ix[t]]
+    a = a / a.sum()
+    h = h / h.sum()
+    return {
+        v: (round(float(h[ix[v]]), 6), round(float(a[ix[v]]), 6)) for v in nodes
+    }
+
+
+def test_hits_matches_reference(spark):
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import hits
+
+    # bipartite docs {1,2,3} → keywords {10,11,12}; doc 1 is the big hub,
+    # keyword 10 the big authority
+    edge_list = [(1, 10), (1, 11), (1, 12), (2, 10), (3, 10), (3, 11)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.node: (r.hub, r.authority) for r in hits(edges, n_iter=3).collect()}
+    assert got == _hits_reference(edge_list, 3)
+    hubs = {v: hv for v, (hv, _) in got.items()}
+    auths = {v: av for v, (_, av) in got.items()}
+    assert hubs[1] == max(hubs.values())      # doc 1: most/best keywords
+    assert auths[10] == max(auths.values())   # keyword 10: most/best docs
+    # pure-sink keywords have zero hub score; pure-source docs zero authority
+    assert hubs[10] == 0.0 and auths[1] == 0.0
