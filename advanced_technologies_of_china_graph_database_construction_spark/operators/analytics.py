@@ -286,3 +286,40 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
             F.round(F.col("a") / F.col("__as"), 6).alias("authority"),
         )
     )
+
+
+def bfs_distances(edges: DataFrame, source, max_hops: int = 4) -> DataFrame:
+    """(node, dist): length of the shortest directed path from
+    ``source`` to every node reachable within ``max_hops`` — the
+    Pregel BFS / k-hop-neighborhood primitive behind reach queries
+    ("everything within 3 hops of this entity").
+
+    Each round relaxes the frontier with one edges⋈dist join and folds
+    it in with a min-aggregate — distances only ever decrease, so a
+    fixed round count yields exact ≤``max_hops`` distances.  Plan per
+    round: one join + one groupBy min (two shuffles), same superstep
+    budget as ``pagerank``; the fixed hop bound keeps the operator
+    deterministic and SQL-oracle-able as unrolled iterations.
+    """
+    dist = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .select(
+            "node",
+            F.when(F.col("node") == F.lit(source), F.lit(0)).alias("dist"),
+        )
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            edges.join(dist, edges.src == dist.node)
+            .filter(F.col("dist").isNotNull())
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("cand"))
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        dist = (
+            dist.join(relaxed, "node", "left")
+            .select("node", F.least(F.col("dist"), F.col("cand")).alias("dist"))
+        )
+    return dist.filter(F.col("dist").isNotNull())

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.vectors import arrow_cosine_rounded, cosine_rounded
+from ..functions.vectors import arrow_cosine_rounded, as_double, cosine_rounded
 from .er import _round_half_up, replicate_block_pairs
 
 
@@ -219,3 +219,81 @@ def knn_graph(
         .filter(F.col("rank") <= k)
         .select(F.col("id").alias(id_col), "neighbor_id", "sim", "rank")
     )
+
+
+def scalar_quantize(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 256,
+) -> DataFrame:
+    """(vec_id, qvec array<int>): per-dimension min-max scalar
+    quantization to signed ints in [−levels/2, levels/2 − 1] — the
+    memory-side half of quantized ANN (4× smaller than float32 at 256
+    levels; at 100 TB the quantized copy is what stays hot while the
+    float vectors stay in cold storage for reranking).
+
+    Per-dimension stats come from one posexplode + groupBy(pos) pass
+    (map-side combine; the stats table is dim-sized, broadcast back);
+    a constant dimension (max = min) quantizes to 0.
+    """
+    vals = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(as_double(F.col(vec_col))).alias("pos", "val"),
+    )
+    stats = vals.groupBy("pos").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    q = vals.join(F.broadcast(stats), "pos").select(
+        "id",
+        "pos",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.round(
+                (F.col("val") - F.col("mn")) / (F.col("mx") - F.col("mn")) * (levels - 1.0),
+                0,
+            ).cast("int")
+            - levels // 2
+        )
+        .alias("q"),
+    )
+    return (
+        q.groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "q"))), lambda s: s["q"]
+            ).alias("qvec")
+        )
+        .select(F.col("id").alias(id_col), "qvec")
+    )
+
+
+def quantized_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 256,
+) -> DataFrame:
+    """(query_id, neighbor_id, score, rank): top-k by integer dot
+    product over the scalar-quantized vectors — quantized ANN search.
+    All scoring is int64 arithmetic (zip_with multiply + fold), so the
+    ranking is bit-exact across engines and partitionings; ties break
+    on neighbor id.  One broadcast of the quantized queries, one JVM
+    scan over candidates, one window top-k."""
+    qt = scalar_quantize(emb, id_col, vec_col, levels)
+    q = qt.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("qv")
+    )
+    cand = qt.select(F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("nv"))
+    score = F.aggregate(
+        F.zip_with("qv", "nv", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(q)
+        .join(cand, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

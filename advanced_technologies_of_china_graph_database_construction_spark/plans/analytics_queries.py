@@ -296,6 +296,48 @@ FROM h{N_ITER} h JOIN a{N_ITER} a ON h.node = a.node
 )
 
 
+# ------------------------------------------------- g27 BFS distances ----
+
+MAX_HOPS = 4
+
+
+def g27_reach_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path distances (≤ MAX_HOPS) from the smallest org node
+    over the symmetric co-publication graph — the k-hop reach query as
+    Pregel BFS (relax frontier + min-fold per round).  The source
+    lookup is one tiny min() job, a literal like pagerank's count."""
+    from ..operators.analytics import bfs_distances
+
+    edges = symmetric_edges(_copub_pairs(spark, sf_dir))
+    source = edges.agg(F.min("src")).first()[0]
+    return bfs_distances(edges, source, MAX_HOPS).select(
+        F.col("node").alias("org_id"), "dist"
+    )
+
+
+def _g27_iter_ctes(k: int) -> str:
+    prev = f"d{k - 1}"
+    return f"""
+rx{k} AS MATERIALIZED (
+  SELECT e.dst AS node, min(d.dist + 1) AS cand
+  FROM edges e JOIN {prev} d ON e.src = d.node
+  WHERE d.dist IS NOT NULL GROUP BY e.dst),
+d{k} AS MATERIALIZED (
+  SELECT d.node, least(d.dist, r.cand) AS dist
+  FROM {prev} d LEFT JOIN rx{k} r ON d.node = r.node)
+"""
+
+
+G27_SQL = (
+    _GRAPH_CTES
+    + """, d0 AS (
+  SELECT node, CASE WHEN node = (SELECT min(node) FROM nodes) THEN 0 END AS dist
+  FROM nodes),"""
+    + ",".join(_g27_iter_ctes(k) for k in range(1, MAX_HOPS + 1))
+    + f"\nSELECT node AS org_id, dist FROM d{MAX_HOPS} WHERE dist IS NOT NULL"
+)
+
+
 # No specs currently staged; new specs register directly (never-gated
 # specs sort first in the staleness-ordered registry, so they take the
 # next driver gate's first slots — zero rows is the weakest signal and
@@ -356,5 +398,14 @@ SPECS = [
         description="HITS hubs-and-authorities over the directed doc→keyword "
         "bipartite graph, L1-normalized fixed iterations; oracle is the "
         "unrolled power method in SQL.",
+    ),
+    QuerySpec(
+        name="g27_reach_distances",
+        fn=g27_reach_distances,
+        oracle=G27_SQL,
+        category="analytics",
+        description="Pregel BFS: shortest-path distances within 4 hops of the "
+        "smallest org over the co-publication graph; oracle is the unrolled "
+        "frontier relaxation in SQL.",
     ),
 ]

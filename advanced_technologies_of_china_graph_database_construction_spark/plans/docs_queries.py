@@ -23,7 +23,7 @@ from ..operators import dedup, ranking, textops
 from ..operators.connected_components import connected_components
 from ..operators.er import exact_similarity_pairs, lsh_similarity_pairs
 from ..operators.kmeans import kmeans_assignments, kmeans_centroids
-from ..operators.similarity import brute_force_topk, ivf_topk, knn_graph
+from ..operators.similarity import brute_force_topk, ivf_topk, knn_graph, quantized_topk
 from .spec import QuerySpec
 
 # ---------------------------------------------------------------- corpus --
@@ -1381,6 +1381,40 @@ def d28_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=8)
 
 
+# ----------------------------------------------- a06 quantized ANN ------
+
+def a06_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search over scalar-quantized (int8-range) vectors — the
+    memory-compression path for 100 TB vector search (the quantized
+    copy is 4× smaller and the integer dot-product ranking is bit-exact
+    across engines; the float vectors stay cold for reranking)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, ANN_QUERY_IDS, k=10)
+
+
+A06_SQL = f"""
+WITH vals AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings),
+stats AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM vals GROUP BY 1),
+q AS (
+  SELECT vec_id, pos,
+         CASE WHEN mx = mn THEN 0
+              ELSE CAST(round((val - mn) / (mx - mn) * 255.0) AS INT) - 128 END AS q
+  FROM vals JOIN stats USING (pos)),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(sum(a.q * b.q) AS BIGINT) AS score
+  FROM q a JOIN q b ON a.pos = b.pos AND b.vec_id <> a.vec_id
+  WHERE a.vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 10
+"""
+
+
 # No specs currently staged; new specs register directly (never-gated
 # specs sort first in the staleness-ordered registry, so they take the
 # next driver gate's first slots — zero rows is the weakest signal and
@@ -1401,6 +1435,8 @@ SPECS = [
               "incremental snapshot diff (added/removed/changed via hash CDC)"),
     QuerySpec("d28_bpe_merges", d28_bpe_merges, None, "text",
               "BPE merge-table induction (rows-only gate; python-reference pytest)"),
+    QuerySpec("a06_quantized_ann", a06_quantized_ann, A06_SQL, "similarity",
+              "scalar-quantized ANN (int8 range, bit-exact integer dot ranking)"),
     QuerySpec("d01_exact_dup_groups", d01_exact_dup_groups, D01_SQL, "dedup",
               "exact dedup via md5 hash-groupBy"),
     QuerySpec("d02_minhash_near_dups", d02_minhash_near_dups, D02_SQL, "dedup",

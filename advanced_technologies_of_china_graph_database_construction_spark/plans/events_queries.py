@@ -300,6 +300,90 @@ def e11_streaming_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# ------------------------------------------------------------ e12 funnel --
+
+def e12_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel view → click → purchase: a user
+    advances a stage only with an event strictly after their previous
+    stage's first event.  Three conditional min-aggregations chained by
+    equi-joins on user_id (each join key-partitioned; no window over
+    the whole event stream, no ordering shuffle of raw events)."""
+    ev = _events(spark, sf_dir)
+    mv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("tv"))
+    )
+    mc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(mv, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id").agg(F.min("ts").alias("tc"))
+    )
+    mp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(mc, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id").agg(F.min("ts").alias("tp"))
+    )
+    return (
+        mv.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("1_view").alias("stage"), "n_users")
+        .unionByName(mc.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("2_click").alias("stage"), "n_users"))
+        .unionByName(mp.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("3_purchase").alias("stage"), "n_users"))
+    )
+
+
+E12_SQL = """
+WITH mv AS (SELECT user_id, min(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY 1),
+mc AS (
+  SELECT e.user_id, min(e.ts) AS tc FROM events e JOIN mv ON e.user_id = mv.user_id
+  WHERE e.event_type = 'click' AND e.ts > mv.tv GROUP BY 1),
+mp AS (
+  SELECT e.user_id, min(e.ts) AS tp FROM events e JOIN mc ON e.user_id = mc.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > mc.tc GROUP BY 1)
+SELECT '1_view' AS stage, count(*) AS n_users FROM mv
+UNION ALL SELECT '2_click', count(*) FROM mc
+UNION ALL SELECT '3_purchase', count(*) FROM mp
+"""
+
+
+# ----------------------------------------------------------- e13 cohorts --
+
+def e13_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the week of their
+    first event; one row per (cohort_week, week_offset) with the count
+    of distinct users active that week.  First-touch is one min-agg;
+    activity weeks are a map-side date_trunc; the rollup is a single
+    count-distinct shuffle — integer/date arithmetic only."""
+    ev = _events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    acts = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+    )
+    return acts.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+E13_SQL = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week FROM events GROUP BY 1)
+SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_users FROM (
+  SELECT e.user_id, f.cohort_week,
+         CAST(floor(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) / 7.0) AS INT) AS week_offset
+  FROM events e JOIN first f ON e.user_id = f.user_id)
+GROUP BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec("e01_tumbling_daily", e01_tumbling_daily, E01_SQL, "events",
               "tumbling 1-day window stats per event_type", bench=True),
@@ -324,4 +408,8 @@ SPECS = [
     QuerySpec("e11_streaming_tumbling_daily", e11_streaming_tumbling_daily, E01_SQL,
               "events", "REAL readStream micro-batch run of the e01 plan (W2/S4 "
               "streaming face, batch-oracle-gated)"),
+    QuerySpec("e12_conversion_funnel", e12_conversion_funnel, E12_SQL, "events",
+              "strict-order view→click→purchase funnel (chained conditional min-aggs)"),
+    QuerySpec("e13_retention_cohorts", e13_retention_cohorts, E13_SQL, "events",
+              "weekly retention cohorts (first-touch week × activity-week offset)"),
 ]

@@ -247,3 +247,16 @@ def test_hits_matches_reference(spark):
     assert auths[10] == max(auths.values())   # keyword 10: most/best docs
     # pure-sink keywords have zero hub score; pure-source docs zero authority
     assert hubs[10] == 0.0 and auths[1] == 0.0
+
+
+def test_bfs_distances_match_reference(spark):
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import bfs_distances
+
+    # 0→1→2→3→4 chain plus a shortcut 0→3 and an unreachable island 9→10
+    edge_list = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (9, 10)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.node: r.dist for r in bfs_distances(edges, 0, max_hops=4).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}
+    # hop bound truncates: with max_hops=1 only direct successors appear
+    got1 = {r.node: r.dist for r in bfs_distances(edges, 0, max_hops=1).collect()}
+    assert got1 == {0: 0, 1: 1, 3: 1}

@@ -139,3 +139,46 @@ def test_bm25_empty_query_raises(spark):
     df = spark.createDataFrame(DOCS, ["doc_id", "text"])
     with pytest.raises(ValueError, match="query term"):
         bm25_topk(df, [], k=10)
+
+
+def test_scalar_quantize_bounds_and_constant_dim(spark):
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.similarity import (
+        scalar_quantize,
+    )
+
+    rows = [
+        (0, [0.0, 5.0, -1.0]),
+        (1, [1.0, 5.0, 0.0]),
+        (2, [2.0, 5.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["vec_id"]: r["qvec"] for r in scalar_quantize(df).collect()}
+    # min maps to -128, max to 127, constant dim (index 1) to 0
+    assert got[0] == [-128, 0, -128]
+    assert got[2] == [127, 0, 127]
+    assert got[1] == [0, 0, 0]  # midpoint → round(0.5*255)=128 → 0
+
+
+def test_quantized_ann_recall_against_exact(spark):
+    """Quantized ranking is an approximation: at 256 levels over the
+    64-dim fixture it must keep most of the exact top-10 (pinned at a
+    conservative ≥6/10 per query) and be internally deterministic."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.similarity import (
+        quantized_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    qids = [0, 1, 2]
+    exact = {
+        q: {r["neighbor_id"] for r in brute_force_topk(emb, [q], k=10).collect()}
+        for q in qids
+    }
+    quant = quantized_topk(emb, qids, k=10)
+    got: dict[int, set] = {q: set() for q in qids}
+    for r in quant.collect():
+        got[r["query_id"]].add(r["neighbor_id"])
+    for q in qids:
+        assert len(got[q] & exact[q]) >= 6, (q, got[q], exact[q])
+    again = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in quant.collect()}
+    once = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in quantized_topk(emb, qids, k=10).collect()}
+    assert again == once
