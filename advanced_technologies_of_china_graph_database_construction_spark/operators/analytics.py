@@ -250,13 +250,16 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     two-shuffle Pregel superstep as ``pagerank``); the two final L1
     sums re-enter as broadcast 1-row aggregates — no driver scalars.
     """
+    if n_iter < 1:
+        # zero iterations would L1-normalize an all-zero authority
+        # vector (0/0 → NULL everywhere) — reject rather than emit nulls
+        raise ValueError("hits needs n_iter >= 1")
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
     hub = nodes.withColumn("hub", F.lit(1.0))
-    auth = nodes.withColumn("a", F.lit(0.0))
     for _ in range(n_iter):
         a_raw = (
             edges.join(hub, edges.src == hub.node)

@@ -20,6 +20,10 @@ Scale design (100 TB story):
   tiny argmax aggregate; only the single winning pair is collected.
 - `localCheckpoint` per round truncates the growing lineage so round k
   costs O(1) rounds of work, not O(k) recompute.
+
+All symbol literals enter plans through ``F.lit`` Column parameters —
+never interpolated into SQL strings — so arbitrary corpus characters
+(quotes, backslashes) cannot break or inject into the merge expression.
 """
 
 from __future__ import annotations
@@ -30,37 +34,34 @@ from pyspark.sql import functions as F
 from .textops import ws_tokens
 
 
-def _q(tok: str) -> str:
-    """SQL-literal-quote a symbol (single quotes doubled)."""
-    return tok.replace("'", "''")
-
-
-def _merge_expr(left: str, right: str) -> str:
-    """Greedy left-to-right merge of the (left, right) pair inside the
-    ``syms`` array, as one JVM ``aggregate`` fold: walk the symbols,
-    and whenever the accumulator's tail equals ``left`` and the current
-    symbol equals ``right``, replace the tail with the concatenation.
-    Matches the reference BPE behavior on overlaps ("aaa" under (a,a)
-    merges once, left to right)."""
-    l, r, m = _q(left), _q(right), _q(left + right)
-    return f"""
-    CASE WHEN size(syms) <= 1 THEN syms ELSE
-      aggregate(
-        slice(syms, 2, size(syms) - 1),
-        array(syms[0]),
-        (acc, s) -> CASE WHEN element_at(acc, -1) = '{l}' AND s = '{r}'
-                         THEN concat(slice(acc, 1, size(acc) - 1), array('{m}'))
-                         ELSE concat(acc, array(s)) END)
-    END
-    """
-
-
 # adjacent symbol pairs; the greatest() guard makes the single-symbol
 # (and empty) case an empty slice — same struct type, no CASE branch
 _PAIRS_EXPR = """
 transform(slice(syms, 1, greatest(size(syms) - 1, 0)),
           (s, i) -> struct(s AS l, element_at(syms, i + 2) AS r))
 """
+
+
+def _merge_fold(col, left: str, right: str):
+    """Greedy left-to-right merge of ONE (left, right) pair inside a
+    symbol-array column, as a JVM ``aggregate`` fold: walk the symbols,
+    and whenever the accumulator's tail equals ``left`` and the current
+    symbol equals ``right``, replace the tail with the concatenation.
+    Matches reference BPE on overlaps ("aaa" under (a,a) merges once,
+    left to right).  Shared by the induction loop and the encode face;
+    literals ride in as ``F.lit`` so any corpus character is safe."""
+    l, r = F.lit(left), F.lit(right)
+    merged = F.lit(left + right)
+    return F.when(F.size(col) <= 1, col).otherwise(
+        F.aggregate(
+            F.slice(col, F.lit(2), F.size(col) - 1),
+            F.slice(col, F.lit(1), F.lit(1)),
+            lambda acc, s: F.when(
+                (F.element_at(acc, -1) == l) & (s == r),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+    )
 
 
 def bpe_merges(
@@ -100,7 +101,7 @@ def bpe_merges(
         row = top[0]
         merges.append((rank, row["l"], row["r"], int(row["pair_freq"])))
         syms = syms.select(
-            "freq", F.expr(_merge_expr(row["l"], row["r"])).alias("syms")
+            "freq", _merge_fold(F.col("syms"), row["l"], row["r"]).alias("syms")
         ).localCheckpoint(eager=True)
 
     return docs.sparkSession.createDataFrame(
@@ -125,21 +126,9 @@ def bpe_encode(
 
 
 def _apply_merges_col(word, merge_rules):
-    """Column-level replay of the merge table over one word (same fold
-    as ``_merge_expr``, built with column lambdas so it composes inside
-    a ``transform`` over the token array)."""
+    """Replay the whole merge table over one word (chained
+    ``_merge_fold``s, composable inside a ``transform`` lambda)."""
     col = F.filter(F.split(word, ""), lambda s: s != F.lit(""))
     for left, right in merge_rules:
-        l, r = F.lit(left), F.lit(right)
-        merged = F.lit(left + right)
-        col = F.when(F.size(col) <= 1, col).otherwise(
-            F.aggregate(
-                F.slice(col, F.lit(2), F.size(col) - 1),
-                F.slice(col, F.lit(1), F.lit(1)),
-                lambda acc, s: F.when(
-                    (F.element_at(acc, -1) == l) & (s == r),
-                    F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)),
-                ).otherwise(F.concat(acc, F.array(s))),
-            )
-        )
+        col = _merge_fold(col, left, right)
     return col

@@ -279,8 +279,11 @@ def quantized_topk(
     All scoring is int64 arithmetic (zip_with multiply + fold), so the
     ranking is bit-exact across engines and partitionings; ties break
     on neighbor id.  One broadcast of the quantized queries, one JVM
-    scan over candidates, one window top-k."""
-    qt = scalar_quantize(emb, id_col, vec_col, levels)
+    scan over candidates, one window top-k.  The quantized table feeds
+    both the query and candidate branches, so it is materialized once
+    (localCheckpoint) instead of re-running the posexplode + stats +
+    re-assembly pipeline per branch."""
+    qt = scalar_quantize(emb, id_col, vec_col, levels).localCheckpoint(eager=True)
     q = qt.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("qvec").alias("qv")
     )

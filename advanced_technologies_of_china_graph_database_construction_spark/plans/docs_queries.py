@@ -1431,7 +1431,7 @@ SPECS = [
               "per-document distinctive terms by tf-idf (wordcount + window top-k)"),
     QuerySpec("a05_knn_graph", a05_knn_graph, A05_SQL, "similarity",
               "exact all-pairs kNN graph via blocked GEMM with in-kernel top-k"),
-    QuerySpec("d27_snapshot_diff", d27_snapshot_diff, D27_SQL, "corpus",
+    QuerySpec("d27_snapshot_diff", d27_snapshot_diff, D27_SQL, "dedup",
               "incremental snapshot diff (added/removed/changed via hash CDC)"),
     QuerySpec("d28_bpe_merges", d28_bpe_merges, None, "text",
               "BPE merge-table induction (rows-only gate; python-reference pytest)"),

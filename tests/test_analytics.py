@@ -260,3 +260,11 @@ def test_bfs_distances_match_reference(spark):
     # hop bound truncates: with max_hops=1 only direct successors appear
     got1 = {r.node: r.dist for r in bfs_distances(edges, 0, max_hops=1).collect()}
     assert got1 == {0: 0, 1: 1, 3: 1}
+
+
+def test_hits_rejects_zero_iterations(spark):
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import hits
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError, match="n_iter"):
+        hits(edges, n_iter=0)

@@ -100,3 +100,20 @@ def test_bpe_on_fixture_corpus_smoke(spark):
     assert len(rows) == 3
     assert [r["rank"] for r in rows] == [1, 2, 3]
     assert all(r["pair_freq"] > 0 for r in rows)
+
+
+def test_bpe_handles_quotes_and_backslashes(spark):
+    """Merge-pair literals ride in as Column parameters, so corpora
+    whose winning pairs contain SQL-hostile characters (backslashes,
+    single quotes) must induce and encode cleanly."""
+    docs = [(0, r"a\b a\b a\b it's it's")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    merges, syms = _py_bpe([docs[0][1]], 4)
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_freq"])
+        for r in bpe_merges(df, n_merges=4).orderBy("rank").collect()
+    ]
+    assert got == merges
+    rules = [(l, r) for _, l, r, _ in merges]
+    enc = bpe_encode(df, rules).select("bpe_tokens").collect()[0][0]
+    assert enc == [s for w in docs[0][1].lower().split() for s in syms[w]]
