@@ -282,3 +282,45 @@ def test_knn_graph_shuffles_candidates_not_pair_matrix(spark):
     plan = _plan(df)
     assert plan.count("FlatMapGroupsInPandas") == 1, plan
     assert "Window" in plan, plan
+
+
+def test_funnel_is_chained_aggregations_no_window(spark):
+    """e12 must stay three conditional min-aggs chained by key joins —
+    no window over the raw event stream, no Python evaluation."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.events_queries import (
+        e12_conversion_funnel,
+    )
+
+    plan = _plan(e12_conversion_funnel(spark, SF_CORRECT))
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "partial_min" in plan, plan  # map-side combine on the min-aggs
+
+
+def test_quantized_ann_scores_jvm_side(spark):
+    """a06: integer dot scoring is a zip_with/aggregate JVM expression
+    over a broadcast of the quantized queries — no Python, no
+    shuffled join for the scoring pass."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.similarity import (
+        quantized_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    plan = _plan(quantized_topk(emb, [0, 1], k=5))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_hits_and_bfs_iterations_are_join_agg_supersteps(spark):
+    """g26/g27: each round is joins + aggregates (Pregel superstep as
+    shuffles) — never a collect-driven loop materializing node state in
+    Python, and no Python row evaluation anywhere in the plan."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.analytics_queries import (
+        g26_doc_keyword_hits,
+        g27_reach_distances,
+    )
+
+    for fn in (g26_doc_keyword_hits, g27_reach_distances):
+        plan = _plan(fn(spark, SF_CORRECT))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+        assert "HashAggregate" in plan, plan
