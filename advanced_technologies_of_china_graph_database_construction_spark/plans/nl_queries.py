@@ -127,6 +127,19 @@ SELECT 'Found ' || n || ' result(s):' || chr(10) || body AS answer,
 FROM fmt
 """
 
+# Q5 multi-turn glue through the gate: the follow-up names NO quoted
+# entity, so the planner must inherit "cold widget" from the prior turn
+# and compile to the same per-year plan — gated against the n01 oracle.
+Q_FOLLOWUP = "And how many per year?"
+
+
+def n07_multiturn_followup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = plan(Q_FOLLOWUP, history=[Q_PER_YEAR])
+    assert p.template == "docs_per_year_for_keyword", p
+    assert p.params.get("keyword") == "cold widget", p
+    return execute_plan(spark, sf_dir, p)
+
+
 SPECS = [
     QuerySpec(
         name="n01_nl_docs_per_year",
@@ -177,5 +190,14 @@ SPECS = [
         description="Q4+F14: full serving cascade with result stringification "
         "(numbered `key: value` lines, `neo4j_query_executor.py:45-121`) and "
         "answer synthesis; oracle rebuilds the text via SQL string_agg.",
+    ),
+    QuerySpec(
+        name="n07_multiturn_followup",
+        fn=n07_multiturn_followup,
+        oracle=N01_SQL,
+        category="nl",
+        description="Q5 multi-turn glue: an entity-free follow-up inherits the "
+        "previous turn's quoted terms and compiles to the identical per-year "
+        "plan (`api_server.py:95` history threading, deterministic core).",
     ),
 ]
