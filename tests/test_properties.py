@@ -343,3 +343,48 @@ def test_bm25_property_matches_reference(spark, word_lists, query):
     assert set(got) == set(want)
     for d in want:
         assert got[d] == pytest.approx(want[d], abs=1e-9)
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(-3, 3), min_size=4, max_size=4),
+        min_size=3,
+        max_size=24,
+    ),
+    st.integers(1, 4),
+    st.integers(2, 7),
+)
+@SETTINGS
+def test_knn_graph_property_matches_numpy(spark, vecs, k, block_rows):
+    """knn_graph must equal the numpy brute-force top-k under the
+    (sim desc, id asc) comparator for arbitrary integer vectors, any k,
+    and any blocking — including heavy cosine ties (small integer
+    vectors collide constantly) and zero-norm-free inputs."""
+    import numpy as np
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.similarity import knn_graph
+
+    # drop zero vectors (cosine undefined); dedupe nothing — ids distinct
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs) if any(v)]
+    if len(rows) < 2:
+        return
+    m = np.array([v for _, v in rows])
+    ids = np.array([i for i, _ in rows])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    scaled = sims * 1e6
+    sims = np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)) / 1e6
+    want = {}
+    for qi, qid in enumerate(ids):
+        cand = sorted(
+            ((float(sims[qi, ci]), int(cid)) for ci, cid in enumerate(ids) if ci != qi),
+            key=lambda p: (-p[0], p[1]),
+        )
+        for rank, (s, cid) in enumerate(cand[:k], 1):
+            want[(int(qid), rank)] = (cid, s)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["vec_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in knn_graph(df, k=k, block_rows=block_rows, n_rows=len(rows)).collect()
+    }
+    assert got == want
