@@ -444,10 +444,19 @@ def q17_approx_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     5% tolerance is 5 sigma.
     """
     (li,) = _t(spark, sf_dir, "lineitem")
+    # Dedup (flag, key) FIRST, then aggregate.  Fusing countDistinct with
+    # approx_count_distinct in one groupBy makes Spark carry the HLL
+    # buffer (2^14 registers at rsd=0.01) through the per-(flag, key)
+    # partial dedup aggregation — one 16 KB sketch per distinct key, not
+    # per group (measured 4 s vs 0.4 s at sf0.01).  HLL is a set sketch,
+    # so feeding it deduped keys is value-identical, and the plan drops
+    # to one dedup shuffle plus a 3-group final agg with 3 sketches.
     return (
-        li.groupBy("l_returnflag")
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
         .agg(
-            F.countDistinct("l_orderkey").alias("n_exact"),
+            F.count("l_orderkey").alias("n_exact"),
             F.approx_count_distinct("l_orderkey", rsd=0.01).alias("n_approx"),
         )
         .select(
