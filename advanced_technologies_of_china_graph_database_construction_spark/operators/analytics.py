@@ -291,6 +291,34 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     )
 
 
+def k_core(edges: DataFrame, k: int, n_rounds: int = 3) -> DataFrame:
+    """(node, degree): the subgraph surviving ``n_rounds`` of synchronous
+    k-core peeling over symmetric ``edges(src, dst)``, with each node's
+    degree inside it — the standard cohesion/filtering primitive
+    (spam-farm pruning, dense-community extraction).
+
+    Each round removes EVERY node of degree < k at once (synchronous,
+    order-free — unlike sequential peeling, so rounds are deterministic
+    and SQL-oracle-able as unrolled iterations).  A round is one
+    degree aggregation + two semi-joins (src side, dst side) — two
+    shuffles, the same superstep budget as ``pagerank``.  When a round
+    removes nothing the remaining rounds are no-ops, so with enough
+    rounds the result IS the exact k-core; a fixed ``n_rounds`` yields
+    the deterministic n-round approximation both engines compute
+    identically.  Nodes whose every edge is peeled away drop out of the
+    output (a k-core member by definition keeps degree ≥ k).
+    """
+    for _ in range(n_rounds):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        edges = edges.join(keep, "src", "left_semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+        )
+    return edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
 def bfs_distances(edges: DataFrame, source, max_hops: int = 4) -> DataFrame:
     """(node, dist): length of the shortest directed path from
     ``source`` to every node reachable within ``max_hops`` — the

@@ -504,6 +504,88 @@ def containment_pairs(
     )
 
 
+# --- exact-substring dedup audit (duplicated n-gram spans) ----------------
+
+def duplicated_span_stats(
+    df: DataFrame, text_col: str = "text", n: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Per-document audit of exact duplicated substrings — the
+    distributed answer to suffix-array substring dedup (Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better", whose
+    ExactSubstr dedups any ≥50-token repeat): every word ``n``-gram
+    occurring ≥ ``min_count`` times corpus-wide (self-repeats included)
+    marks the token span [pos, pos+n); overlapping/adjacent spans are
+    merged per document (gaps-and-islands), giving the duplicated-token
+    intervals a span-removal pass would cut.  Fixed-``n`` grams find
+    exactly the duplicated substrings of ≥ n tokens — the standard
+    MapReduce-able approximation of the suffix-array sweep.
+
+    Returns (doc_id, n_tokens, n_dup_spans, dup_tokens, dup_frac) for
+    every document (zeros when clean).
+
+    Scale shape (100 TB): grams are built per doc as one JVM array
+    expression (`textops.word_ngrams` — no token explode), the corpus-
+    wide count shuffles xxhash64 keys (8 B, not gram strings), the span
+    join is a semi-join on the same key, and the island merge is a
+    per-doc window (lag + running sum — state bounded by one doc's
+    matched positions).  The only driver-free full passes are one gram
+    count and one window sort.  The DuckDB oracle counts the gram
+    STRINGS; equality assumes no 64-bit hash collision among distinct
+    grams (~n²/2⁶⁵ — negligible at any corpus size this audit runs on).
+    """
+    from pyspark.sql.window import Window
+
+    from .textops import word_ngrams, ws_tokens
+
+    toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    base = df.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
+    grams = df.select(
+        "doc_id", F.posexplode(word_ngrams(F.col(text_col), n)).alias("pos", "gram")
+    )
+    g = grams.select("doc_id", "pos", F.xxhash64("gram").alias("gh"))
+    dup = (
+        g.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("gh")
+    )
+    dpos = g.join(dup, "gh", "left_semi")
+    # Island merge: span ends (pos + n) are monotone in pos, so the
+    # running-max-end reduces to lag(pos) — a new island starts exactly
+    # when this span's start clears the previous span's end (pos >
+    # lag(pos) + n; touching spans give contiguous coverage and merge).
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lagp = F.lag("pos").over(w)
+    flagged = dpos.select(
+        "doc_id",
+        "pos",
+        F.when(lagp.isNull() | (F.col("pos") > lagp + n), 1).otherwise(0).alias("ni"),
+    )
+    isl = flagged.select(
+        "doc_id",
+        "pos",
+        F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("island"),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + n).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
+    )
+    dup_tokens = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint")
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        dup_tokens.alias("dup_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(dup_tokens.cast("double") / F.col("n_tokens"), 6),
+        ).otherwise(F.lit(0.0)).alias("dup_frac"),
+    )
+
+
 # --- SemDeDup (cluster-then-prune embedding dedup) ------------------------
 
 def embedding_semdedup_removed(

@@ -20,6 +20,7 @@ from ..operators.analytics import (
     symmetric_edges,
     triangle_count,
 )
+from ..operators.connected_components import connected_components
 from .spec import QuerySpec
 
 MIN_SHARED = 30
@@ -338,6 +339,127 @@ G27_SQL = (
 )
 
 
+# ------------------------------------------------- g28 k-core ----------
+
+# k=6 converges in exactly 3 synchronous rounds on the sf0.01 fixture
+# (100 → 77 nodes; pinned by test_kcore_converges_on_fixture), so the
+# fixed-round gate result IS the true 6-core, not a mid-peel snapshot.
+K_CORE_K = 6
+K_CORE_ROUNDS = 3
+
+
+def g28_kcore_orgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round synchronous k-core peeling (k=6) over the symmetric
+    co-publication graph: the cohesive org community left after
+    repeatedly dropping low-degree members, with each survivor's degree
+    inside it."""
+    from ..operators.analytics import k_core
+
+    edges = symmetric_edges(_copub_pairs(spark, sf_dir))
+    return k_core(edges, K_CORE_K, K_CORE_ROUNDS).select(
+        F.col("node").alias("org_id"), "degree"
+    )
+
+
+def _g28_iter_ctes(r: int) -> str:
+    prev = f"e{r - 1}"
+    return f"""
+d{r} AS (SELECT src, count(*) AS c FROM {prev} GROUP BY src),
+kk{r} AS (SELECT src FROM d{r} WHERE c >= {K_CORE_K}),
+e{r} AS (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN kk{r} a ON e.src = a.src JOIN kk{r} b ON e.dst = b.src)
+"""
+
+
+G28_SQL = (
+    _GRAPH_CTES
+    + ", e0 AS (SELECT src, dst FROM edges),"
+    + ",".join(_g28_iter_ctes(r) for r in range(1, K_CORE_ROUNDS + 1))
+    + f"\nSELECT src AS org_id, count(*) AS degree FROM e{K_CORE_ROUNDS} GROUP BY src"
+)
+
+
+# ------------------------------------------- g29 Adamic-Adar links ------
+
+AA_TOP = 20
+
+
+def g29_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the co-publication graph: Adamic–Adar score
+    Σ_z 1/ln(deg(z)) over common neighbors z, for org pairs NOT already
+    linked — the classic who-should-collaborate-next primitive.  One
+    wedge self-join (z's neighbor pairs), one degree join, one
+    aggregation, an anti-join against existing edges, deterministic
+    top-20 (rounded score desc, then ids)."""
+    pairs = _copub_pairs(spark, sf_dir)
+    edges = symmetric_edges(pairs)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e1 = edges.select(F.col("src").alias("z"), F.col("dst").alias("u"))
+    e2 = edges.select(F.col("src").alias("z2"), F.col("dst").alias("v"))
+    wedges = e1.join(e2, (F.col("z") == F.col("z2")) & (F.col("u") < F.col("v"))).select(
+        "z", "u", "v"
+    )
+    scored = (
+        wedges.join(deg.withColumnRenamed("src", "z"), "z")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("outdeg"))), 6).alias("aa_score"),
+        )
+    )
+    linked = pairs.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    return (
+        scored.join(linked, ["u", "v"], "left_anti")
+        .orderBy(F.desc("aa_score"), "u", "v")
+        .limit(AA_TOP)
+        .select(F.col("u").alias("org1"), F.col("v").alias("org2"), "n_common", "aa_score")
+    )
+
+
+G29_SQL = (
+    _GRAPH_CTES
+    + f""",
+aa AS (
+  SELECT e1.dst AS u, e2.dst AS v, count(*) AS n_common,
+         round(sum(1.0 / ln(deg.outdeg)), 6) AS aa_score
+  FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN deg ON deg.src = e1.src
+  GROUP BY 1, 2),
+missing AS (
+  SELECT aa.* FROM aa LEFT JOIN pairs p ON aa.u = p.src AND aa.v = p.dst
+  WHERE p.src IS NULL)
+SELECT u AS org1, v AS org2, n_common, aa_score
+FROM missing ORDER BY aa_score DESC, u, v LIMIT {AA_TOP}
+"""
+)
+
+
+# --------------------------------------- g30 components vs closure ------
+
+def g30_copub_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-publication graph gated DIRECTLY
+    against a transitive-closure oracle (recursive CTE) — the er-family
+    gates components only through the full ER pipeline.  Uses the
+    operator's adaptive dispatch (driver union-find at this edge count;
+    the distributed large-star/small-star path is property-tested
+    against the same semantics)."""
+    cc = connected_components(_copub_pairs(spark, sf_dir))
+    return cc.select(F.col("id").alias("org_id"), "component")
+
+
+G30_SQL = (
+    _GRAPH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+reach AS (
+  SELECT node, node AS m FROM nodes
+  UNION
+  SELECT e.dst AS node, r.m AS m FROM reach r JOIN edges e ON e.src = r.node)
+SELECT node AS org_id, min(m) AS component FROM reach GROUP BY node
+"""
+)
+
+
 # No specs currently staged; new specs register directly (never-gated
 # specs sort first in the staleness-ordered registry, so they take the
 # next driver gate's first slots — zero rows is the weakest signal and
@@ -346,6 +468,30 @@ DEFERRED_SPECS: list[QuerySpec] = []
 
 
 SPECS = [
+    QuerySpec(
+        name="g28_kcore_orgs",
+        fn=g28_kcore_orgs,
+        oracle=G28_SQL,
+        category="analytics",
+        description="Fixed-round synchronous k-core peeling (degree agg + two "
+        "semi-joins per round); oracle is the unrolled rounds in SQL.",
+    ),
+    QuerySpec(
+        name="g29_adamic_adar_links",
+        fn=g29_adamic_adar_links,
+        oracle=G29_SQL,
+        category="analytics",
+        description="Adamic–Adar link prediction over non-linked org pairs "
+        "(wedge self-join + degree weights), deterministic top-20.",
+    ),
+    QuerySpec(
+        name="g30_copub_components",
+        fn=g30_copub_components,
+        oracle=G30_SQL,
+        category="analytics",
+        description="Connected components gated directly against a recursive-"
+        "CTE transitive-closure oracle.",
+    ),
     QuerySpec(
         name="g25_related_keywords_ppr",
         fn=g25_related_keywords_ppr,

@@ -1415,6 +1415,60 @@ SELECT query_id, neighbor_id, score, rank FROM (
 """
 
 
+# ------------------------------------------ d29 dup-span audit ------------
+
+SPAN_N = 8
+SPAN_MIN_COUNT = 2
+
+
+def d29_dup_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup audit (Lee et al. 2022 ExactSubstr, the
+    fixed-n-gram MapReduce form): corpus-wide duplicated word-8-gram
+    spans, merged per document into maximal intervals — the duplicated
+    token mass a span-removal pass would cut.  Runs over the injected-
+    duplicate corpus so exact copies surface as whole-document spans
+    and suffix-shifted copies as partial ones."""
+    return dedup.duplicated_span_stats(
+        _corpus(spark, sf_dir), n=SPAN_N, min_count=SPAN_MIN_COUNT
+    )
+
+
+D29_SQL = rf"""
+WITH {_CORPUS_CTE},
+w AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ws
+  FROM corpus),
+gp AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(ws) - {SPAN_N} + 2, 1))) - 1 AS pos,
+         unnest(list_transform(range(1, greatest(len(ws) - {SPAN_N} + 2, 1)),
+                               i -> array_to_string(ws[i:i+{SPAN_N - 1}], ' '))) AS gram
+  FROM w),
+dup AS (SELECT gram FROM gp GROUP BY gram HAVING count(*) >= {SPAN_MIN_COUNT}),
+dpos AS (SELECT gp.doc_id, gp.pos FROM gp JOIN dup USING (gram)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER win IS NULL OR pos > lag(pos) OVER win + {SPAN_N}
+              THEN 1 ELSE 0 END AS ni
+  FROM dpos WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+isl AS (
+  SELECT doc_id, pos,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged),
+spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + {SPAN_N} AS e
+          FROM isl GROUP BY 1, 2),
+pd AS (SELECT doc_id, count(*) AS n_dup_spans, sum(e - s) AS dup_tokens
+       FROM spans GROUP BY 1)
+SELECT w.doc_id, len(w.ws)::BIGINT AS n_tokens,
+       coalesce(pd.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       coalesce(pd.dup_tokens, 0)::BIGINT AS dup_tokens,
+       CASE WHEN len(w.ws) > 0
+            THEN round(coalesce(pd.dup_tokens, 0)::DOUBLE / len(w.ws), 6)
+            ELSE 0.0 END AS dup_frac
+FROM w LEFT JOIN pd USING (doc_id)
+"""
+
+
 # No specs currently staged; new specs register directly (never-gated
 # specs sort first in the staleness-ordered registry, so they take the
 # next driver gate's first slots — zero rows is the weakest signal and
@@ -1423,6 +1477,8 @@ DEFERRED_SPECS: list[QuerySpec] = []
 
 
 SPECS = [
+    QuerySpec("d29_dup_span_audit", d29_dup_span_audit, D29_SQL, "dedup",
+              "exact-substring dedup audit: duplicated 8-gram spans, island-merged"),
     QuerySpec("d24_containment_pairs", d24_containment_pairs, D24_SQL, "dedup",
               "asymmetric containment near-dup (quote/subset detection)"),
     QuerySpec("d25_bm25_search", d25_bm25_search, D25_SQL, "text",

@@ -264,6 +264,29 @@ FROM ranked WHERE rn = 1
 """
 
 
+def _write_ts_slices(ev: DataFrame, d: str, n: int = 4):
+    """Write ``ev`` into ``n`` time-ranged parquet files whose
+    MODIFICATION times strictly increase with event time, and return
+    the max ts.  The file streaming source replays files in mtime
+    order; one repartitionByRange write commits every slice at once and
+    the replay order becomes a race — harmless under complete mode, but
+    with a watermark in append mode whichever later slice lands first
+    advances the watermark and silently drops the earlier slices
+    (measured on e15: 4777–7319 of 9549 sessions, run-dependent)."""
+    import time as _time
+
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    lo, hi = b["lo"], b["hi"]
+    step = (hi - lo) / n
+    for i in range(n):
+        cond = F.col("ts") >= lo + i * step
+        if i < n - 1:
+            cond = cond & (F.col("ts") < lo + (i + 1) * step)
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(0.05)
+    return hi
+
+
 def e11_streaming_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2/S4 streaming face, driver-gated: the SAME tumbling_stats plan
     as e01 executed as a REAL Structured Streaming query — the events
@@ -281,7 +304,7 @@ def e11_streaming_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     d = tempfile.mkdtemp(prefix="e11_events_")
     try:
-        ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(d)
+        _write_ts_slices(ev, d)
         stream = windows.streaming_source(spark, d, watermark="1 hour")
         name = f"e11_sink_{uuid.uuid4().hex[:8]}"
         q = (
@@ -384,6 +407,104 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------- e14 transitions ------
+
+def e14_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: count of (prev_type → next_type) steps and the
+    conditional probability P(next | prev) — the path-analysis /
+    next-event-prediction primitive.  One lag window per user (sorted
+    within user partitions), one count shuffle, one per-prev window for
+    the normalizer; raw events are never globally sorted."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = steps.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_steps")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_steps",
+        F.round(F.col("n_steps") / F.sum("n_steps").over(wp), 6).alias("prob"),
+    )
+
+
+E14_SQL = """
+WITH steps AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events),
+counts AS (
+  SELECT prev_type, next_type, count(*) AS n_steps
+  FROM steps WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, n_steps,
+       round(n_steps / sum(n_steps) OVER (PARTITION BY prev_type), 6) AS prob
+FROM counts
+"""
+
+
+# ------------------------------------- e15 streaming session face --------
+
+def e15_streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window streaming face, driver-gated: the SAME
+    session_stats plan as e03 executed as a REAL Structured Streaming
+    query in APPEND mode — the strictest output mode, where a session
+    row may only be emitted once its window is finalized by the
+    watermark.  Finite input means the last sessions would never
+    finalize, so two far-future sentinel events (a reserved user id)
+    are appended as their own micro-batches: the first advances the
+    watermark past every real session end, the second triggers the
+    flush (watermark state applies on the NEXT batch).  Sentinel rows
+    are filtered from the sink, so the batch oracle (E03_SQL) hash-
+    gates the streamed sessions exactly."""
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="e15_events_")
+    try:
+        max_ts = _write_ts_slices(ev, d)
+        for i, days in enumerate((30, 31)):
+            (
+                ev.limit(1)
+                .select(
+                    F.lit(-1 - i).cast("long").alias("event_id"),
+                    (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+                    F.lit(-1).cast("long").alias("user_id"),
+                    F.lit("sentinel").alias("event_type"),
+                    F.lit(0.0).alias("value"),
+                    F.lit(None).cast("string").alias("props"),
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(d)
+            )
+            _time.sleep(0.05)
+        stream = windows.streaming_source(spark, d, watermark="1 hour")
+        name = f"e15_sink_{uuid.uuid4().hex[:8]}"
+        q = (
+            windows.session_stats(stream, "30 minutes")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
 SPECS = [
     QuerySpec("e01_tumbling_daily", e01_tumbling_daily, E01_SQL, "events",
               "tumbling 1-day window stats per event_type", bench=True),
@@ -412,4 +533,9 @@ SPECS = [
               "strict-order view→click→purchase funnel (chained conditional min-aggs)"),
     QuerySpec("e13_retention_cohorts", e13_retention_cohorts, E13_SQL, "events",
               "weekly retention cohorts (first-touch week × activity-week offset)"),
+    QuerySpec("e14_event_transitions", e14_event_transitions, E14_SQL, "events",
+              "Markov next-event transition counts + conditional probabilities"),
+    QuerySpec("e15_streaming_user_sessions", e15_streaming_user_sessions, E03_SQL,
+              "events", "REAL readStream append-mode session windows (watermark-"
+              "finalized, sentinel-flushed), batch-oracle-gated"),
 ]

@@ -268,3 +268,87 @@ def test_hits_rejects_zero_iterations(spark):
     edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
     with pytest.raises(ValueError, match="n_iter"):
         hits(edges, n_iter=0)
+
+
+def _kcore_reference(edge_list, k, rounds):
+    """Pure-python synchronous peeling (fixed rounds)."""
+    edges = set(edge_list) | {(b, a) for a, b in edge_list}
+    for _ in range(rounds):
+        deg = {}
+        for s, _d in edges:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {n for n, c in deg.items() if c >= k}
+        edges = {(s, d) for s, d in edges if s in keep and d in keep}
+    out = {}
+    for s, _d in edges:
+        out[s] = out.get(s, 0) + 1
+    return out
+
+
+def test_kcore_matches_reference(spark):
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import k_core, symmetric_edges
+
+    # 5-clique (4-core) + a tail 4-5-6 that peels away + an isolated pair
+    clique = [(i, j) for i in range(5) for j in range(5) if i < j]
+    edge_list = clique + [(4, 5), (5, 6), (20, 21)]
+    pairs = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.node: r.degree for r in k_core(symmetric_edges(pairs), 4, 3).collect()}
+    assert got == _kcore_reference(edge_list, 4, 3)
+    assert set(got) == {0, 1, 2, 3, 4} and all(d == 4 for d in got.values())
+    # k=1, 0 rounds → the whole graph with raw degrees
+    got0 = {r.node: r.degree for r in k_core(symmetric_edges(pairs), 1, 0).collect()}
+    assert got0 == _kcore_reference(edge_list, 1, 0)
+
+
+def test_kcore_converges_on_fixture(spark):
+    """Enough rounds that one more round is a no-op — the fixed-round
+    result IS the true k-core at the gate scale."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import k_core, symmetric_edges
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.analytics_queries import (
+        K_CORE_K,
+        K_CORE_ROUNDS,
+        _copub_pairs,
+    )
+
+    edges = symmetric_edges(_copub_pairs(spark, SF_CORRECT))
+    a = sorted(map(tuple, k_core(edges, K_CORE_K, K_CORE_ROUNDS).collect()))
+    b = sorted(map(tuple, k_core(edges, K_CORE_K, K_CORE_ROUNDS + 1).collect()))
+    assert a == b
+
+
+def test_adamic_adar_excludes_linked_pairs(spark):
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.analytics_queries import (
+        _copub_pairs,
+        g29_adamic_adar_links,
+    )
+
+    linked = {
+        (r.src, r.dst) for r in _copub_pairs(spark, SF_CORRECT).collect()
+    }
+    for r in g29_adamic_adar_links(spark, SF_CORRECT).collect():
+        assert (r.org1, r.org2) not in linked
+        assert r.org1 < r.org2
+        assert r.n_common >= 1 and r.aa_score > 0
+
+
+def test_components_partition_the_node_set(spark):
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.analytics_queries import (
+        _copub_pairs,
+        g30_copub_components,
+    )
+
+    rows = g30_copub_components(spark, SF_CORRECT).collect()
+    pairs = _copub_pairs(spark, SF_CORRECT)
+    nodes = {
+        r.n
+        for r in pairs.selectExpr("src AS n").union(pairs.selectExpr("dst")).distinct().collect()
+    }
+    assert {r.org_id for r in rows} == nodes
+    comp = {r.org_id: r.component for r in rows}
+    # every component id is the min member of its own component
+    for c in set(comp.values()):
+        members = [n for n, cc in comp.items() if cc == c]
+        assert min(members) == c
+    # endpoints of every edge share a component
+    for r in pairs.collect():
+        assert comp[r.src] == comp[r.dst]

@@ -76,3 +76,75 @@ def test_word_ngrams_matches_python_reference(spark):
         assert got == [ref(t, n) for t in texts]
 
     check()
+
+
+# ---------------------------------------------- duplicated-span audit -----
+
+def _span_reference(texts, n, min_count):
+    """Pure-python reference: corpus-wide duplicated n-gram positions,
+    merged per doc into maximal islands."""
+    toks = {i: t.split() for i, t in texts.items()}
+    grams: dict[str, int] = {}
+    pos: dict[int, list[int]] = {i: [] for i in texts}
+    for i, ws in toks.items():
+        for p in range(max(len(ws) - n + 1, 0)):
+            grams[" ".join(ws[p : p + n])] = grams.get(" ".join(ws[p : p + n]), 0) + 1
+    for i, ws in toks.items():
+        for p in range(max(len(ws) - n + 1, 0)):
+            if grams[" ".join(ws[p : p + n])] >= min_count:
+                pos[i].append(p)
+    out = {}
+    for i, ps in pos.items():
+        spans = []
+        for p in ps:
+            if spans and p <= spans[-1][1] + n:
+                spans[-1] = (spans[-1][0], p)
+            else:
+                spans.append((p, p))
+        dup = sum(last + n - first for first, last in spans)
+        nt = len(toks[i])
+        out[i] = (nt, len(spans), dup, round(dup / nt, 6) if nt else 0.0)
+    return out
+
+
+def test_duplicated_span_stats_matches_reference(spark):
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.dedup import duplicated_span_stats
+
+    texts = {
+        # docs 1 and 2 share the 4-token run "a b c d"; doc 3 is clean;
+        # doc 4 repeats the run internally (self-repeat counts); doc 5
+        # has two separate duplicated runs that must NOT merge
+        1: "a b c d x y z w",
+        2: "p q a b c d r s",
+        3: "unique tokens only here none repeat ever once",
+        4: "a b c d m n a b c d",
+        5: "a b c d gap1 gap2 gap3 gap4 gap5 p q a b c d",  # second hit of both runs
+        6: "short",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_spans, r.dup_tokens, r.dup_frac)
+        for r in duplicated_span_stats(df, n=4, min_count=2).collect()
+    }
+    assert got == _span_reference(texts, 4, 2)
+    assert got[3] == (8, 0, 0, 0.0)           # clean doc reported with zeros
+    assert got[1][1] == 1 and got[1][2] == 4  # exactly the shared 4-token run
+
+
+def test_duplicated_span_island_merge_overlap(spark):
+    """Overlapping gram hits chain into ONE island covering the union."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.dedup import duplicated_span_stats
+
+    # the whole 6-token run "a b c d e f" duplicates: grams at pos 0,1,2
+    # overlap and must merge to a single [0, 6) span
+    texts = {1: "a b c d e f tail1 tail2", 2: "x a b c d e f y"}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_dup_spans, r.dup_tokens)
+        for r in duplicated_span_stats(df, n=4, min_count=2).collect()
+    }
+    assert got == {1: (1, 6), 2: (1, 6)}
