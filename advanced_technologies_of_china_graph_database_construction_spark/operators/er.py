@@ -446,3 +446,69 @@ def apply_mapping_array(
         )
     )
     return rebuilt
+
+
+# --- typo-alias detection (SymSpell deletion-neighborhood blocking) -------
+
+def symdelete_typo_pairs(
+    df: DataFrame, id_col: str = "id", name_col: str = "name", max_distance: int = 1
+) -> DataFrame:
+    """(src, dst, distance): id pairs (src < dst) whose names are within
+    Levenshtein distance 1 — the string-side alias detector the
+    reference's embedding ER doesn't cover (a surface form typo embeds
+    far from its intent; `keyword_merger.py:186-201` clusters meaning,
+    this clusters spelling).
+
+    Blocking is SymSpell's deletion neighborhood: every name emits
+    itself plus each single-character deletion; two strings within
+    edit distance 1 ALWAYS share a variant (substitution → common
+    deletion at the edit position; insertion/deletion → one string IS
+    the other's deletion; equality → the strings themselves), so the
+    candidate equi-join on the variant key is exact — no missed pairs,
+    and the verify step (JVM `levenshtein`, codegen) removes the
+    false positives the blocking admits (e.g. two distinct deletions
+    landing on one variant).  Only ``max_distance=1`` is implemented —
+    deeper neighborhoods grow as |s|^d and a 100 TB name table wants
+    d=1 blocking with a wider verify radius instead.
+
+    Scale shape: the variant explode is |name|+1 rows per entity keyed
+    by xxhash64(variant) (8 B shuffle key); candidates are
+    variant-collisions only, never the n² name matrix; the name lookup
+    for verification broadcasts ``df``'s projection (id, name) — the
+    entity dim of a dedup pass, small by construction; levenshtein runs
+    map-side.
+    """
+    if max_distance != 1:
+        raise ValueError("symdelete_typo_pairs implements max_distance=1 only")
+    names = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
+    # variant i=0 is the string itself; i=1..len deletes char i
+    variants = names.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.length("name")),
+                lambda i: F.when(i == F.lit(0), F.col("name")).otherwise(
+                    F.concat(
+                        F.substr(F.col("name"), F.lit(1), i - F.lit(1)),
+                        F.substr(F.col("name"), i + F.lit(1), F.length("name")),
+                    )
+                ),
+            )
+        ).alias("variant"),
+    )
+    a = variants.select(F.col("id").alias("src"), F.xxhash64("variant").alias("vh"))
+    b = variants.select(F.col("id").alias("dst"), F.xxhash64("variant").alias("vh2"))
+    cands = (
+        a.join(b, (F.col("vh") == F.col("vh2")) & (F.col("src") < F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+    na = names.select(F.col("id").alias("src"), F.col("name").alias("name_a"))
+    nb = names.select(F.col("id").alias("dst"), F.col("name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        cands.join(F.broadcast(na), "src")
+        .join(F.broadcast(nb), "dst")
+        .select("src", "dst", dist.alias("distance"))
+        .filter(F.col("distance") <= max_distance)
+    )

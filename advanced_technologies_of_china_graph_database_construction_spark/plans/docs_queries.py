@@ -1415,6 +1415,43 @@ SELECT query_id, neighbor_id, score, rank FROM (
 """
 
 
+# ------------------------------- d30 approx-quantile contract -------------
+
+def d30_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d20 docstring's "percentile_approx is the 100 TB path" claim,
+    GATED (the q17 pattern for quantiles): per source, the exact
+    interpolated median alongside a boolean asserting the GK sketch
+    (accuracy 10000 → rank error n/10000) landed within 10%.  Only the
+    exact value and the contract ship in the output — the sketch value
+    itself depends on partition merge order, so hashing it would make
+    the gate flaky; the CONTRACT is the stable, portable statement."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", textops.token_count(F.col("text")).alias("tok"))
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.round(F.expr("percentile(tok, 0.5)"), 6).alias("median_exact"),
+            F.expr("percentile_approx(tok, 0.5, 10000)").alias("__approx"),
+        )
+        .select(
+            "source",
+            "median_exact",
+            (
+                F.abs(F.col("__approx") - F.col("median_exact"))
+                <= 0.1 * F.col("median_exact")
+            ).alias("approx_ok"),
+        )
+    )
+
+
+D30_SQL = r"""
+WITH toks AS (
+  SELECT source, len(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+SELECT source, round(quantile_cont(tok, 0.5), 6) AS median_exact, TRUE AS approx_ok
+FROM toks GROUP BY source
+"""
+
+
 # ------------------------------------------ d29 dup-span audit ------------
 
 SPAN_N = 8
@@ -1479,6 +1516,9 @@ DEFERRED_SPECS: list[QuerySpec] = []
 SPECS = [
     QuerySpec("d29_dup_span_audit", d29_dup_span_audit, D29_SQL, "dedup",
               "exact-substring dedup audit: duplicated 8-gram spans, island-merged"),
+    QuerySpec("d30_approx_quantile_contract", d30_approx_quantile_contract, D30_SQL,
+              "text", "percentile_approx (GK sketch) pinned to an exact accuracy "
+              "contract per source"),
     QuerySpec("d24_containment_pairs", d24_containment_pairs, D24_SQL, "dedup",
               "asymmetric containment near-dup (quote/subset detection)"),
     QuerySpec("d25_bm25_search", d25_bm25_search, D25_SQL, "text",

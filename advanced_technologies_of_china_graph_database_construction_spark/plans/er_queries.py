@@ -197,7 +197,53 @@ def er07_canonical_mapping_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(F.col("id").alias("vec_id"), "canonical")
 
 
+# ----------------------------------- er08 typo aliases (string side) ------
+
+def er08_typo_alias_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-side alias detection: SymSpell deletion-neighborhood
+    blocking + Levenshtein-1 verify over supplier names with injected
+    single-deletion typos (every 10th name minus its 4th character, id
+    +100000) — the spelling counterpart of the embedding ER passes
+    (a typo'd surface form embeds badly; it edit-matches perfectly).
+    Serial-number neighbors (…001 vs …002) also pair at distance 1,
+    exercising blocking recall on substitutions."""
+    from ..operators.er import symdelete_typo_pairs
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"), F.col("s_name").alias("name")
+    )
+    typo = sup.filter(F.col("id") % 10 == 0).select(
+        (F.col("id") + 100000).alias("id"),
+        F.concat(
+            F.substr(F.col("name"), F.lit(1), F.lit(3)), F.substr(F.col("name"), F.lit(5))
+        ).alias("name"),
+    )
+    return symdelete_typo_pairs(sup.unionByName(typo))
+
+
+ER08_SQL = """
+WITH names AS (
+  SELECT s_suppkey AS id, s_name AS name FROM supplier
+  UNION ALL
+  SELECT s_suppkey + 100000, substr(s_name, 1, 3) || substr(s_name, 5)
+  FROM supplier WHERE s_suppkey % 10 = 0),
+va AS (
+  SELECT id, unnest(list_transform(range(0, length(name) + 1),
+         i -> CASE WHEN i = 0 THEN name
+                   ELSE substr(name, 1, i - 1) || substr(name, i + 1) END)) AS variant
+  FROM names),
+cand AS (
+  SELECT DISTINCT a.id AS src, b.id AS dst
+  FROM va a JOIN va b ON a.variant = b.variant AND a.id < b.id)
+SELECT c.src, c.dst, levenshtein(na.name, nb.name) AS distance
+FROM cand c JOIN names na ON c.src = na.id JOIN names nb ON c.dst = nb.id
+WHERE levenshtein(na.name, nb.name) <= 1
+"""
+
+
 SPECS = [
+    QuerySpec("er08_typo_alias_pairs", er08_typo_alias_pairs, ER08_SQL, "er",
+              "SymSpell deletion-blocked Levenshtein-1 alias pairs (string-side ER)"),
     QuerySpec("er01_similarity_pairs", er01_similarity_pairs, ER01_SQL, "er",
               "exact cosine ε-ball self-join (M2 similarity graph)", bench=True),
     QuerySpec("er02_canonical_mapping", er02_canonical_mapping, ER02_SQL, "er",

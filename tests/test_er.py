@@ -348,3 +348,49 @@ def test_partitioned_gemm_null_partition_forms_own_group(spark, clustered_emb):
     assert got == want
     # the NULL group must actually contribute pairs for the test to bite
     assert any(s % 3 == 0 and d % 3 == 0 for s, d in got)
+
+
+# ------------------------------------ symdelete typo-alias blocking -------
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_symdelete_matches_bruteforce(spark):
+    """Deletion-neighborhood blocking loses NO pair within distance 1 —
+    checked against the all-pairs python reference on names exercising
+    substitution, insertion, deletion, equality, and unicode."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.er import symdelete_typo_pairs
+
+    names = [
+        "widget", "widgget", "wdget", "wodget", "widget",
+        "gadget", "gadgets", "gizmo", "", "w",
+        "北京大学", "北京天学", "清华大学",
+    ]
+    df = spark.createDataFrame(list(enumerate(names)), "id long, name string")
+    got = sorted(
+        (r.src, r.dst, r.distance) for r in symdelete_typo_pairs(df).collect()
+    )
+    want = sorted(
+        (i, j, _lev(names[i], names[j]))
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if _lev(names[i], names[j]) <= 1
+    )
+    assert got == want
+
+
+def test_symdelete_rejects_deeper_radius(spark):
+    import pytest
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.er import symdelete_typo_pairs
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    with pytest.raises(ValueError, match="max_distance=1"):
+        symdelete_typo_pairs(df, max_distance=2)

@@ -324,3 +324,53 @@ def test_hits_and_bfs_iterations_are_join_agg_supersteps(spark):
         plan = _plan(fn(spark, SF_CORRECT))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
         assert "HashAggregate" in plan, plan
+
+
+def test_dup_span_audit_stays_jvm_with_one_count_shuffle(spark):
+    """d29: gram construction is a JVM array expression (no Python row
+    evaluation), the corpus-wide gram count partial-aggregates map-side,
+    and both island windows share one sort."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.docs_queries import d29_dup_span_audit
+
+    plan = _plan(d29_dup_span_audit(spark, SF_CORRECT))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "partial_count" in plan, plan
+    # lag + running-sum windows reuse one sort (same partitioning/order)
+    assert plan.count("Sort ") - plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_symdelete_candidates_join_on_variant_hash(spark):
+    """er08: the candidate join keys on the xxhash64 variant (8-byte
+    shuffle key, never the name matrix) and the verify name lookups
+    broadcast."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.er_queries import er08_typo_alias_pairs
+
+    plan = _plan(er08_typo_alias_pairs(spark, SF_CORRECT))
+    assert "xxhash64" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_adamic_adar_is_join_agg_topk(spark):
+    """g29: wedge join + count/sum aggregation + TakeOrderedAndProject —
+    the top-k never globally sorts the scored pair set."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.analytics_queries import (
+        g29_adamic_adar_links,
+    )
+
+    plan = _plan(g29_adamic_adar_links(spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_event_transitions_single_user_sort(spark):
+    """e14: one per-user sort feeds the lag window; the normalizer is a
+    second window over the tiny (prev,next) count table, not the raw
+    event stream."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.events_queries import (
+        e14_event_transitions,
+    )
+
+    plan = _plan(e14_event_transitions(spark, SF_CORRECT))
+    assert "BatchEvalPython" not in plan, plan
+    assert "partial_count" in plan, plan
