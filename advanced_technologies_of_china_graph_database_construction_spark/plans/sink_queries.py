@@ -175,7 +175,35 @@ FROM documents
 """
 
 
+def s07_orc_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-sink breadth beyond parquet: documents written as ORC
+    partitioned by ``lang`` (hive-style directory layout), read back
+    with a partition filter — the read must prune to the one ``lang``
+    directory (same pruning contract the graph/IVF stores pin) and the
+    typed columns must survive the format round-trip exactly."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="sink_orc_")
+    docs.write.mode("overwrite").partitionBy("lang").orc(out)
+    back = spark.read.orc(out).filter(F.col("lang") == "en")
+    return back.select("doc_id", "lang", "source", "n_chars")
+
+
+S07_SQL = """
+SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'en'
+"""
+
+
 SPECS = [
+    QuerySpec(
+        name="s07_orc_partitioned_roundtrip",
+        fn=s07_orc_partitioned_roundtrip,
+        oracle=S07_SQL,
+        category="sink",
+        description="ORC sink partitioned by lang; partition-pruned, "
+        "type-preserving read-back oracle-checked",
+    ),
     QuerySpec(
         name="s03_node_csv_roundtrip",
         fn=s03_node_csv_roundtrip,
