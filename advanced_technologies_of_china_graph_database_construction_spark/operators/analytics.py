@@ -60,13 +60,21 @@ def pagerank(
     """
     if dangling not in ("drop", "redistribute"):
         raise ValueError(f"dangling={dangling!r}; use 'drop' or 'redistribute'")
+    # Superstep materialization (the GraphX Pregel pattern): the rank
+    # vector is referenced once (twice under redistribute) per round and
+    # the edge/node/degree frames every round, so an unmaterialized plan
+    # re-derives the base graph O(2^r) times — localCheckpoint pins each
+    # superstep's result and keeps round r's work to its own two
+    # shuffles.  Same fix as k_core (measured there: 6.8 s → 1.4 s).
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()  # driver scalar: one tiny job, used as a literal
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
         msgs = (
@@ -98,6 +106,7 @@ def pagerank(
                 "node",
                 (base + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))).alias("rank"),
             )
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.round("rank", 6).alias("pagerank"))
 
 
@@ -141,6 +150,7 @@ def personalized_pagerank(
     # alone would silently drop such a seed's mass and decay every rank
     # toward 0 — violating the total-mass-1 contract for e.g. a
     # canonicalized-away entity id.
+    edges = edges.localCheckpoint(eager=True)  # superstep pattern, see pagerank
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -149,8 +159,8 @@ def personalized_pagerank(
     )
     nodes_r = nodes.join(F.broadcast(sdf), "node", "left").select(
         "node", F.coalesce("__r", F.lit(0.0)).alias("r")
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(eager=True)
     ranks = nodes_r.select("node", "r", F.col("r").alias("rank"))
     for _ in range(n_iter):
         msgs = (
@@ -175,7 +185,7 @@ def personalized_pagerank(
                     * (F.coalesce(F.col("m"), F.lit(0.0)) + F.col("__dm") * F.col("r"))
                 ).alias("rank"),
             )
-        )
+        ).localCheckpoint(eager=True)
     return ranks.select("node", F.round("rank", 6).alias("ppr"))
 
 
@@ -194,10 +204,12 @@ def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     with a fixed round count both engines see the same oscillation,
     which is exactly what the gate needs.
     """
+    edges = edges.localCheckpoint(eager=True)  # superstep pattern, see pagerank
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = nodes.withColumn("label", F.col("node"))
     for _ in range(n_iter):
@@ -210,7 +222,7 @@ def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
         )
         labels = nodes.join(winner, "node", "left").select(
             "node", F.coalesce(winner.label, F.col("node")).alias("label")
-        )
+        ).localCheckpoint(eager=True)
     return labels
 
 
@@ -254,10 +266,12 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
         # zero iterations would L1-normalize an all-zero authority
         # vector (0/0 → NULL everywhere) — reject rather than emit nulls
         raise ValueError("hits needs n_iter >= 1")
+    edges = edges.localCheckpoint(eager=True)  # superstep pattern, see pagerank
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     hub = nodes.withColumn("hub", F.lit(1.0))
     for _ in range(n_iter):
@@ -268,7 +282,7 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
         )
         auth = nodes.join(a_raw, "node", "left").select(
             "node", F.coalesce("__a", F.lit(0.0)).alias("a")
-        )
+        ).localCheckpoint(eager=True)
         h_raw = (
             edges.join(auth, edges.dst == auth.node)
             .groupBy(F.col("src").alias("node"))
@@ -276,7 +290,7 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
         )
         hub = nodes.join(h_raw, "node", "left").select(
             "node", F.coalesce("__h", F.lit(0.0)).alias("hub")
-        )
+        ).localCheckpoint(eager=True)
     asum = auth.agg(F.sum("a").alias("__as"))
     hsum = hub.agg(F.sum("hub").alias("__hs"))
     return (
@@ -342,6 +356,7 @@ def bfs_distances(edges: DataFrame, source, max_hops: int = 4) -> DataFrame:
     budget as ``pagerank``; the fixed hop bound keeps the operator
     deterministic and SQL-oracle-able as unrolled iterations.
     """
+    edges = edges.localCheckpoint(eager=True)  # superstep pattern, see pagerank
     dist = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -362,5 +377,6 @@ def bfs_distances(edges: DataFrame, source, max_hops: int = 4) -> DataFrame:
         dist = (
             dist.join(relaxed, "node", "left")
             .select("node", F.least(F.col("dist"), F.col("cand")).alias("dist"))
+            .localCheckpoint(eager=True)
         )
     return dist.filter(F.col("dist").isNotNull())

@@ -323,7 +323,12 @@ def test_hits_and_bfs_iterations_are_join_agg_supersteps(spark):
     for fn in (g26_doc_keyword_hits, g27_reach_distances):
         plan = _plan(fn(spark, SF_CORRECT))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
-        assert "HashAggregate" in plan, plan
+        # Superstep materialization: the returned plan reads the last
+        # round's localCheckpoint blocks (the join+agg superstep shape
+        # executed eagerly per round; values pinned by the numpy
+        # references in test_analytics).  A HashAggregate here would
+        # mean the rounds went back to lazy lineage re-derivation.
+        assert "ExistingRDD" in plan, plan
 
 
 def test_dup_span_audit_stays_jvm_with_one_count_shuffle(spark):
