@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -147,6 +148,63 @@ def extract_features(media: DataFrame, decoder: Decoder | None = None) -> DataFr
             )
 
     return media.select("media_id", "kind", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+ENERGY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("mean_level", DoubleType()),
+        StructField("rms_level", DoubleType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def audio_energy(media: DataFrame) -> DataFrame:
+    """REAL decode path that needs no external library: payload bytes as
+    unsigned 8-bit PCM samples → per-clip energy stats (mean level, RMS)
+    with vectorized numpy — the audio counterpart of ``pil_decoder``
+    that actually runs in this container, so the mapInPandas decode seam
+    is exercised end-to-end, not just through the fake decoder.
+
+    Determinism: samples are summed as int64 (every intermediate is an
+    exact integer well inside 2^53), so mean = sum/n and rms =
+    sqrt(sumsq/n) are each ONE float64 division/sqrt — bit-identical to
+    the SQL oracle's avg/sqrt regardless of summation order.  Output is
+    double end-to-end (the float32 feature array of ``extract_features``
+    would destroy the 6-digit rounding contract).  Per-row errors ride
+    the same dead-letter channel."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, means, rmss, errs = [], [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                if not raw:
+                    ns.append(0)
+                    means.append(None)
+                    rmss.append(None)
+                    errs.append("decode_error: empty payload")
+                    continue
+                x = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                n = len(x)
+                ns.append(n)
+                means.append(float(x.sum()) / n)
+                rmss.append(float(np.sqrt(float((x * x).sum()) / n)))
+                errs.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": ns,
+                    "mean_level": means,
+                    "rms_level": rmss,
+                    "error": errs,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, ENERGY_SCHEMA)
 
 
 def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:

@@ -451,7 +451,11 @@ def apply_mapping_array(
 # --- typo-alias detection (SymSpell deletion-neighborhood blocking) -------
 
 def symdelete_typo_pairs(
-    df: DataFrame, id_col: str = "id", name_col: str = "name", max_distance: int = 1
+    df: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    max_distance: int = 1,
+    broadcast_threshold_rows: int = 5_000_000,
 ) -> DataFrame:
     """(src, dst, distance): id pairs (src < dst) whose names are within
     Levenshtein distance 1 — the string-side alias detector the
@@ -474,9 +478,12 @@ def symdelete_typo_pairs(
     Scale shape: the variant explode is |name|+1 rows per entity keyed
     by xxhash64(variant) (8 B shuffle key); candidates are
     variant-collisions only, never the n² name matrix; the name lookup
-    for verification broadcasts ``df``'s projection (id, name) — the
-    entity dim of a dedup pass, small by construction; levenshtein runs
-    map-side.
+    for verification broadcasts ``df``'s (id, name) projection while it
+    fits (``broadcast_threshold_rows`` — the d05/d02 conditional-hint
+    gate: an entity name dim is usually small, but a forced broadcast
+    of a larger-than-budget one would OOM executors, so past the cap
+    Catalyst falls back to shuffled joins); levenshtein runs map-side
+    either way.
     """
     if max_distance != 1:
         raise ValueError("symdelete_typo_pairs implements max_distance=1 only")
@@ -505,10 +512,12 @@ def symdelete_typo_pairs(
     )
     na = names.select(F.col("id").alias("src"), F.col("name").alias("name_a"))
     nb = names.select(F.col("id").alias("dst"), F.col("name").alias("name_b"))
+    if df.count() <= broadcast_threshold_rows:
+        na, nb = F.broadcast(na), F.broadcast(nb)
     dist = F.levenshtein("name_a", "name_b")
     return (
-        cands.join(F.broadcast(na), "src")
-        .join(F.broadcast(nb), "dst")
+        cands.join(na, "src")
+        .join(nb, "dst")
         .select("src", "dst", dist.alias("distance"))
         .filter(F.col("distance") <= max_distance)
     )

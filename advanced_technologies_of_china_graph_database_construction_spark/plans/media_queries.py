@@ -72,7 +72,39 @@ FROM documents WHERE doc_id % 3 = 2
 """
 
 
+def m04_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL decode path (no stub, no external lib): audio payloads
+    decoded as 8-bit PCM and reduced to energy stats with vectorized
+    numpy inside the mapInPandas seam.  Integer-exact sums make the
+    float64 mean/rms bit-identical to the SQL oracle's avg/sqrt."""
+    audio = _media(spark, sf_dir).filter(F.col("kind") == "audio")
+    feats = mm.audio_energy(audio)
+    return feats.filter(F.col("error").isNull()).select(
+        "media_id",
+        "n_samples",
+        F.round("mean_level", 6).alias("mean_level"),
+        F.round("rms_level", 6).alias("rms_level"),
+    )
+
+
+M04_SQL = """
+WITH samples AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text) + 1),
+                               i -> ascii(substr(text, i, 1)))) AS b
+  FROM documents WHERE doc_id % 3 = 1 AND length(text) > 0)
+SELECT doc_id + 5000000 AS media_id,
+       count(*)::BIGINT AS n_samples,
+       round(avg(b), 6) AS mean_level,
+       round(sqrt(avg(b * b)), 6) AS rms_level
+FROM samples GROUP BY doc_id
+"""
+
+
 SPECS = [
+    QuerySpec("m04_audio_energy", m04_audio_energy, M04_SQL, "multimodal",
+              "REAL PCM decode: numpy energy stats through the Arrow seam, "
+              "integer-exact vs the SQL oracle"),
     QuerySpec("m01_media_metadata", m01_media_metadata, M01_SQL, "multimodal",
               "binary payload + typed metadata stats per kind"),
     QuerySpec("m02_decode_features", m02_decode_features, M02_SQL, "multimodal",
