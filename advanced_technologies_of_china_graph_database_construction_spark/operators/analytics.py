@@ -65,7 +65,8 @@ def pagerank(
     # the edge/node/degree frames every round, so an unmaterialized plan
     # re-derives the base graph O(2^r) times — localCheckpoint pins each
     # superstep's result and keeps round r's work to its own two
-    # shuffles.  Same fix as k_core (measured there: 6.8 s → 1.4 s).
+    # shuffles.  Same fix as k_core; measured here: g21 2.7 → 1.7 s,
+    # g24 2.3 → 1.5 s at sf0.01.
     edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -325,10 +326,12 @@ def k_core(edges: DataFrame, k: int, n_rounds: int = 3) -> DataFrame:
     Unlike the node-vector iterations (pagerank/LPA), the EDGE SET
     itself is what iterates here, so each round materializes via
     localCheckpoint: without it round r re-derives the base graph
-    through r levels of joins — measured 6.8 s → 0.5 s at the gate
-    scale, and at 100 TB the unmaterialized form recomputes the full
-    co-occurrence join O(rounds²) times.  Checkpoint blocks are
-    released by the ContextCleaner when the result goes out of scope.
+    through r levels of joins — measured on the g28 spec at sf0.01:
+    6.8 s → 1.4 s end-to-end (0.5 s for the peeling rounds alone once
+    the input edges are materialized), and at 100 TB the
+    unmaterialized form recomputes the full co-occurrence join
+    O(rounds²) times.  Checkpoint blocks are released by the
+    ContextCleaner when the result goes out of scope.
     """
     if n_rounds > 0:
         edges = edges.localCheckpoint(eager=True)

@@ -535,10 +535,11 @@ def duplicated_span_stats(
     """
     from pyspark.sql.window import Window
 
-    from .textops import word_ngrams, ws_tokens
+    from .textops import nonempty_tokens, word_ngrams
 
-    toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
-    base = df.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
+    base = df.select(
+        "doc_id", F.size(nonempty_tokens(F.col(text_col))).cast("bigint").alias("n_tokens")
+    )
     grams = df.select(
         "doc_id", F.posexplode(word_ngrams(F.col(text_col), n)).alias("pos", "gram")
     )

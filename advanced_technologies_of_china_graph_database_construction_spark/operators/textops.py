@@ -37,6 +37,15 @@ def ws_tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def nonempty_tokens(text: Column) -> Column:
+    """Whitespace tokens with empties dropped — THE token convention
+    shared by gram construction (`word_ngrams`) and every consumer that
+    counts tokens against it (e.g. dedup.duplicated_span_stats), so the
+    degenerate-input rules (null/empty/whitespace-only → []) can never
+    drift between a gram position and its denominator."""
+    return F.filter(ws_tokens(text), lambda t: t != F.lit(""))
+
+
 def token_count(text: Column) -> Column:
     return F.size(ws_tokens(text))
 
@@ -128,7 +137,7 @@ def word_ngrams(text: Column, n: int) -> Column:
     is bound once as a lambda variable: a non-lambda expression
     referenced inside a HOF lambda is re-evaluated per element.
     """
-    toks = F.filter(ws_tokens(text), lambda t: t != F.lit(""))
+    toks = nonempty_tokens(text)
     return F.coalesce(
         F.element_at(
             F.transform(
@@ -151,7 +160,7 @@ def dup_word_fraction(text: Column) -> Column:
     """Fraction of tokens that are repeats of an earlier token
     (1 − distinct/total) — the word-level Gopher-style repetition
     signal; 0 for empty text.  Pure JVM array expression."""
-    toks = F.filter(ws_tokens(text), lambda t: t != F.lit(""))
+    toks = nonempty_tokens(text)
     n = F.size(toks)
     return F.when(n > 0, F.round(
         F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n.cast("double"), 6

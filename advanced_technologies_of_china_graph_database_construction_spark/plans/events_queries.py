@@ -264,27 +264,45 @@ FROM ranked WHERE rn = 1
 """
 
 
+def _bump_mtimes(d: str, seen: set[str], tick: int) -> set[str]:
+    """Stamp every not-yet-seen data file in ``d`` with a synthetic,
+    strictly increasing mtime (epoch + tick seconds).  The file
+    streaming source replays in mtime order with path as the
+    tie-break; explicit stamps make the order deterministic on ANY
+    filesystem — a sleep between writes only works down to the mount's
+    mtime granularity (1 s on some network filesystems), and a tie
+    hands the order to random part-file UUIDs."""
+    import os
+
+    now = set()
+    for f in os.listdir(d):
+        if not f.startswith(("_", ".")):
+            now.add(f)
+            if f not in seen:
+                os.utime(os.path.join(d, f), (1_000_000 + tick, 1_000_000 + tick))
+    return now
+
+
 def _write_ts_slices(ev: DataFrame, d: str, n: int = 4):
     """Write ``ev`` into ``n`` time-ranged parquet files whose
     MODIFICATION times strictly increase with event time, and return
-    the max ts.  The file streaming source replays files in mtime
-    order; one repartitionByRange write commits every slice at once and
-    the replay order becomes a race — harmless under complete mode, but
-    with a watermark in append mode whichever later slice lands first
-    advances the watermark and silently drops the earlier slices
-    (measured on e15: 4777–7319 of 9549 sessions, run-dependent)."""
-    import time as _time
-
+    the max ts.  One repartitionByRange write would commit every slice
+    at once and make the replay order a race — harmless under complete
+    mode, but with a watermark in append mode whichever later slice
+    lands first advances the watermark and silently drops the earlier
+    slices (measured on e15: 4777–7319 of 9549 sessions,
+    run-dependent)."""
     b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
     lo, hi = b["lo"], b["hi"]
     step = (hi - lo) / n
+    seen: set[str] = set()
     for i in range(n):
         cond = F.col("ts") >= lo + i * step
         if i < n - 1:
             cond = cond & (F.col("ts") < lo + (i + 1) * step)
         ev.filter(cond).coalesce(1).write.mode("append").parquet(d)
-        _time.sleep(0.05)
-    return hi
+        seen = _bump_mtimes(d, seen, i)
+    return hi, seen
 
 
 def e11_streaming_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,13 +482,12 @@ def e15_streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates the streamed sessions exactly."""
     import shutil
     import tempfile
-    import time as _time
     import uuid
 
     ev = load_table(spark, sf_dir, "events")
     d = tempfile.mkdtemp(prefix="e15_events_")
     try:
-        max_ts = _write_ts_slices(ev, d)
+        max_ts, seen = _write_ts_slices(ev, d)
         for i, days in enumerate((30, 31)):
             (
                 ev.limit(1)
@@ -486,7 +503,7 @@ def e15_streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .write.mode("append")
                 .parquet(d)
             )
-            _time.sleep(0.05)
+            seen = _bump_mtimes(d, seen, 4 + i)
         stream = windows.streaming_source(spark, d, watermark="1 hour")
         name = f"e15_sink_{uuid.uuid4().hex[:8]}"
         q = (
