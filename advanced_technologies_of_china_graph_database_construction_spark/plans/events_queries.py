@@ -522,6 +522,50 @@ def e15_streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).filter(F.col("user_id") >= 0)
 
 
+# --------------------------------- e16 stateful streaming face ------------
+
+def e16_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom-stateful-operator face (W2's applyInPandasWithState),
+    driver-gated: per-user running totals held in GroupState across 4
+    real micro-batches, update-mode into the memory sink.  Every batch
+    emits each seen user's cumulative state, so the sink holds one row
+    per (user, batch-they-appeared-in); the FINAL state per user is the
+    row with the highest n_events (counts strictly increase per
+    emission).  That final state must equal the batch aggregate (E06) —
+    the unified-API contract for the stateful seam."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="e16_events_")
+    try:
+        _write_ts_slices(ev, d)
+        stream = windows.streaming_source(spark, d, watermark=None)
+        name = f"e16_sink_{uuid.uuid4().hex[:8]}"
+        q = (
+            stateful.running_totals_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    final = F.max(F.struct("n_events", "total_value")).alias("s")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(final)
+        .select("user_id", F.col("s.n_events").alias("n_events"),
+                F.col("s.total_value").alias("total_value"))
+    )
+
+
 SPECS = [
     QuerySpec("e01_tumbling_daily", e01_tumbling_daily, E01_SQL, "events",
               "tumbling 1-day window stats per event_type", bench=True),
@@ -555,4 +599,7 @@ SPECS = [
     QuerySpec("e15_streaming_user_sessions", e15_streaming_user_sessions, E03_SQL,
               "events", "REAL readStream append-mode session windows (watermark-"
               "finalized, sentinel-flushed), batch-oracle-gated"),
+    QuerySpec("e16_streaming_running_totals", e16_streaming_running_totals, E06_SQL,
+              "events", "REAL applyInPandasWithState run: GroupState running "
+              "totals across micro-batches, final state batch-oracle-gated"),
 ]
