@@ -388,3 +388,82 @@ def test_knn_graph_property_matches_numpy(spark, vecs, k, block_rows):
         for r in knn_graph(df, k=k, block_rows=block_rows, n_rows=len(rows)).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------- k-core peeling -------------
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)).filter(lambda t: t[0] != t[1]),
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(1, 4),
+)
+@SETTINGS
+def test_kcore_property_matches_python_peeling(spark, edge_list, k):
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import k_core, symmetric_edges
+
+    from tests.test_analytics import _kcore_reference
+
+    rounds = 3
+    pairs = list({(min(a, b), max(a, b)) for a, b in edge_list})
+    want = _kcore_reference(pairs, k, rounds)
+    if not pairs:
+        return
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r.node: r.degree for r in k_core(symmetric_edges(df), k, rounds).collect()}
+    assert got == want, (pairs, k)
+
+
+# ------------------------------------- symdelete typo-alias blocking ------
+
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=6), min_size=1, max_size=25
+    )
+)
+@SETTINGS
+def test_symdelete_property_matches_bruteforce(spark, names):
+    """Tiny alphabet forces dense distance-1 neighborhoods (the blocking
+    recall stress case) plus duplicate strings (distance-0 pairs)."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.er import symdelete_typo_pairs
+
+    from tests.test_er import _lev
+
+    df = spark.createDataFrame(list(enumerate(names)), "id long, name string")
+    got = sorted((r.src, r.dst, r.distance) for r in symdelete_typo_pairs(df).collect())
+    want = sorted(
+        (i, j, _lev(names[i], names[j]))
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if _lev(names[i], names[j]) <= 1
+    )
+    assert got == want, names
+
+
+# ---------------------------------------------- duplicated spans ----------
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(2, 4),
+)
+@SETTINGS
+def test_dup_spans_property_matches_python(spark, token_lists, n):
+    """Tiny vocab makes corpus-wide gram repeats (incl. within-doc
+    self-repeats and overlapping islands) the common case."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.dedup import duplicated_span_stats
+
+    from tests.test_textops import _span_reference
+
+    texts = {i: " ".join(ws) for i, ws in enumerate(token_lists)}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_spans, r.dup_tokens, r.dup_frac)
+        for r in duplicated_span_stats(df, n=n, min_count=2).collect()
+    }
+    assert got == _span_reference(texts, n, 2), (texts, n)
