@@ -198,6 +198,15 @@ def minhash_near_dups(
     come from an equi-join on just those perms; the full signature arrays
     then verify the exact match count.  Cuts candidate-join fan-out ~16/9
     and replaces the (src,dst,k) groupBy with a distinct + array compare.
+
+    Shape note (measured, r4): distinct-FIRST is the optimum here.  Two
+    alternatives were benchmarked at sf0.1 (3.2M raw collision rows →
+    609k pairs) and both lost: verifying the raw collision rows map-side
+    with first-colliding-perm dedup costs 2× (zip_with/array HOFs are
+    interpreted per row) and the codegen-unrolled getItem variant 4×
+    (the joins materialize two 128-byte signature arrays per raw row —
+    5× the rows of the distinct-first path).  The candidate distinct
+    shuffles 16-byte pairs; that is the cheapest thing to move.
     """
     # Three downstream branches (candidate probe, src/dst verification)
     # would each re-run the signature kernel; localCheckpoint materializes
