@@ -127,6 +127,38 @@ SELECT 'Found ' || n || ' result(s):' || chr(10) || body AS answer,
 FROM fmt
 """
 
+# Q.txt 类型五 (co-occurrence) through the NL path.  The template's full
+# result exceeds the LIMIT-10 serving rule, so like n05 the spec asserts
+# the planner's compilation and runs the bound template directly (full
+# deterministic aggregate) rather than execute_plan's capped serving cut.
+Q_COOCCUR = 'Which keywords co-occur with "cold widget"?'
+
+
+def n08_nl_cooccurring_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..nl.engine import t_cooccurring_keywords
+    from ..operators.graph import build_graph
+
+    p = plan(Q_COOCCUR)
+    assert p.template == "cooccurring_keywords", p
+    assert p.params.get("keyword") == "cold widget", p
+    return t_cooccurring_keywords(build_graph(spark, sf_dir), **p.params)
+
+
+# Exact mirror of the template's ID-based semantics: the exclusion is
+# `dst2 <> the matched keyword_id`, NOT by name — a second keyword id
+# sharing the name 'cold widget' legitimately counts as related (the
+# name-based variant undercounts by exactly that row).
+N08_SQL = GRAPH_ORACLE_CTES + """
+SELECT k2.name AS related, count(*) AS n_docs
+FROM keywords k
+JOIN e_has_keyword e1 ON e1.dst = k.keyword_id
+JOIN e_has_keyword e2 ON e2.src = e1.src
+JOIN keywords k2 ON e2.dst = k2.keyword_id
+WHERE k.name = 'cold widget' AND e2.dst <> k.keyword_id
+GROUP BY k2.name
+"""
+
+
 # Q5 multi-turn glue through the gate: the follow-up names NO quoted
 # entity, so the planner must inherit "cold widget" from the prior turn
 # and compile to the same per-year plan — gated against the n01 oracle.
@@ -190,6 +222,15 @@ SPECS = [
         description="Q4+F14: full serving cascade with result stringification "
         "(numbered `key: value` lines, `neo4j_query_executor.py:45-121`) and "
         "answer synthesis; oracle rebuilds the text via SQL string_agg.",
+    ),
+    QuerySpec(
+        name="n08_nl_cooccurring_keywords",
+        fn=n08_nl_cooccurring_keywords,
+        oracle=N08_SQL,
+        category="nl",
+        description="Q1+Q2: co-occurrence question (Q.txt 类型五, J7 self-join) "
+        "compiled by the NL planner; full aggregate oracle-checked (serving "
+        "LIMIT bypassed for determinism, the n05 pattern).",
     ),
     QuerySpec(
         name="n07_multiturn_followup",
