@@ -159,6 +159,45 @@ GROUP BY k2.name
 """
 
 
+def n09_http_answer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11+S12 through the gate: POST the n06 question to a LIVE
+    loopback ``/answer`` server backed by a SQLite ChatHistory.  The
+    HTTP response body becomes the gated row (the same N06 oracle — the
+    serving transport must not change the answer), and the spec asserts
+    both turns persisted under the session with the user→assistant
+    shape and recency ordering (L4) before returning."""
+    import json as _json
+    import os
+    import tempfile
+    import urllib.request
+
+    from ..nl.api import serve
+    from ..nl.history import ChatHistory
+
+    hist = ChatHistory(os.path.join(tempfile.mkdtemp(prefix="n09_hist_"), "chats.db"))
+    server = serve(spark, sf_dir, history=hist)
+    try:
+        port = server.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/answer",
+            data=_json.dumps({"query": Q_FALLBACK, "session_id": "gate"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            res = _json.loads(r.read())
+    finally:
+        server.shutdown()
+    msgs = hist.messages("gate")
+    assert [role for role, _ in msgs] == ["user", "assistant"], msgs
+    assert msgs[0][1] == Q_FALLBACK and msgs[1][1] == res["answer"]
+    chats = hist.list_chats()
+    assert chats and chats[0][0] == "gate", chats
+    return spark.createDataFrame(
+        [(res["answer"], res["stage"], res["template"], res["n_rows"])],
+        schema="answer string, stage string, template string, n_rows long",
+    )
+
+
 # Q5 multi-turn glue through the gate: the follow-up names NO quoted
 # entity, so the planner must inherit "cold widget" from the prior turn
 # and compile to the same per-year plan — gated against the n01 oracle.
@@ -222,6 +261,15 @@ SPECS = [
         description="Q4+F14: full serving cascade with result stringification "
         "(numbered `key: value` lines, `neo4j_query_executor.py:45-121`) and "
         "answer synthesis; oracle rebuilds the text via SQL string_agg.",
+    ),
+    QuerySpec(
+        name="n09_http_answer_roundtrip",
+        fn=n09_http_answer_roundtrip,
+        oracle=N06_SQL,
+        category="nl",
+        description="S11+S12: the full serving cascade over a LIVE loopback "
+        "HTTP server with SQLite history persistence, response gated against "
+        "the n06 oracle.",
     ),
     QuerySpec(
         name="n08_nl_cooccurring_keywords",
