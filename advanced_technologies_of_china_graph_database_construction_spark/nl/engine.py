@@ -156,6 +156,44 @@ def t_cooccurring_keywords(g: GraphModel, keyword: str) -> DataFrame:
     )
 
 
+def t_related_authors_via_keywords(g: GraphModel, author: str) -> DataFrame:
+    """Q.txt 类型六 4-hop (Q16, `Q.txt:61-63`): authors related to X
+    through shared keywords — Author → Doc → Keyword → Doc → Author,
+    ranked by how many keywords they share.  The reference compiles this
+    class only via its LLM (`neo4j_query_executor.py:240-322`); this is
+    the deterministic-planner face of the same join chain as the g16
+    gated query (semi-join funnels keep every hop's frontier narrow;
+    deterministic order + LIMIT 20 with ties broken on author name)."""
+    a = g.authors.filter(F.col("name") == author)
+    ea = g.edges_of(REL_AUTHORED)
+    ek = g.edges_of(REL_HAS_KEYWORD)
+    my_docs = ea.join(F.broadcast(a), ea.src == a.author_id, "left_semi").select(
+        F.col("dst").alias("doc_id")
+    )
+    my_kws = (
+        ek.join(my_docs, ek.src == my_docs.doc_id, "left_semi")
+        .select(F.col("dst").alias("kw"))
+        .distinct()
+    )
+    other_docs = ek.join(my_kws, ek.dst == my_kws.kw).select(
+        F.col("src").alias("doc_id"), "kw"
+    )
+    ea2 = g.edges_of(REL_AUTHORED).withColumnsRenamed(
+        {"src": "author_id", "dst": "doc_id"}
+    )
+    related = (
+        other_docs.join(ea2, "doc_id")
+        .join(g.authors, "author_id")
+        .filter(F.col("name") != author)
+    )
+    return (
+        related.groupBy(F.col("name").alias("author"))
+        .agg(F.countDistinct("kw").alias("n_shared_keywords"))
+        .orderBy(F.desc("n_shared_keywords"), F.asc("author"))
+        .limit(20)
+    )
+
+
 def t_org_topics(g: GraphModel, org: str) -> DataFrame:
     o = g.orgs.filter(F.col("name") == org)
     e_pub = g.edges_of(REL_PUBLISHED_BY)
@@ -183,6 +221,7 @@ TEMPLATES: dict[str, Callable[..., DataFrame]] = {
     "author_wrote_doc": t_author_wrote_doc,
     "coauthors_of": t_coauthors_of,
     "cooccurring_keywords": t_cooccurring_keywords,
+    "related_authors_via_keywords": t_related_authors_via_keywords,
     "org_topics": t_org_topics,
 }
 

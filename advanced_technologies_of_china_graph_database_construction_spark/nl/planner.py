@@ -47,6 +47,10 @@ _RULES: list[tuple[re.Pattern, str, tuple[str, ...]]] = [
     (re.compile(r"co-?authors?|collaborat|合作者|合著"), "coauthors_of", ("author",)),
     (re.compile(r"co-?occur|related keywords?|相关关键词|共现"),
      "cooccurring_keywords", ("keyword",)),
+    # Q.txt 类型六 4-hop (Q16): authors related through shared keywords
+    (re.compile(r"(same|shared|相同|共享).{0,30}(keywords?|topics?|关键词|主题)"
+                r"|related authors?|similar authors?|相关作者"),
+     "related_authors_via_keywords", ("author",)),
     (re.compile(r"who wrote|authors? of|的作者"), "authors_of_doc", ("title",)),
     (re.compile(r"keywords? of|的关键词"), "keywords_of_doc", ("title",)),
     (re.compile(r"(papers?|docs?|documents?|publications?|论文|文献).*(by|written|写)"),

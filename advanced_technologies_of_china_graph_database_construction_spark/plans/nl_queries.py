@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..nl.engine import execute_plan, fulltext_search
 from ..nl.planner import plan
 from ..operators.graph import GRAPH_ORACLE_CTES
+from .graph_queries import G16_SQL
 from .spec import QuerySpec
 
 # Questions phrased the way a user would ask them; entities quoted so the
@@ -147,7 +148,13 @@ def n08_nl_cooccurring_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact mirror of the template's ID-based semantics: the exclusion is
 # `dst2 <> the matched keyword_id`, NOT by name — a second keyword id
 # sharing the name 'cold widget' legitimately counts as related (the
-# name-based variant undercounts by exactly that row).
+# name-based variant undercounts by exactly that row).  Duplicate NAMES
+# are also mirrored, not fixture-dependent: the template's
+# `keywords.filter(name == kw)` binds EVERY id carrying the name and
+# sums their contributions in the groupBy, and the oracle's JOIN on
+# k.name produces the identical one-row-group-per-matching-k expansion
+# with the identical per-matched-id exclusion — the two sides are the
+# same join DAG, id-unique fixture or not.
 N08_SQL = GRAPH_ORACLE_CTES + """
 SELECT k2.name AS related, count(*) AS n_docs
 FROM keywords k
@@ -168,13 +175,15 @@ def n09_http_answer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape and recency ordering (L4) before returning."""
     import json as _json
     import os
+    import shutil
     import tempfile
     import urllib.request
 
     from ..nl.api import serve
     from ..nl.history import ChatHistory
 
-    hist = ChatHistory(os.path.join(tempfile.mkdtemp(prefix="n09_hist_"), "chats.db"))
+    hist_dir = tempfile.mkdtemp(prefix="n09_hist_")
+    hist = ChatHistory(os.path.join(hist_dir, "chats.db"))
     server = serve(spark, sf_dir, history=hist)
     try:
         port = server.server_address[1]
@@ -185,17 +194,41 @@ def n09_http_answer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         with urllib.request.urlopen(req, timeout=120) as r:
             res = _json.loads(r.read())
+        msgs = hist.messages("gate")
+        assert [role for role, _ in msgs] == ["user", "assistant"], msgs
+        assert msgs[0][1] == Q_FALLBACK and msgs[1][1] == res["answer"]
+        chats = hist.list_chats()
+        assert chats and chats[0][0] == "gate", chats
     finally:
+        # shutdown() only stops the serve_forever loop; server_close()
+        # releases the listening socket, and the SQLite dir is temp-only.
         server.shutdown()
-    msgs = hist.messages("gate")
-    assert [role for role, _ in msgs] == ["user", "assistant"], msgs
-    assert msgs[0][1] == Q_FALLBACK and msgs[1][1] == res["answer"]
-    chats = hist.list_chats()
-    assert chats and chats[0][0] == "gate", chats
+        server.server_close()
+        shutil.rmtree(hist_dir, ignore_errors=True)
     return spark.createDataFrame(
         [(res["answer"], res["stage"], res["template"], res["n_rows"])],
         schema="answer string, stage string, template string, n_rows long",
     )
+
+
+# Q.txt 类型六 4-hop (Q16) through the NL path — the last workload class
+# the deterministic planner compiles (the reference reaches it only via
+# its LLM, `neo4j_query_executor.py:240-322`).  Gated against the same
+# oracle as the direct-DataFrame g16 spec: the template's ORDER BY
+# (score desc, author asc) + LIMIT 20 is deterministic, so the full
+# template result is compared (the n08 pattern — serving LIMIT 10 is
+# bypassed; `answer()` would cap the same rows for presentation).
+Q_RELATED = 'Which authors publish on the same keywords as "Customer#000000001"?'
+
+
+def n10_nl_related_authors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..nl.engine import t_related_authors_via_keywords
+    from ..operators.graph import build_graph
+
+    p = plan(Q_RELATED)
+    assert p.template == "related_authors_via_keywords", p
+    assert p.params.get("author") == "Customer#000000001", p
+    return t_related_authors_via_keywords(build_graph(spark, sf_dir), **p.params)
 
 
 # Q5 multi-turn glue through the gate: the follow-up names NO quoted
@@ -279,6 +312,16 @@ SPECS = [
         description="Q1+Q2: co-occurrence question (Q.txt 类型五, J7 self-join) "
         "compiled by the NL planner; full aggregate oracle-checked (serving "
         "LIMIT bypassed for determinism, the n05 pattern).",
+    ),
+    QuerySpec(
+        name="n10_nl_related_authors",
+        fn=n10_nl_related_authors,
+        oracle=G16_SQL,
+        category="nl",
+        description="Q1+Q2: 4-hop related-authors question (Q.txt 类型六 Q16, "
+        "the class the reference compiles only via LLM) through the "
+        "deterministic NL planner; full ordered top-20 gated against the g16 "
+        "oracle (the n08 pattern).",
     ),
     QuerySpec(
         name="n07_multiturn_followup",

@@ -28,6 +28,13 @@ SF = "/root/testdata/sf0.001"
          "cooccurring_keywords", {"keyword": "cold widget"}),
         ('关于"cold widget"的论文', "docs_by_keyword", {"keyword": "cold widget"}),
         ('《DOC-7》的关键词', "keywords_of_doc", {"title": "DOC-7"}),
+        # Q.txt 类型六 4-hop (Q16) — three phrasings of the related-authors ask
+        ('Which authors publish on the same keywords as "Customer#000000001"?',
+         "related_authors_via_keywords", {"author": "Customer#000000001"}),
+        ('Show authors similar to... find related authors for "Customer#000000001"',
+         "related_authors_via_keywords", {"author": "Customer#000000001"}),
+        ('和"Customer#000000001"研究相同主题的相关作者',
+         "related_authors_via_keywords", {"author": "Customer#000000001"}),
     ],
 )
 def test_planner_intents(question, template, params):
@@ -56,6 +63,27 @@ def test_template_answer_from_graph(spark):
     assert out["stage"] == "template"
     assert 0 < out["n_rows"] <= engine.RESULT_LIMIT
     assert "DOC-" in out["answer"]
+
+
+def test_related_authors_template_matches_direct_g16_query(spark):
+    """The NL-facing 4-hop template compiles to the same result as the
+    hand-written g16 DataFrame query (Q.txt 类型六 Q16)."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.graph import build_graph
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.graph_queries import (
+        AUTHOR,
+        g16_related_authors_via_keywords,
+    )
+
+    p = planner.plan(f'Which authors publish on the same keywords as "{AUTHOR}"?')
+    assert p.template == "related_authors_via_keywords"
+    got = engine.t_related_authors_via_keywords(
+        build_graph(spark, SF), **p.params
+    ).collect()
+    want = g16_related_authors_via_keywords(spark, SF).collect()
+    assert sorted((r["author"], r["n_shared_keywords"]) for r in got) == sorted(
+        (r["author"], r["n_shared_keywords"]) for r in want
+    )
+    assert got  # non-empty at sf0.001: the 4-hop chain actually traverses
 
 
 def test_existence_template(spark):
