@@ -15,11 +15,24 @@ Scale design (100 TB story):
   wordcount shuffle compresses 100 TB of text to |vocab| rows (Zipf:
   millions, not billions), and every merge round runs over that small
   table.
-- Each round is two narrow JVM expressions (adjacent-pair extraction
-  via `transform`, left-to-right greedy merge via `aggregate`) plus one
-  tiny argmax aggregate; only the single winning pair is collected.
-- `localCheckpoint` per round truncates the growing lineage so round k
-  costs O(1) rounds of work, not O(k) recompute.
+- **Pair counts are maintained incrementally** (the classic
+  Sennrich-style delta update, distributed): the full explode+aggregate
+  over every word's adjacent pairs runs ONCE at entry; each round then
+  re-counts pairs only over the words that actually CONTAIN the winning
+  pair (one filtered scan emitting −old/+new contributions), and folds
+  the delta into the running counts table.  The per-round shuffle is
+  proportional to the affected words — under Zipf a vanishing fraction
+  after the first few merges — not to the whole vocabulary, so a 32-50k
+  vocab run is n_merges small delta-aggregations, not n_merges full
+  passes.
+- The argmax reads the maintained counts table directly (orderBy+limit
+  over |distinct pairs| rows); only the single winning pair is
+  collected.
+- The symbol rewrite is a lazy per-row conditional (`when(has_pair,
+  fold)`), so the JVM fold executes only on affected rows; each round's
+  word table and counts table are `localCheckpoint`ed to truncate the
+  growing lineage (round k costs O(1) rounds of work, not O(k)
+  recompute).
 
 All symbol literals enter plans through ``F.lit`` Column parameters —
 never interpolated into SQL strings — so arbitrary corpus characters
@@ -36,10 +49,14 @@ from .textops import ws_tokens
 
 # adjacent symbol pairs; the greatest() guard makes the single-symbol
 # (and empty) case an empty slice — same struct type, no CASE branch
-_PAIRS_EXPR = """
-transform(slice(syms, 1, greatest(size(syms) - 1, 0)),
-          (s, i) -> struct(s AS l, element_at(syms, i + 2) AS r))
+def _pairs_expr(col: str) -> str:
+    return f"""
+transform(slice({col}, 1, greatest(size({col}) - 1, 0)),
+          (s, i) -> struct(s AS l, element_at({col}, i + 2) AS r))
 """
+
+
+_PAIRS_EXPR = _pairs_expr("syms")
 
 
 def _merge_fold(col, left: str, right: str):
@@ -86,22 +103,74 @@ def bpe_merges(
         "freq", F.expr("filter(split(word, ''), s -> s <> '')").alias("syms")
     ).localCheckpoint(eager=True)
 
+    # Full pair count ONCE; each round below maintains it with a delta
+    # aggregated over only the words containing the winning pair.
+    counts = (
+        syms.select("freq", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("freq").alias("pair_freq"))
+        .localCheckpoint(eager=True)
+    )
+
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         top = (
-            syms.select("freq", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
-            .groupBy("p.l", "p.r")
-            .agg(F.sum("freq").alias("pair_freq"))
-            .orderBy(F.desc("pair_freq"), F.asc("l"), F.asc("r"))
+            counts.orderBy(F.desc("pair_freq"), F.asc("l"), F.asc("r"))
             .limit(1)
             .collect()
         )
         if not top:
             break
         row = top[0]
-        merges.append((rank, row["l"], row["r"], int(row["pair_freq"])))
+        left, right = row["l"], row["r"]
+        merges.append((rank, left, right, int(row["pair_freq"])))
+        has_pair = F.exists(
+            F.expr(_PAIRS_EXPR),
+            lambda p: (p["l"] == F.lit(left)) & (p["r"] == F.lit(right)),
+        )
+        # Delta over affected words only: −freq for every old adjacent
+        # pair, +freq for every pair of the merged form.  Unaffected
+        # words contribute identical ± terms and are skipped entirely.
+        folded = _merge_fold(F.col("syms"), left, right)
+        delta = (
+            syms.filter(has_pair)
+            .select("freq", F.col("syms").alias("old"), folded.alias("new"))
+            .select(
+                F.explode(
+                    F.concat(
+                        F.transform(
+                            F.expr(_pairs_expr("old")),
+                            lambda p: F.struct(
+                                p["l"].alias("l"),
+                                p["r"].alias("r"),
+                                (-F.col("freq")).alias("d"),
+                            ),
+                        ),
+                        F.transform(
+                            F.expr(_pairs_expr("new")),
+                            lambda p: F.struct(
+                                p["l"].alias("l"),
+                                p["r"].alias("r"),
+                                F.col("freq").alias("d"),
+                            ),
+                        ),
+                    )
+                ).alias("x")
+            )
+            .groupBy(F.col("x.l").alias("l"), F.col("x.r").alias("r"))
+            .agg(F.sum("x.d").alias("pair_freq"))
+        )
+        counts = (
+            counts.unionByName(delta)
+            .groupBy("l", "r")
+            .agg(F.sum("pair_freq").alias("pair_freq"))
+            .filter(F.col("pair_freq") > 0)
+            .localCheckpoint(eager=True)
+        )
+        # Lazy conditional rewrite: the JVM fold runs only on rows that
+        # contain the pair; everything else passes through untouched.
         syms = syms.select(
-            "freq", _merge_fold(F.col("syms"), row["l"], row["r"]).alias("syms")
+            "freq", F.when(has_pair, folded).otherwise(F.col("syms")).alias("syms")
         ).localCheckpoint(eager=True)
 
     return docs.sparkSession.createDataFrame(
@@ -117,18 +186,42 @@ def bpe_encode(
 ) -> DataFrame:
     """Apply a learned merge table: re-tokenize every document's words
     by replaying the merges in rank order — the inference face of
-    ``bpe_merges``, a pure narrow map over each row (chained JVM folds,
-    no shuffle, no Python evaluation)."""
+    ``bpe_merges``, a pure narrow map over each row (one JVM fold per
+    rule, no shuffle, no Python evaluation).
+
+    Each rule is its own projection over an ``array<array<string>>``
+    column — NOT one composed Column: ``_merge_fold`` references its
+    input ~5 times, so nesting k rules into a single expression grows
+    the tree ~5^k and OOMs the analyzer around k=8.  A linear chain of
+    projections keeps analysis O(k)."""
     toks = F.filter(ws_tokens(F.lower(F.col(text_col))), lambda t: t != F.lit(""))
-    return docs.withColumn(
-        out_col, F.flatten(F.transform(toks, lambda w: _apply_merges_col(w, merge_rules)))
+    out = docs.withColumn(
+        out_col,
+        F.transform(toks, lambda w: F.filter(F.split(w, ""), lambda s: s != F.lit(""))),
     )
-
-
-def _apply_merges_col(word, merge_rules):
-    """Replay the whole merge table over one word (chained
-    ``_merge_fold``s, composable inside a ``transform`` lambda)."""
-    col = F.filter(F.split(word, ""), lambda s: s != F.lit(""))
     for left, right in merge_rules:
-        col = _merge_fold(col, left, right)
-    return col
+        out = out.withColumn(
+            out_col,
+            F.transform(F.col(out_col), lambda syms: _merge_fold(syms, left, right)),
+        )
+    return out.withColumn(out_col, F.flatten(F.col(out_col)))
+
+
+def bpe_encode_words(
+    words: DataFrame,
+    merge_rules: list[tuple[str, str]],
+    word_col: str = "word",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Encode one word per row — the vocabulary face of ``bpe_encode``
+    (tokenizer tables are built per distinct word, then joined back to
+    the corpus; at 100 TB that turns a per-token fold over every
+    document into a |vocab|-sized computation).  Same one-projection-
+    per-rule structure as ``bpe_encode`` (see the expression-growth
+    note there), no shuffle, no Python evaluation."""
+    out = words.withColumn(
+        out_col, F.filter(F.split(F.col(word_col), ""), lambda s: s != F.lit(""))
+    )
+    for left, right in merge_rules:
+        out = out.withColumn(out_col, _merge_fold(F.col(out_col), left, right))
+    return out

@@ -1368,17 +1368,95 @@ WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR h_old <> h_new)
 """
 
 
-# ---------------------------------------- d28 BPE induction (DEFERRED) ---
+# ------------------------------------- d28/d31 BPE induction + encode ---
 
 def d28_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 BPE merge rules learned from the corpus word-frequency
-    table (`operators/bpe.py`) — tokenizer-vocabulary training as a
-    Spark workload.  Iterative argmax is not SQL-expressible, so the
-    gate is rows-only; the hard check is the Python-reference equality
-    suite in tests/test_bpe.py."""
+    table (`operators/bpe.py`, incremental pair-count maintenance).
+    Iterative argmax is not SQL-expressible, so the gate is rows-only;
+    the hard check is the Python-reference equality suite in
+    tests/test_bpe.py, and the ENCODE face is hash-gated as d31."""
     from ..operators.bpe import bpe_merges
 
     return bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=8)
+
+
+# d31: the encode face, hash-gated.  The merge table is FIXED (not the
+# d28-induced one) because oracle SQL is a static string shared across
+# scale factors while induction is corpus-dependent; the fixed rules are
+# chosen adversarially instead — a 4-deep cascade (t→ta→tab→tabl→table),
+# a repeated-character pair, and rules that interact through shared
+# symbols — a stricter exercise of the greedy fold than whatever the
+# corpus happens to induce.  bpe_encode(induced rules) equality is
+# separately pinned in tests/test_bpe.py.
+BPE_ENCODE_RULES = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("a", "g"), ("g", "g"), ("s", "c"), ("h", "e"),
+]
+
+
+def d31_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, bpe): every distinct corpus word re-tokenized by replaying
+    the fixed merge table in rank order — the inference face of BPE as a
+    pure narrow JVM fold over the vocabulary (no shuffle beyond the
+    distinct)."""
+    from ..operators.bpe import bpe_encode_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(
+                textops.ws_tokens(F.lower(F.col("text"))), lambda t: t != F.lit("")
+            )
+        ).alias("word")
+    ).distinct()
+    return bpe_encode_words(words, BPE_ENCODE_RULES).select(
+        "word", F.array_join("bpe_tokens", " ").alias("bpe")
+    )
+
+
+def _bpe_rule_ctes(k: int, left: str, right: str) -> str:
+    # One rule = one recursive CTE replacing the LEFTMOST separator-
+    # guarded occurrence until none remains.  Leftmost-repeat equals the
+    # greedy left-to-right fold exactly: a merged token can never create
+    # a match EARLIER in the word under the same rule (it would need
+    # left+right to equal the rule's left or right part, impossible by
+    # length), so restart-from-the-left finds the same merge sequence.
+    # Plain nested replace() CANNOT express this: global replace consumes
+    # the shared boundary separator, silently skipping every second
+    # merge in a repeated-pair run ("aaaa" must fold to [aa,aa]).
+    pat = f"chr(31) || '{left}' || chr(31) || '{right}' || chr(31)"
+    repl = f"chr(31) || '{left}{right}' || chr(31)"
+    plen = len(left) + len(right) + 3
+    prev = f"s{k - 1}"
+    return f"""
+r{k} AS (
+  SELECT word, s, 0 AS it FROM {prev}
+  UNION ALL
+  SELECT word,
+         substr(s, 1, strpos(s, {pat}) - 1) || {repl}
+           || substr(s, strpos(s, {pat}) + {plen}),
+         it + 1
+  FROM r{k} WHERE strpos(s, {pat}) > 0),
+s{k} AS (SELECT word, arg_max(s, it) AS s FROM r{k} GROUP BY word)
+"""
+
+
+D31_SQL = (
+    """
+WITH RECURSIVE words AS (
+  SELECT DISTINCT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                     t -> t <> '')) AS word
+  FROM documents),
+s0 AS (
+  SELECT word, chr(31) || regexp_replace(word, '(.)', '\\1' || chr(31), 'g') AS s
+  FROM words),"""
+    + ",".join(_bpe_rule_ctes(k + 1, l, r) for k, (l, r) in enumerate(BPE_ENCODE_RULES))
+    + f"""
+SELECT word, replace(trim(s, chr(31)), chr(31), ' ') AS bpe
+FROM s{len(BPE_ENCODE_RULES)}
+"""
+)
 
 
 # ----------------------------------------------- a06 quantized ANN ------
@@ -1530,7 +1608,11 @@ SPECS = [
     QuerySpec("d27_snapshot_diff", d27_snapshot_diff, D27_SQL, "dedup",
               "incremental snapshot diff (added/removed/changed via hash CDC)"),
     QuerySpec("d28_bpe_merges", d28_bpe_merges, None, "text",
-              "BPE merge-table induction (rows-only gate; python-reference pytest)"),
+              "BPE merge-table induction, incremental pair counts (rows-only "
+              "gate; python-reference pytest; encode face hash-gated as d31)"),
+    QuerySpec("d31_bpe_encode_vocab", d31_bpe_encode_vocab, D31_SQL, "text",
+              "BPE encode face over the corpus vocabulary, hash-gated vs a "
+              "chained leftmost-replace recursive-CTE oracle"),
     QuerySpec("a06_quantized_ann", a06_quantized_ann, A06_SQL, "similarity",
               "scalar-quantized ANN (int8 range, bit-exact integer dot ranking)"),
     QuerySpec("d01_exact_dup_groups", d01_exact_dup_groups, D01_SQL, "dedup",

@@ -94,6 +94,21 @@ def test_bpe_encode_replays_merges(spark):
         assert enc[doc_id] == want, doc_id
 
 
+def test_bpe_incremental_counts_match_reference_deep(spark):
+    """12 rounds on real fixture text: the incrementally-maintained pair
+    counts must track the from-scratch reference count table exactly —
+    every round's winner AND its frequency (a single stale delta would
+    surface as a wrong pair_freq even when the argmax survives)."""
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").limit(40)
+    texts = [r["text"] for r in docs.select("text").collect()]
+    want, _ = _py_bpe(texts, 12)
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_freq"])
+        for r in bpe_merges(docs, n_merges=12).orderBy("rank").collect()
+    ]
+    assert got == want
+
+
 def test_bpe_on_fixture_corpus_smoke(spark):
     docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").limit(50)
     rows = bpe_merges(docs, n_merges=3).collect()
