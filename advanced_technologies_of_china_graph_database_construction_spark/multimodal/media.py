@@ -9,11 +9,14 @@ decode/feature/resize/frame-sample operators with per-row error
 channels, and partitioning that keeps payload bytes from shuffling
 twice.
 
-The decode step itself is STUBBED: the container has no image/audio
-libraries, so ``pil_decoder`` raises ``NotImplementedError`` unless PIL
-appears, and the default ``fake_decoder`` derives deterministic
-"pixels" from payload bytes (tests and oracles stay exact).  Swapping in
-a real decoder changes one callable, not the pipeline.
+Two REAL no-dependency decode paths run in-container end-to-end:
+``audio_energy`` (8-bit PCM → numpy energy stats) and ``image_stats``
+(PPM P6 header parse + raw RGB plane → numpy channel means), both
+gated bit-exact against SQL oracles (m04/m05).  ``pil_decoder`` raises
+``NotImplementedError`` unless Pillow appears (general formats need a
+codec library), and the deterministic ``fake_decoder`` now stands in
+only for the video frame face.  Swapping decoders changes one
+callable, not the pipeline.
 
 Scale notes: feature extraction is a narrow Arrow-batched map — no
 shuffle touches payload bytes; aggregations downstream group on the
@@ -205,6 +208,115 @@ def audio_energy(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(run, ENERGY_SCHEMA)
+
+
+def attach_ppm_images(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL image payloads: a binary PPM (P6) file per image
+    document — `P6\\n{w} {h}\\n255\\n` header followed by w·h·3 raw RGB
+    bytes taken from the document text (repeated/truncated to length).
+    Dims vary per row (w = doc_id%5+2, h = doc_id%7+2) so the decoder
+    must actually parse the header — it cannot assume a shape.  All
+    construction is JVM column expressions; text is ASCII so encode()
+    is byte-per-char and the payload is SQL-derivable."""
+    d = F.col("doc_id")
+    w = (d % 5 + 2).cast("int")
+    h = (d % 7 + 2).cast("int")
+    npix = (w * h * 3).cast("int")
+    pixels = F.substring(
+        F.repeat(F.col("text"), F.ceil(npix / F.length("text")).cast("int")), 1, npix
+    )
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n")
+    )
+    return docs.filter((d % 3 == 0) & (F.length("text") > 0)).select(
+        (d + 5_000_000).alias("media_id"),
+        d.alias("doc_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.concat(header, pixels), "UTF-8").alias("payload"),
+    )
+
+
+IMAGE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("mean_intensity", DoubleType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """REAL image decode with no external library: parse the PPM (P6)
+    header out of the payload bytes (magic, dims, maxval — dims come
+    from the file, not the metadata columns), reinterpret the raw RGB
+    plane as a (h, w, 3) numpy array, and reduce to per-channel means —
+    the image counterpart of ``audio_energy``'s PCM path, so the
+    mapInPandas decode seam runs a true binary format end-to-end in
+    this container (``fake_decoder`` now stands in only for video).
+
+    Determinism: channel sums are int64 (exact), each mean is ONE
+    float64 division — bit-identical to the SQL oracle's avg.
+    Undecodable payloads (bad magic, truncated plane, non-255 maxval)
+    ride the dead-letter channel."""
+    import re as _re
+
+    import numpy as np
+
+    hdr = _re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)[ \t\r\n]")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("w", "h", "r", "g", "b", "i", "err")}
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                m = hdr.match(raw)
+                w = h = None
+                r = g = b = i = None
+                err = None
+                if not m:
+                    err = "decode_error: not a P6 ppm"
+                else:
+                    w, h, maxv = (int(x) for x in m.groups())
+                    plane = raw[m.end() : m.end() + w * h * 3]
+                    if maxv != 255:
+                        err = f"decode_error: unsupported maxval {maxv}"
+                        w = h = None
+                    elif len(plane) < w * h * 3:
+                        err = "decode_error: truncated pixel plane"
+                        w = h = None
+                    else:
+                        arr = (
+                            np.frombuffer(plane, dtype=np.uint8)
+                            .astype(np.int64)
+                            .reshape(h, w, 3)
+                        )
+                        n = w * h
+                        sums = arr.sum(axis=(0, 1))  # int64 per channel
+                        r = float(sums[0]) / n
+                        g = float(sums[1]) / n
+                        b = float(sums[2]) / n
+                        i = float(sums.sum()) / (3 * n)
+                for k, v in zip(("w", "h", "r", "g", "b", "i", "err"), (w, h, r, g, b, i, err)):
+                    out[k].append(v)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": out["w"],
+                    "height": out["h"],
+                    "mean_r": out["r"],
+                    "mean_g": out["g"],
+                    "mean_b": out["b"],
+                    "mean_intensity": out["i"],
+                    "error": out["err"],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, IMAGE_SCHEMA)
 
 
 def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:

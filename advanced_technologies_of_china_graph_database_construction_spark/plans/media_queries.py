@@ -101,7 +101,51 @@ FROM samples GROUP BY doc_id
 """
 
 
+def m05_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (no stub, no external lib): per-row PPM (P6)
+    payloads — varying dims, so the header parse is load-bearing —
+    decoded to per-channel means with numpy inside the mapInPandas
+    seam.  Integer-exact channel sums make the float64 means
+    bit-identical to the SQL oracle's avg."""
+    imgs = mm.attach_ppm_images(load_table(spark, sf_dir, "documents"))
+    stats = mm.image_stats(imgs)
+    return stats.filter(F.col("error").isNull()).select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    )
+
+
+# Pixel byte i (0-based) of doc d is ascii(text[(i mod len)+1]) — the
+# repeat/truncate construction of attach_ppm_images; channel = i mod 3.
+M05_SQL = """
+WITH px AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, (doc_id % 5 + 2) * (doc_id % 7 + 2) * 3),
+           u -> struct_pack(
+             i := u,
+             b := ascii(substr(text, ((u % length(text)) + 1)::INT, 1))))) AS p
+  FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0)
+SELECT doc_id + 5000000 AS media_id,
+       (doc_id % 5 + 2)::INT AS width,
+       (doc_id % 7 + 2)::INT AS height,
+       round(avg(p.b) FILTER (WHERE p.i % 3 = 0), 6) AS mean_r,
+       round(avg(p.b) FILTER (WHERE p.i % 3 = 1), 6) AS mean_g,
+       round(avg(p.b) FILTER (WHERE p.i % 3 = 2), 6) AS mean_b,
+       round(avg(p.b), 6) AS mean_intensity
+FROM px GROUP BY doc_id
+"""
+
+
 SPECS = [
+    QuerySpec("m05_image_stats", m05_image_stats, M05_SQL, "multimodal",
+              "REAL PPM image decode: header parse + numpy channel means "
+              "through the Arrow seam, integer-exact vs the SQL oracle"),
     QuerySpec("m04_audio_energy", m04_audio_energy, M04_SQL, "multimodal",
               "REAL PCM decode: numpy energy stats through the Arrow seam, "
               "integer-exact vs the SQL oracle"),

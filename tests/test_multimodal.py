@@ -47,6 +47,52 @@ def test_pil_decoder_is_stubbed():
         mm.pil_decoder(b"\x89PNG")
 
 
+def test_ppm_decode_roundtrip_known_pixels(spark):
+    """image_stats must REALLY parse the P6 header (dims from the file)
+    and decode the RGB plane: a hand-built 2x2 image with known channel
+    values comes back with exact means."""
+    # pixels: (10,20,30) (40,50,60) / (70,80,90) (100,110,120)
+    plane = bytes(range(10, 130, 10))
+    payload = b"P6\n2 2\n255\n" + plane
+    df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    r = mm.image_stats(df).collect()[0]
+    assert r["error"] is None
+    assert (r["width"], r["height"]) == (2, 2)
+    assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (55.0, 65.0, 75.0)
+    assert r["mean_intensity"] == 65.0
+
+
+def test_ppm_decode_error_channel(spark):
+    """Bad magic, truncated plane, and non-255 maxval ride the
+    dead-letter channel instead of crashing the batch."""
+    rows = [
+        (1, b"JFIF not a ppm"),
+        (2, b"P6\n4 4\n255\nshort"),
+        (3, b"P6\n1 1\n65535\n" + b"\x00" * 6),
+        (4, b"P6\n1 1\n255\nabc"),  # exactly enough bytes: decodes
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in mm.image_stats(df).collect()}
+    assert "not a P6" in got[1]["error"]
+    assert "truncated" in got[2]["error"]
+    assert "maxval" in got[3]["error"]
+    assert got[4]["error"] is None and got[4]["mean_r"] == float(ord("a"))
+
+
+def test_attach_ppm_images_payload_shape(spark):
+    """Synthesized payloads are well-formed PPMs whose plane length
+    matches the header dims, for every row."""
+    imgs = mm.attach_ppm_images(load_table(spark, SF, "documents"))
+    stats = mm.image_stats(imgs)
+    assert stats.filter(F.col("error").isNotNull()).count() == 0
+    # decoded dims must equal the doc_id-derived construction dims
+    bad = stats.join(imgs, "media_id").filter(
+        (F.col("width") != (F.col("doc_id") % 5 + 2))
+        | (F.col("height") != (F.col("doc_id") % 7 + 2))
+    )
+    assert bad.count() == 0
+
+
 def test_resize_plan_aspect_ratio(media_df):
     plan = mm.resize_plan(media_df, max_side=256).collect()
     for r in plan:
