@@ -456,6 +456,7 @@ def symdelete_typo_pairs(
     name_col: str = "name",
     max_distance: int = 1,
     broadcast_threshold_rows: int = 5_000_000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """(src, dst, distance): id pairs (src < dst) whose names are within
     Levenshtein distance 1 — the string-side alias detector the
@@ -483,7 +484,10 @@ def symdelete_typo_pairs(
     gate: an entity name dim is usually small, but a forced broadcast
     of a larger-than-budget one would OOM executors, so past the cap
     Catalyst falls back to shuffled joins); levenshtein runs map-side
-    either way.
+    either way.  ``n_rows`` (parquet footer metadata / catalog stats —
+    the er02 pattern) sizes that hint without an extra full-table
+    count action; only when absent does the operator fall back to one
+    ``df.count()``.
     """
     if max_distance != 1:
         raise ValueError("symdelete_typo_pairs implements max_distance=1 only")
@@ -512,7 +516,7 @@ def symdelete_typo_pairs(
     )
     na = names.select(F.col("id").alias("src"), F.col("name").alias("name_a"))
     nb = names.select(F.col("id").alias("dst"), F.col("name").alias("name_b"))
-    if df.count() <= broadcast_threshold_rows:
+    if (n_rows if n_rows is not None else df.count()) <= broadcast_threshold_rows:
         na, nb = F.broadcast(na), F.broadcast(nb)
     dist = F.levenshtein("name_a", "name_b")
     return (

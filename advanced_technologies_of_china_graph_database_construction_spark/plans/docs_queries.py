@@ -586,6 +586,64 @@ SELECT query_id, neighbor_id, sim, rank FROM (
 """
 
 
+# ----------------------------------------------- a07 batch IVF search ----
+
+def a07_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-oriented ANN from the partitioned IVF store: a DataFrame of
+    queries routed to buckets by a broadcast join (dynamic partition
+    pruning on the store — NO driver collect/isin), the offline
+    corpus-retrieval face `ivf_topk_from_store`'s point-lookup API
+    cannot serve.  The store is written to a temp dir; the final
+    result (bounded |Q|·k rows) is materialized so the dir can be
+    removed before returning — the plan-shape pins live in
+    tests/test_ivf_store.py over a persistent fixture store."""
+    import shutil
+    import tempfile
+
+    from ..sources.ivf_store import ivf_topk_batch, write_ivf_store
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="a07_ivf_")
+    try:
+        write_ivf_store(emb, root, n_centroids=8)
+        queries = emb.filter(F.col("vec_id") % 40 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        res = ivf_topk_batch(spark, root, queries, k=5, nprobe=2)
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# Same IVF semantics as A02 (first-8 seed centroids, nprobe=2, k=5) with
+# the query set defined by a predicate instead of a point-lookup list.
+A07_SQL = f"""
+WITH cent AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_AB.format(a='e', b='c')} DESC, c.centroid_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 40 = 0),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS_AB.format(a='q', b='c')} DESC, c.centroid_id) AS rn
+    FROM q CROSS JOIN cent c) WHERE rn <= 2),
+cands AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_COS_AB.format(a='q', b='e')} AS sim
+  FROM probes p JOIN assign a ON p.centroid_id = a.centroid_id
+  JOIN embeddings e ON a.vec_id = e.vec_id
+  JOIN q ON p.query_id = q.query_id
+  WHERE e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM cands) WHERE rank <= 5
+"""
+
+
 # --------------------------------------------- d16 curation pipeline ------
 
 CURATION_QUALITY_MIN = 0.7  # sits in a 0.698→0.7026 gap of the score dist
@@ -1615,6 +1673,9 @@ SPECS = [
               "chained leftmost-replace recursive-CTE oracle"),
     QuerySpec("a06_quantized_ann", a06_quantized_ann, A06_SQL, "similarity",
               "scalar-quantized ANN (int8 range, bit-exact integer dot ranking)"),
+    QuerySpec("a07_ann_ivf_batch", a07_ann_ivf_batch, A07_SQL, "similarity",
+              "set-oriented batch ANN from the partitioned IVF store (broadcast "
+              "probe routing + dynamic partition pruning, no driver isin)"),
     QuerySpec("d01_exact_dup_groups", d01_exact_dup_groups, D01_SQL, "dedup",
               "exact dedup via md5 hash-groupBy"),
     QuerySpec("d02_minhash_near_dups", d02_minhash_near_dups, D02_SQL, "dedup",

@@ -218,7 +218,13 @@ def er08_typo_alias_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substr(F.col("name"), F.lit(1), F.lit(3)), F.substr(F.col("name"), F.lit(5))
         ).alias("name"),
     )
-    return symdelete_typo_pairs(sup.unionByName(typo))
+    # broadcast-hint sizing from parquet footer metadata (er02 pattern):
+    # suppliers are keyed 1..n, so the %10 typo branch adds n//10 rows.
+    from ..catalog import parquet_row_count
+
+    base = parquet_row_count(sf_dir, "supplier")
+    n_rows = base + base // 10 if base is not None else None
+    return symdelete_typo_pairs(sup.unionByName(typo), n_rows=n_rows)
 
 
 ER08_SQL = """

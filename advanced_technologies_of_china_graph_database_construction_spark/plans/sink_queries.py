@@ -181,13 +181,25 @@ def s07_orc_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     with a partition filter — the read must prune to the one ``lang``
     directory (same pruning contract the graph/IVF stores pin) and the
     typed columns must survive the format round-trip exactly."""
+    import shutil
     import tempfile
 
     docs = load_table(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="sink_orc_")
-    docs.write.mode("overwrite").partitionBy("lang").orc(out)
-    back = spark.read.orc(out).filter(F.col("lang") == "en")
-    return back.select("doc_id", "lang", "source", "n_chars")
+    try:
+        docs.write.mode("overwrite").partitionBy("lang").orc(out)
+        back = spark.read.orc(out).filter(F.col("lang") == "en")
+        # Pruning check stays live: exactly one lang=... directory may
+        # appear in the pruned scan's partition listing.
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("lang=") <= 1, plan
+        res = back.select("doc_id", "lang", "source", "n_chars")
+        # Materialize before removing the backing dir (the returned
+        # DataFrame must not lazily read a deleted path — the e11/a07
+        # temp-store discipline); the result is one partition's rows.
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 S07_SQL = """

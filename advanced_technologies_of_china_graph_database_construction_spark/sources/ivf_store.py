@@ -92,3 +92,63 @@ def ivf_topk_from_store(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk_batch(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, sim, rank): the SET-ORIENTED face of the
+    IVF store — ``queries`` is a DataFrame (query_id, qv), so a 10⁶-row
+    offline batch (corpus-vs-corpus retrieval) runs as one distributed
+    plan with NO driver round-trip, unlike ``ivf_topk_from_store``'s
+    point-lookup ``collect``+``isin`` routing.
+
+    Plan shape:
+    - probe routing = broadcast join against the centroid table
+      (centroids are tiny by construction) + per-query top-``nprobe``
+      window — all distributed;
+    - bucket pruning = a broadcast LEFT SEMI join of the vectors scan
+      against the DISTINCT probed bucket ids — a set bounded by the
+      CENTROID count (≤C rows however many queries there are), which
+      dynamic partition pruning turns into a partition filter on the
+      ``partitionBy("centroid_id")`` store (verify: `dynamicpruning`
+      inside the scan's PartitionFilters);
+    - candidate access = join on ``centroid_id`` — Catalyst/AQE picks
+      broadcast vs shuffle by the probe side's size, and at 100 TB the
+      shuffle join on the store's own partitioning key is the right
+      co-located shape.
+    """
+    cent = spark.read.parquet(f"{root}/centroids")
+    vectors = spark.read.parquet(f"{root}/vectors")
+    q = queries.select(F.col("query_id"), F.col("qv"))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine_rounded(F.col("qv"), F.col("cv"))), F.asc("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    buckets = probes.select("centroid_id").distinct()
+    pruned = vectors.join(F.broadcast(buckets), "centroid_id", "left_semi")
+    cands = (
+        probes.join(
+            pruned.select(F.col(id_col), F.col(vec_col).alias("nv"), "centroid_id"),
+            "centroid_id",
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine_rounded(F.col("qv"), F.col("nv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

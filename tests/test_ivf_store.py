@@ -9,6 +9,7 @@ import pytest
 from advanced_technologies_of_china_graph_database_construction_spark.catalog import load_table
 from advanced_technologies_of_china_graph_database_construction_spark.operators.similarity import ivf_topk
 from advanced_technologies_of_china_graph_database_construction_spark.sources.ivf_store import (
+    ivf_topk_batch,
     ivf_topk_from_store,
     write_ivf_store,
 )
@@ -47,3 +48,34 @@ def test_bucket_probe_is_partition_pruned(spark, store):
         if "PartitionFilters" in l and "centroid_id" in l and "vectors" in l
     ]
     assert any("IN (" in l or "In(" in l or "isin" in l.lower() for l in pruned), plan
+
+
+def _queries(spark, ids):
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    return emb.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+
+def test_batch_search_matches_inmemory_ivf(spark, store):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    want = _rows(ivf_topk(emb, QUERY_IDS, k=5, n_centroids=8, nprobe=2))
+    got = _rows(ivf_topk_batch(spark, store, _queries(spark, QUERY_IDS), k=5, nprobe=2))
+    assert got == want
+
+
+def test_batch_plan_no_collect_and_dynamic_pruning(spark, store):
+    """The batch face's contract: zero driver round-trips (no
+    CollectLimit anywhere) and bucket selection reaching the
+    partitioned vectors scan as a DYNAMIC partition-pruning filter —
+    the distributed replacement for the point API's collect+isin."""
+    df = ivf_topk_batch(spark, store, _queries(spark, QUERY_IDS), k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CollectLimit" not in plan
+    pruned = [
+        l for l in plan.splitlines()
+        if "PartitionFilters" in l and "dynamicpruning" in l and "centroid_id" in l
+    ]
+    assert pruned, plan
