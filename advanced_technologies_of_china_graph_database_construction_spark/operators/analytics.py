@@ -306,7 +306,9 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     )
 
 
-def k_core(edges: DataFrame, k: int, n_rounds: int = 3) -> DataFrame:
+def k_core(
+    edges: DataFrame, k: int, n_rounds: int = 3, until_converged: bool = False
+) -> DataFrame:
     """(node, degree): the subgraph surviving ``n_rounds`` of synchronous
     k-core peeling over symmetric ``edges(src, dst)``, with each node's
     degree inside it — the standard cohesion/filtering primitive
@@ -332,21 +334,46 @@ def k_core(edges: DataFrame, k: int, n_rounds: int = 3) -> DataFrame:
     unmaterialized form recomputes the full co-occurrence join
     O(rounds²) times.  Checkpoint blocks are released by the
     ContextCleaner when the result goes out of scope.
+
+    ``until_converged=True`` peels to the EXACT k-core regardless of
+    graph depth (``n_rounds`` is then ignored): peeling only ever
+    REMOVES edges, so the edge count is a strictly decreasing potential
+    until the fixpoint — one count() per round is an exact convergence
+    test, stronger than the probabilistic count+xxhash fingerprint
+    connected_components needs (there the edge set is REWRITTEN, not
+    shrunk, so counts alone can't witness change).  Termination is
+    guaranteed in ≤ |V| rounds.  The fixed-round mode stays the default
+    because it is what the unrolled SQL oracle (g28) can express.
     """
-    if n_rounds > 0:
+    if n_rounds > 0 or until_converged:
         edges = edges.localCheckpoint(eager=True)
-    for _ in range(n_rounds):
-        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+    def peel(e: DataFrame) -> DataFrame:
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("src")
-        edges = edges.join(keep, "src", "left_semi").join(
+        return e.join(keep, "src", "left_semi").join(
             keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
         ).localCheckpoint(eager=True)
+
+    if until_converged:
+        prev = edges.count()
+        while prev:
+            edges = peel(edges)
+            cur = edges.count()
+            if cur == prev:
+                break
+            prev = cur
+    else:
+        for _ in range(n_rounds):
+            edges = peel(edges)
     return edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
 
 
-def bfs_distances(edges: DataFrame, source, max_hops: int = 4) -> DataFrame:
+def bfs_distances(
+    edges: DataFrame, source, max_hops: int = 4, until_converged: bool = False
+) -> DataFrame:
     """(node, dist): length of the shortest directed path from
     ``source`` to every node reachable within ``max_hops`` — the
     Pregel BFS / k-hop-neighborhood primitive behind reach queries
@@ -358,6 +385,15 @@ def bfs_distances(edges: DataFrame, source, max_hops: int = 4) -> DataFrame:
     round: one join + one groupBy min (two shuffles), same superstep
     budget as ``pagerank``; the fixed hop bound keeps the operator
     deterministic and SQL-oracle-able as unrolled iterations.
+
+    ``until_converged=True`` relaxes to EXACT whole-graph distances
+    (``max_hops`` is then ignored): distances only ever DECREASE and
+    the reached set only GROWS, so the pair (reached count, total
+    distance) is an exact monotone convergence witness — equal across
+    a round ⇔ nothing changed (no probabilistic hash needed; compare
+    connected_components' fingerprint, whose edge set is rewritten
+    rather than monotonically improved).  Terminates in ≤ diameter+1
+    rounds.
     """
     edges = edges.localCheckpoint(eager=True)  # superstep pattern, see pagerank
     dist = (
@@ -369,17 +405,37 @@ def bfs_distances(edges: DataFrame, source, max_hops: int = 4) -> DataFrame:
             F.when(F.col("node") == F.lit(source), F.lit(0)).alias("dist"),
         )
     )
-    for _ in range(max_hops):
+
+    def relax(d: DataFrame) -> DataFrame:
         relaxed = (
-            edges.join(dist, edges.src == dist.node)
+            edges.join(d, edges.src == d.node)
             .filter(F.col("dist").isNotNull())
             .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("cand"))
             .groupBy("node")
             .agg(F.min("cand").alias("cand"))
         )
-        dist = (
-            dist.join(relaxed, "node", "left")
+        return (
+            d.join(relaxed, "node", "left")
             .select("node", F.least(F.col("dist"), F.col("cand")).alias("dist"))
             .localCheckpoint(eager=True)
         )
+
+    def witness(d: DataFrame) -> tuple:
+        row = d.agg(
+            F.count("dist").alias("reached"), F.sum("dist").alias("total")
+        ).first()
+        return (row["reached"], row["total"])
+
+    if until_converged:
+        dist = dist.localCheckpoint(eager=True)
+        prev = witness(dist)
+        while True:
+            dist = relax(dist)
+            cur = witness(dist)
+            if cur == prev:
+                break
+            prev = cur
+    else:
+        for _ in range(max_hops):
+            dist = relax(dist)
     return dist.filter(F.col("dist").isNotNull())

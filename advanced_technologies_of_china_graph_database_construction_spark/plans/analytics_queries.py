@@ -475,6 +475,7 @@ SPECS = [
         category="analytics",
         description="Fixed-round synchronous k-core peeling (degree agg + two "
         "semi-joins per round); oracle is the unrolled rounds in SQL.",
+        bench=True,  # slowest replica spec (r4): superstep materialization under time
     ),
     QuerySpec(
         name="g29_adamic_adar_links",
@@ -500,6 +501,7 @@ SPECS = [
         description="Personalized PageRank seeded on a keyword node — teleport "
         "and dangling mass restart onto the seed, total mass 1; oracle is the "
         "unrolled seeded power method in SQL.",
+        bench=True,  # heaviest iterative node-vector spec: benches the superstep loop
     ),
     QuerySpec(
         name="g21_copub_pagerank",

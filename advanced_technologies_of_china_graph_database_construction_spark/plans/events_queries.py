@@ -598,7 +598,8 @@ SPECS = [
               "Markov next-event transition counts + conditional probabilities"),
     QuerySpec("e15_streaming_user_sessions", e15_streaming_user_sessions, E03_SQL,
               "events", "REAL readStream append-mode session windows (watermark-"
-              "finalized, sentinel-flushed), batch-oracle-gated"),
+              "finalized, sentinel-flushed), batch-oracle-gated",
+              bench=True),  # end-to-end streaming run: micro-batch + state-store cost
     QuerySpec("e16_streaming_running_totals", e16_streaming_running_totals, E06_SQL,
               "events", "REAL applyInPandasWithState run: GroupState running "
               "totals across micro-batches, final state batch-oracle-gated"),

@@ -316,6 +316,42 @@ def test_kcore_converges_on_fixture(spark):
     assert a == b
 
 
+def test_kcore_until_converged_deep_peel(spark):
+    """A path graph peels one endpoint pair per round — far deeper than
+    any fixed default — and its exact 2-core is empty; the converged
+    mode must reach it, and must equal a generously-unrolled
+    fixed-round run on a seeded random graph (the count potential is an
+    exact witness because peeling only removes edges)."""
+    import random
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import k_core, symmetric_edges
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(12)], "src long, dst long")
+    assert k_core(symmetric_edges(path), 2, until_converged=True).count() == 0
+
+    rnd = random.Random(7)
+    pairs = sorted({tuple(sorted((rnd.randrange(30), rnd.randrange(30)))) for _ in range(80)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    sym = symmetric_edges(spark.createDataFrame(pairs, "src long, dst long"))
+    conv = sorted(map(tuple, k_core(sym, 4, until_converged=True).collect()))
+    deep = sorted(map(tuple, k_core(sym, 4, n_rounds=40).collect()))
+    assert conv == deep
+
+
+def test_bfs_until_converged_matches_deep_unroll(spark):
+    """Diameter 14 ≫ the default hop bound: converged distances must be
+    the exact whole-path distances and equal a deep fixed unroll; a
+    disconnected pair stays unreached (absent), not infinite-looped."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import bfs_distances, symmetric_edges
+
+    edge_list = [(i, i + 1) for i in range(14)] + [(100, 101)]
+    sym = symmetric_edges(spark.createDataFrame(edge_list, "src long, dst long"))
+    conv = {r["node"]: r["dist"] for r in bfs_distances(sym, 0, until_converged=True).collect()}
+    assert conv == {i: i for i in range(15)}
+    deep = {r["node"]: r["dist"] for r in bfs_distances(sym, 0, max_hops=30).collect()}
+    assert conv == deep
+
+
 def test_adamic_adar_excludes_linked_pairs(spark):
     from advanced_technologies_of_china_graph_database_construction_spark.plans.analytics_queries import (
         _copub_pairs,
