@@ -467,3 +467,48 @@ def test_dup_spans_property_matches_python(spark, token_lists, n):
         for r in duplicated_span_stats(df, n=n, min_count=2).collect()
     }
     assert got == _span_reference(texts, n, 2), (texts, n)
+
+
+# --------------------------- symdelete typo ER: hostile-unicode sweep -----
+
+# The reference's real data regime is CJK surface forms
+# (`keyword_merger.py:8` loads a Chinese sentence-embedding model), so
+# the deletion-neighborhood blocking must hold beyond ASCII: combining
+# marks edit like any codepoint (no normalization is performed — é
+# precomposed and e+combining-acute are DIFFERENT strings at distance
+# 2), and astral-plane codepoints (surrogate PAIRS in UTF-16) must
+# count as ONE deletable unit on both the blocking and verify sides.
+_TYPO_ALPHABET = [
+    "a", "b",
+    "́",        # combining acute (zero-width mark)
+    "é",        # precomposed é
+    "中", "学",
+    "\U0001d54f",    # 𝕏 mathematical double-struck (astral)
+    "\U0001f004",    # 🀄 mahjong tile (astral)
+]
+
+
+@given(
+    st.lists(
+        st.text(alphabet=_TYPO_ALPHABET, min_size=0, max_size=6),
+        min_size=2,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_symdelete_unicode_matches_bruteforce(spark, names):
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.er import symdelete_typo_pairs
+
+    from .test_er import _lev
+
+    df = spark.createDataFrame(list(enumerate(names)), "id long, name string")
+    got = sorted(
+        (r.src, r.dst, r.distance) for r in symdelete_typo_pairs(df).collect()
+    )
+    want = sorted(
+        (i, j, _lev(names[i], names[j]))
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if _lev(names[i], names[j]) <= 1
+    )
+    assert got == want, names
