@@ -206,7 +206,10 @@ def g25_related_keywords_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     one tiny min() job (a literal, like pagerank's node count)."""
     from ..operators.analytics import personalized_pagerank
 
-    edges = _citation_edges(spark, sf_dir)
+    # Materialize the distinct edge set ONCE: the seed agg and the PPR
+    # entry checkpoint would otherwise each run the full lineitem
+    # distinct (measured: two ~600k-row distincts at sf0.1 → one).
+    edges = _citation_edges(spark, sf_dir).localCheckpoint(eager=True)
     seed = edges.agg(F.min("dst")).first()[0]
     ranks = personalized_pagerank(edges, [seed], N_ITER, DAMPING)
     return ranks.select(F.col("node").alias("node_id"), "ppr")
