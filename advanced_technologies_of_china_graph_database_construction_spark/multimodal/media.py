@@ -9,14 +9,16 @@ decode/feature/resize/frame-sample operators with per-row error
 channels, and partitioning that keeps payload bytes from shuffling
 twice.
 
-Two REAL no-dependency decode paths run in-container end-to-end:
-``audio_energy`` (8-bit PCM → numpy energy stats) and ``image_stats``
-(PPM P6 header parse + raw RGB plane → numpy channel means), both
-gated bit-exact against SQL oracles (m04/m05).  ``pil_decoder`` raises
-``NotImplementedError`` unless Pillow appears (general formats need a
-codec library), and the deterministic ``fake_decoder`` now stands in
-only for the video frame face.  Swapping decoders changes one
-callable, not the pipeline.
+All THREE modalities run REAL no-dependency decode paths in-container,
+each gated bit-exact against a SQL oracle: ``audio_energy`` (8-bit PCM
+→ numpy energy stats, m04), ``image_stats`` (PPM P6 header parse + raw
+RGB plane → channel means, m05), and ``video_stats`` (YUV4MPEG2 header
+parse + FRAME-marker walk → per-frame luma stats, m06).
+``pil_decoder`` raises ``NotImplementedError`` unless Pillow appears
+(general compressed formats need a codec library), and the
+deterministic ``fake_decoder`` survives as the pluggable-stub example
+for the generic ``extract_features`` seam.  Swapping decoders changes
+one callable, not the pipeline.
 
 Scale notes: feature extraction is a narrow Arrow-batched map — no
 shuffle touches payload bytes; aggregations downstream group on the
@@ -317,6 +319,142 @@ def image_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(run, IMAGE_SCHEMA)
+
+
+def attach_y4m_videos(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL video payloads: a YUV4MPEG2 (.y4m) stream per
+    video document — the standard uncompressed interchange format
+    (`YUV4MPEG2 W.. H.. F25:1 Ip A1:1 Cmono\\n` header, then per frame
+    a `FRAME\\n` marker + w·h raw luma bytes).  Dims AND frame count
+    vary per row (w = doc_id%4+2, h = doc_id%5+2, frames = doc_id%7+2)
+    so the decoder must parse the header and walk the frame markers.
+    Luma bytes continue through the document text across frames (frame
+    f, pixel i = text[(f·w·h + i) mod len]) — SQL-derivable like the
+    PPM/PCM payloads."""
+    d = F.col("doc_id")
+    w = (d % 4 + 2).cast("int")
+    h = (d % 5 + 2).cast("int")
+    nf = (d % 7 + 2).cast("int")
+    frame_px = (w * h).cast("int")
+    header = F.concat(
+        F.lit("YUV4MPEG2 W"), w.cast("string"),
+        F.lit(" H"), h.cast("string"),
+        F.lit(" F25:1 Ip A1:1 Cmono\n"),
+    )
+    # frame f's plane = chars [f·wh, (f+1)·wh) of the text repeated —
+    # one repeat() sized for all frames, sliced per frame
+    total = (frame_px * nf).cast("int")
+    reps = F.ceil(total / F.length("text")).cast("int")
+    all_px = F.substring(F.repeat(F.col("text"), reps), 1, total)
+    frames = F.aggregate(
+        F.sequence(F.lit(0), nf - 1),
+        F.lit(""),
+        lambda acc, f: F.concat(
+            acc, F.lit("FRAME\n"), F.substring(all_px, f * frame_px + 1, frame_px)
+        ),
+    )
+    return docs.filter((d % 3 == 2) & (F.length("text") > 0)).select(
+        (d + 5_000_000).alias("media_id"),
+        d.alias("doc_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.concat(header, frames), "UTF-8").alias("payload"),
+    )
+
+
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("mean_luma", DoubleType()),
+        StructField("first_frame_mean", DoubleType()),
+        StructField("last_frame_mean", DoubleType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def video_stats(media: DataFrame) -> DataFrame:
+    """REAL video decode with no external library: parse the YUV4MPEG2
+    stream header (dims come from the file), walk the FRAME markers,
+    reinterpret each mono luma plane as numpy, and reduce to stream +
+    per-frame stats — with ``image_stats`` and ``audio_energy`` this
+    makes all three modalities' decode seams REAL in-container
+    (``fake_decoder`` survives only as the pluggable-stub example).
+
+    Determinism: int64 luma sums, one float64 division per stat —
+    bit-identical to the SQL oracle's avg.  Undecodable payloads (bad
+    magic, unsupported colourspace, truncated/absent frames) ride the
+    dead-letter channel."""
+    import re as _re
+
+    import numpy as np
+
+    hdr = _re.compile(rb"^YUV4MPEG2 W(\d+) H(\d+) [^\n]*\n")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in ("w", "h", "nf", "mean", "first", "last", "err")}
+
+            def emit(w=None, h=None, nf=None, mean=None, first=None, last=None, err=None):
+                for k, v in zip(("w", "h", "nf", "mean", "first", "last", "err"),
+                                (w, h, nf, mean, first, last, err)):
+                    cols[k].append(v)
+
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                m = hdr.match(raw)
+                if not m:
+                    emit(err="decode_error: not a YUV4MPEG2 stream")
+                    continue
+                if b"Cmono" not in raw[: m.end()]:
+                    emit(err="decode_error: unsupported colourspace")
+                    continue
+                w, h = int(m.group(1)), int(m.group(2))
+                plane = w * h
+                pos, planes = m.end(), []
+                bad = None
+                while pos < len(raw):
+                    if raw[pos : pos + 6] != b"FRAME\n":
+                        bad = "decode_error: bad frame marker"
+                        break
+                    pos += 6
+                    if pos + plane > len(raw):
+                        bad = "decode_error: truncated frame"
+                        break
+                    planes.append(
+                        np.frombuffer(raw[pos : pos + plane], dtype=np.uint8).astype(
+                            np.int64
+                        )
+                    )
+                    pos += plane
+                if bad or not planes:
+                    emit(err=bad or "decode_error: no frames")
+                    continue
+                sums = [int(p.sum()) for p in planes]
+                emit(
+                    w=w,
+                    h=h,
+                    nf=len(planes),
+                    mean=float(sum(sums)) / (plane * len(planes)),
+                    first=float(sums[0]) / plane,
+                    last=float(sums[-1]) / plane,
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": cols["w"],
+                    "height": cols["h"],
+                    "n_frames": cols["nf"],
+                    "mean_luma": cols["mean"],
+                    "first_frame_mean": cols["first"],
+                    "last_frame_mean": cols["last"],
+                    "error": cols["err"],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, VIDEO_SCHEMA)
 
 
 def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:

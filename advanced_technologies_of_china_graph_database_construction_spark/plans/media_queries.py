@@ -142,7 +142,53 @@ FROM px GROUP BY doc_id
 """
 
 
+def m06_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode (no stub, no external lib): per-row YUV4MPEG2
+    streams — varying dims AND frame counts, so the header parse and
+    the FRAME-marker walk are both load-bearing — decoded to stream and
+    per-frame luma stats with numpy inside the mapInPandas seam.
+    Integer-exact sums make the float64 means bit-identical to the SQL
+    oracle's avg.  With m04 (PCM audio) and m05 (PPM image) this gates
+    every modality's decode path on real binary formats."""
+    vids = mm.attach_y4m_videos(load_table(spark, sf_dir, "documents"))
+    stats = mm.video_stats(vids)
+    return stats.filter(F.col("error").isNull()).select(
+        "media_id",
+        "width",
+        "height",
+        "n_frames",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        F.round("first_frame_mean", 6).alias("first_frame_mean"),
+        F.round("last_frame_mean", 6).alias("last_frame_mean"),
+    )
+
+
+# Luma byte u (0-based, counted across frames) of doc d is
+# ascii(text[(u mod len)+1]); frame index = u // (w·h).
+M06_SQL = """
+WITH px AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, (doc_id % 4 + 2) * (doc_id % 5 + 2) * (doc_id % 7 + 2)),
+           u -> struct_pack(
+             f := u // ((doc_id % 4 + 2) * (doc_id % 5 + 2)),
+             b := ascii(substr(text, ((u % length(text)) + 1)::INT, 1))))) AS p
+  FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0)
+SELECT doc_id + 5000000 AS media_id,
+       (doc_id % 4 + 2)::INT AS width,
+       (doc_id % 5 + 2)::INT AS height,
+       (doc_id % 7 + 2)::INT AS n_frames,
+       round(avg(p.b), 6) AS mean_luma,
+       round(avg(p.b) FILTER (WHERE p.f = 0), 6) AS first_frame_mean,
+       round(avg(p.b) FILTER (WHERE p.f = doc_id % 7 + 1), 6) AS last_frame_mean
+FROM px GROUP BY doc_id
+"""
+
+
 SPECS = [
+    QuerySpec("m06_video_stats", m06_video_stats, M06_SQL, "multimodal",
+              "REAL Y4M video decode: header parse + frame walk + numpy luma "
+              "stats through the Arrow seam, integer-exact vs the SQL oracle"),
     QuerySpec("m05_image_stats", m05_image_stats, M05_SQL, "multimodal",
               "REAL PPM image decode: header parse + numpy channel means "
               "through the Arrow seam, integer-exact vs the SQL oracle"),

@@ -93,6 +93,54 @@ def test_attach_ppm_images_payload_shape(spark):
     assert bad.count() == 0
 
 
+def test_y4m_decode_roundtrip_known_frames(spark):
+    """video_stats must parse the stream header and walk the FRAME
+    markers: a hand-built 2x1 mono stream with two known frames comes
+    back with exact per-frame and stream means."""
+    payload = (
+        b"YUV4MPEG2 W2 H1 F25:1 Ip A1:1 Cmono\n"
+        b"FRAME\n\x0a\x14"   # frame 0: 10, 20 -> mean 15
+        b"FRAME\n\x1e\x28"   # frame 1: 30, 40 -> mean 35
+    )
+    df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    r = mm.video_stats(df).collect()[0]
+    assert r["error"] is None
+    assert (r["width"], r["height"], r["n_frames"]) == (2, 1, 2)
+    assert (r["first_frame_mean"], r["last_frame_mean"]) == (15.0, 35.0)
+    assert r["mean_luma"] == 25.0
+
+
+def test_y4m_decode_error_channel(spark):
+    rows = [
+        (1, b"RIFF not y4m"),
+        (2, b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C444\n" + b"FRAME\n" + b"\x00" * 12),
+        (3, b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 Cmono\nFRAME\n\x00\x00"),  # truncated
+        (4, b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 Cmono\nXRAME\n\x00\x00\x00\x00"),
+        (5, b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 Cmono\n"),  # no frames
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r["error"] for r in mm.video_stats(df).collect()}
+    assert "not a YUV4MPEG2" in got[1]
+    assert "colourspace" in got[2]
+    assert "truncated" in got[3]
+    assert "marker" in got[4]
+    assert "no frames" in got[5]
+
+
+def test_attach_y4m_videos_payload_shape(spark):
+    """Synthesized streams are well-formed for every row, and decoded
+    dims/frame counts equal the doc_id-derived construction."""
+    vids = mm.attach_y4m_videos(load_table(spark, SF, "documents"))
+    stats = mm.video_stats(vids)
+    assert stats.filter(F.col("error").isNotNull()).count() == 0
+    bad = stats.join(vids, "media_id").filter(
+        (F.col("width") != (F.col("doc_id") % 4 + 2))
+        | (F.col("height") != (F.col("doc_id") % 5 + 2))
+        | (F.col("n_frames") != (F.col("doc_id") % 7 + 2))
+    )
+    assert bad.count() == 0
+
+
 def test_resize_plan_aspect_ratio(media_df):
     plan = mm.resize_plan(media_df, max_side=256).collect()
     for r in plan:
