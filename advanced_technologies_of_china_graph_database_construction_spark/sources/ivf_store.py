@@ -27,14 +27,22 @@ def write_ivf_store(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> None:
     """Assign every vector to its nearest centroid and cluster the
-    dataset by that assignment on disk."""
-    cent = emb.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
-    )
+    dataset by that assignment on disk.  ``centroids`` (centroid_id,
+    cv) plugs in a trained quantizer — ``operators/kmeans.
+    kmeans_centroids`` produces exactly this shape (the a04
+    composition, persisted); the default is the training-free
+    first-``n_centroids`` seed."""
+    cent = centroids if centroids is not None else emb.filter(
+        F.col(id_col) < n_centroids
+    ).select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv"))
     cent.write.mode("overwrite").parquet(f"{root}/centroids")
-    assign = ivf_assign(emb, n_centroids, id_col, vec_col)
+    # assign from the PERSISTED centroids: a trained quantizer (Lloyd
+    # iterations) must run once, not once more per downstream reference
+    cent_stored = emb.sparkSession.read.parquet(f"{root}/centroids")
+    assign = ivf_assign(emb, n_centroids, id_col, vec_col, centroids=cent_stored)
     (
         emb.join(assign, id_col)
         .write.mode("overwrite")

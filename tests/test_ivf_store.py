@@ -66,6 +66,21 @@ def test_batch_search_matches_inmemory_ivf(spark, store):
     assert got == want
 
 
+def test_trained_quantizer_store_matches_inmemory(spark, tmp_path):
+    """write_ivf_store(centroids=...) persists a TRAINED quantizer (the
+    a04 composition) and store search reproduces the in-memory
+    trained-IVF result exactly."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.kmeans import kmeans_centroids
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    cent = kmeans_centroids(emb, k=4, iters=2)
+    root = str(tmp_path / "trained_store")
+    write_ivf_store(emb, root, centroids=cent)
+    want = _rows(ivf_topk(emb, QUERY_IDS, k=5, nprobe=2, centroids=cent))
+    got = _rows(ivf_topk_batch(spark, root, _queries(spark, QUERY_IDS), k=5, nprobe=2))
+    assert got == want
+
+
 def test_batch_plan_no_collect_and_dynamic_pruning(spark, store):
     """The batch face's contract: zero driver round-trips (no
     CollectLimit anywhere) and bucket selection reaching the
