@@ -512,3 +512,61 @@ def test_symdelete_unicode_matches_bruteforce(spark, names):
         if _lev(names[i], names[j]) <= 1
     )
     assert got == want, names
+
+
+# ------------------------- BPE incremental trainer: adversarial sweep -----
+
+def _py_bpe_ref(texts, n_merges):
+    from collections import Counter
+
+    words = Counter(t for text in texts for t in text.lower().split() if t)
+    syms = {w: list(w) for w in words}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for w, freq in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += freq
+        if not pairs:
+            break
+        (l, r), freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, freq))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+@given(
+    st.lists(
+        st.text(alphabet=["a", "b"], min_size=1, max_size=7),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(1, 6),
+)
+@SETTINGS
+def test_bpe_incremental_matches_reference_on_adversarial_corpora(
+    spark, words, n_merges
+):
+    """Two-letter random corpora maximize pair-frequency TIES and
+    repeated-character runs ("aaaa" must merge greedily to [aa,aa]) —
+    exactly the cases where a stale incremental count or a wrong fold
+    would first diverge from the from-scratch reference."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.bpe import bpe_merges
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_freq"])
+        for r in bpe_merges(df, n_merges=n_merges).orderBy("rank").collect()
+    ]
+    assert got == _py_bpe_ref([text], n_merges), (words, n_merges)
