@@ -383,6 +383,51 @@ G28_SQL = (
 )
 
 
+# --------------------------------------- g31 bipartite k-core ----------
+
+# The co-publication graph is EMPTY at sf0.1 (MIN_SHARED=30 sits past
+# that scale's sharing cliff), so g28's bench face measures only the
+# co-occurrence join there.  g31 peels the symmetric doc↔keyword
+# bipartite graph — non-empty at every sf — so the k-core bench signal
+# tracks real peeling work as data grows.  Fixed rounds: gate equality
+# needs both engines to compute the identical n-round state, converged
+# or not.
+K31_K = 4
+K31_ROUNDS = 3
+
+
+def g31_kcore_doc_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round synchronous k-core peeling (k=4) over the symmetric
+    doc↔keyword bipartite graph: documents citing ≥4 surviving keywords
+    that are themselves cited by ≥4 surviving documents — the
+    engagement-core primitive on interaction graphs."""
+    from ..operators.analytics import k_core, symmetric_edges
+
+    edges = symmetric_edges(_citation_edges(spark, sf_dir))
+    return k_core(edges, K31_K, K31_ROUNDS).select(
+        F.col("node").alias("node_id"), "degree"
+    )
+
+
+def _g31_iter_ctes(r: int) -> str:
+    prev = f"e{r - 1}"
+    return f"""
+d{r} AS (SELECT src, count(*) AS c FROM {prev} GROUP BY src),
+kk{r} AS (SELECT src FROM d{r} WHERE c >= {K31_K}),
+e{r} AS (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN kk{r} a ON e.src = a.src JOIN kk{r} b ON e.dst = b.src)
+"""
+
+
+G31_SQL = (
+    _G24_CTES
+    + """, e0 AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),"""
+    + ",".join(_g31_iter_ctes(r) for r in range(1, K31_ROUNDS + 1))
+    + f"\nSELECT src AS node_id, count(*) AS degree FROM e{K31_ROUNDS} GROUP BY src"
+)
+
+
 # ------------------------------------------- g29 Adamic-Adar links ------
 
 AA_TOP = 20
@@ -479,6 +524,16 @@ SPECS = [
         description="Fixed-round synchronous k-core peeling (degree agg + two "
         "semi-joins per round); oracle is the unrolled rounds in SQL.",
         bench=True,  # slowest replica spec (r4): superstep materialization under time
+    ),
+    QuerySpec(
+        name="g31_kcore_doc_keyword",
+        fn=g31_kcore_doc_keyword,
+        oracle=G31_SQL,
+        category="analytics",
+        description="Bipartite k-core over the symmetric doc↔keyword graph "
+        "(non-empty at every sf, unlike the thresholded co-publication "
+        "graph); oracle is the unrolled peeling rounds in SQL.",
+        bench=True,  # the k-core signal at sf0.1, where the copub graph is empty
     ),
     QuerySpec(
         name="g29_adamic_adar_links",
