@@ -174,3 +174,49 @@ def normalize_text(text: Column) -> Column:
 
 def fingerprint_md5(text: Column) -> Column:
     return F.md5(normalize_text(text))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk_text): split each document's
+    whitespace tokens into fixed-budget windows with ``overlap`` shared
+    tokens between consecutive chunks — the context-window chunking a
+    pre-training/RAG pipeline applies to long documents (the complement
+    of sequence PACKING, which merges short ones).
+
+    Contract: stride = chunk_tokens − overlap; chunk starts are 1,
+    1+stride, … while start ≤ max(n − overlap, 1), so every token lands
+    in ≥1 chunk, consecutive chunks share exactly ``overlap`` tokens
+    (except a short final chunk), and a document within budget yields
+    exactly one chunk.  Empty/whitespace-only documents yield none.
+
+    Scale shape: one narrow pass — tokens, start offsets (`sequence`),
+    and slices are all JVM array expressions; `posexplode` multiplies
+    rows by ceil(n/stride) with no shuffle.  Everything downstream
+    (dedup, packing, embedding) sees chunks as ordinary documents.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = nonempty_tokens(F.col(text_col))
+    n = F.size(F.col("__toks"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(stride)
+    )
+    chunk = F.slice(F.col("__toks"), F.col("start"), F.lit(chunk_tokens))
+    return (
+        docs.withColumn("__toks", toks)
+        .filter(F.size("__toks") > 0)
+        .select(id_col, F.posexplode(starts).alias("chunk_id", "start"), "__toks")
+        .select(
+            id_col,
+            "chunk_id",
+            F.size(chunk).alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

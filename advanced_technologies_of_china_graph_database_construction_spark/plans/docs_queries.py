@@ -586,6 +586,52 @@ SELECT query_id, neighbor_id, sim, rank FROM (
 """
 
 
+# ----------------------------------------------- d32 document chunking ---
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 8
+
+
+def d32_chunked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (the complement of sequence packing):
+    every document split into 64-token windows sharing 8 tokens with
+    the previous chunk — one narrow JVM pass (tokens → start offsets →
+    slices → posexplode), no shuffle.  Chunk text ships as md5 so the
+    gate compares content without hauling the full text through the
+    hash comparison."""
+    from ..operators.textops import chunk_documents
+
+    chunks = chunk_documents(
+        load_table(spark, sf_dir, "documents"), CHUNK_TOKENS, CHUNK_OVERLAP
+    )
+    return chunks.select(
+        "doc_id", "chunk_id", "n_tokens", F.md5("chunk_text").alias("chunk_md5")
+    )
+
+
+_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+D32_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS ts
+  FROM documents),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, (greatest(length(ts) - {CHUNK_OVERLAP}, 1) + {_CHUNK_STRIDE - 1})
+                      // {_CHUNK_STRIDE}),
+           c -> struct_pack(
+             chunk_id := c,
+             piece := list_slice(ts, c*{_CHUNK_STRIDE} + 1,
+                                 c*{_CHUNK_STRIDE} + {CHUNK_TOKENS})))) AS p
+  FROM toks WHERE length(ts) > 0)
+SELECT doc_id, p.chunk_id AS chunk_id, length(p.piece) AS n_tokens,
+       md5(array_to_string(p.piece, ' ')) AS chunk_md5
+FROM chunks
+"""
+
+
 # ----------------------------------------------- a07 batch IVF search ----
 
 def a07_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1673,6 +1719,9 @@ SPECS = [
               "chained leftmost-replace recursive-CTE oracle"),
     QuerySpec("a06_quantized_ann", a06_quantized_ann, A06_SQL, "similarity",
               "scalar-quantized ANN (int8 range, bit-exact integer dot ranking)"),
+    QuerySpec("d32_chunked_documents", d32_chunked_documents, D32_SQL, "text",
+              "context-window chunking: 64-token windows with 8-token overlap, "
+              "one narrow JVM pass, content gated via md5"),
     QuerySpec("a07_ann_ivf_batch", a07_ann_ivf_batch, A07_SQL, "similarity",
               "set-oriented batch ANN from the partitioned IVF store (broadcast "
               "probe routing + dynamic partition pruning, no driver isin)"),

@@ -148,3 +148,58 @@ def test_duplicated_span_island_merge_overlap(spark):
         for r in duplicated_span_stats(df, n=4, min_count=2).collect()
     }
     assert got == {1: (1, 6), 2: (1, 6)}
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.textops import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    rows = [
+        (1, " ".join(toks)),       # 10 tokens, chunk=4/overlap=1 -> stride 3
+        (2, "a b"),                # within budget -> one chunk
+        (3, "   "),                # whitespace-only -> no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    }
+    # starts: 1,4,7 while start <= 10-1=9 -> chunks [0:4],[3:7],[6:10]
+    assert got == {
+        (1, 0): (4, "t0 t1 t2 t3"),
+        (1, 1): (4, "t3 t4 t5 t6"),
+        (1, 2): (4, "t6 t7 t8 t9"),
+        (2, 0): (2, "a b"),
+    }
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Reassembling chunks minus their overlaps reproduces the exact
+    token stream, for real fixture docs at several window sizes."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.textops import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    originals = {
+        r["doc_id"]: r["text"].split() for r in docs.collect() if r["text"].split()
+    }
+    for chunk_tokens, overlap in ((16, 4), (64, 8), (500, 0)):
+        out = {}
+        for r in chunk_documents(docs, chunk_tokens, overlap).collect():
+            out.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"]))
+        assert set(out) == set(originals)
+        for doc_id, chunks in out.items():
+            chunks.sort()
+            rebuilt = chunks[0][1].split()
+            for _, text in chunks[1:]:
+                rebuilt += text.split()[overlap:]
+            assert rebuilt == originals[doc_id], (doc_id, chunk_tokens)
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.textops import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
