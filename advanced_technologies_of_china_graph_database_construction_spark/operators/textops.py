@@ -220,3 +220,63 @@ def chunk_documents(
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+def nfc_audit(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, changed, n_chars, norm_md5): Unicode NFC normalization
+    audit — the canonicalization pass a multilingual corpus needs
+    before dedup/fingerprinting (decomposed "e"+U+0301 and precomposed
+    "é" are DIFFERENT strings to every hash in this engine; NFC makes
+    surface-identical text byte-identical).
+
+    Spark has no built-in normalizer, so this is an honest Arrow-
+    batched Python seam (`unicodedata.normalize`, per-batch vectorized
+    over a narrow projection — the payload never shuffles); the gate
+    oracle is DuckDB's `nfc_normalize`, so the two independent NFC
+    implementations must agree byte-for-byte (md5 over UTF-8).
+    """
+    import hashlib
+    import unicodedata
+
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("changed", BooleanType()),
+            StructField("n_chars", IntegerType()),
+            StructField("norm_md5", StringType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            norm = [
+                unicodedata.normalize("NFC", t) if t is not None else None
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "changed": [
+                        None if n is None else n != t
+                        for n, t in zip(norm, pdf[text_col])
+                    ],
+                    "n_chars": [None if n is None else len(n) for n in norm],
+                    "norm_md5": [
+                        None if n is None else hashlib.md5(n.encode("utf-8")).hexdigest()
+                        for n in norm
+                    ],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)

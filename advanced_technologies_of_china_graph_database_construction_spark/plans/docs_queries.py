@@ -632,6 +632,41 @@ FROM chunks
 """
 
 
+# ------------------------------------------- d33 NFC normalization -------
+
+def d33_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization audit.  The fixture text is pure
+    ASCII (NFC-invariant), so the corpus deterministically appends a
+    DECOMPOSED sequence (" cafe"+U+0301) to every 25th document — the
+    same construction on both sides — making the normalization
+    observable: those docs must report changed=true with the combining
+    pair fused, and two independent NFC implementations
+    (unicodedata vs DuckDB nfc_normalize) must agree byte-for-byte."""
+    from ..operators.textops import nfc_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 25 == 0, F.concat("text", F.lit(" cafe\u0301"))
+        ).otherwise(F.col("text")),
+    )
+    return nfc_audit(corpus)
+
+
+D33_SQL = """
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 25 = 0 THEN text || ' cafe' || chr(769) ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+       nfc_normalize(text) <> text AS changed,
+       length(nfc_normalize(text))::INT AS n_chars,
+       md5(nfc_normalize(text)) AS norm_md5
+FROM corpus
+"""
+
+
 # ----------------------------------------------- a07 batch IVF search ----
 
 def a07_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1719,6 +1754,9 @@ SPECS = [
               "chained leftmost-replace recursive-CTE oracle"),
     QuerySpec("a06_quantized_ann", a06_quantized_ann, A06_SQL, "similarity",
               "scalar-quantized ANN (int8 range, bit-exact integer dot ranking)"),
+    QuerySpec("d33_nfc_audit", d33_nfc_audit, D33_SQL, "text",
+              "Unicode NFC canonicalization audit: unicodedata (Arrow seam) vs "
+              "DuckDB nfc_normalize, byte-exact via md5"),
     QuerySpec("d32_chunked_documents", d32_chunked_documents, D32_SQL, "text",
               "context-window chunking: 64-token windows with 8-token overlap, "
               "one narrow JVM pass, content gated via md5"),

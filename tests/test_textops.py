@@ -203,3 +203,22 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_nfc_audit_fuses_decomposed_sequences(spark):
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.textops import nfc_audit
+
+    rows = [
+        (1, "café"),        # decomposed -> fused, changed
+        (2, "café"),          # precomposed -> unchanged
+        (3, "plain ascii"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in nfc_audit(df).collect()}
+    assert got[1]["changed"] is True and got[1]["n_chars"] == 4
+    assert got[2]["changed"] is False and got[2]["n_chars"] == 4
+    # decomposed and precomposed normalize to the SAME bytes
+    assert got[1]["norm_md5"] == got[2]["norm_md5"]
+    assert got[3]["changed"] is False
+    assert got[4]["changed"] is None and got[4]["norm_md5"] is None
