@@ -209,7 +209,7 @@ def test_nfc_audit_fuses_decomposed_sequences(spark):
     from advanced_technologies_of_china_graph_database_construction_spark.operators.textops import nfc_audit
 
     rows = [
-        (1, "café"),        # decomposed -> fused, changed
+        (1, "cafe\u0301"),   # decomposed (explicit escape) -> fused, changed
         (2, "café"),          # precomposed -> unchanged
         (3, "plain ascii"),
         (4, None),
