@@ -1669,6 +1669,42 @@ FROM toks GROUP BY source
 """
 
 
+# -------------------------------------- d34 approx-distinct contract -----
+
+def d34_approx_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality estimation at 100 TB: count-distinct of a high-
+    cardinality key is a full shuffle of every distinct value, while
+    HyperLogLog++ is a constant-size sketch that merges map-side —
+    the d30 pattern applied to distinct counts.  Per source, the exact
+    distinct text-hash count ships alongside a boolean asserting the
+    HLL estimate (rsd 5%) landed within 3×rsd; the estimate itself is
+    engine-specific, so only the exact value and the CONTRACT are
+    gated (the oracle asserts the contract is satisfiable: TRUE)."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select("source", F.md5("text").alias("h"))
+    return (
+        keyed.groupBy("source")
+        .agg(
+            F.countDistinct("h").alias("n_exact"),
+            F.expr("approx_count_distinct(h, 0.05)").alias("__approx"),
+        )
+        .select(
+            "source",
+            "n_exact",
+            (
+                F.abs(F.col("__approx") - F.col("n_exact"))
+                <= 0.15 * F.col("n_exact")
+            ).alias("approx_ok"),
+        )
+    )
+
+
+D34_SQL = """
+SELECT source, count(DISTINCT md5(text)) AS n_exact, TRUE AS approx_ok
+FROM documents GROUP BY source
+"""
+
+
 # ------------------------------------------ d29 dup-span audit ------------
 
 SPAN_N = 8
@@ -1754,6 +1790,10 @@ SPECS = [
               "chained leftmost-replace recursive-CTE oracle"),
     QuerySpec("a06_quantized_ann", a06_quantized_ann, A06_SQL, "similarity",
               "scalar-quantized ANN (int8 range, bit-exact integer dot ranking)"),
+    QuerySpec("d34_approx_distinct_contract", d34_approx_distinct_contract, D34_SQL,
+              "text", "HyperLogLog++ cardinality contract per source (d30 "
+              "pattern: exact value + tolerance boolean ship, sketch value "
+              "doesn't)"),
     QuerySpec("d33_nfc_audit", d33_nfc_audit, D33_SQL, "text",
               "Unicode NFC canonicalization audit: unicodedata (Arrow seam) vs "
               "DuckDB nfc_normalize, byte-exact via md5"),

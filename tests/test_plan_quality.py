@@ -379,3 +379,69 @@ def test_event_transitions_single_user_sort(spark):
     plan = _plan(e14_event_transitions(spark, SF_CORRECT))
     assert "BatchEvalPython" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_chunking_is_one_narrow_pass(spark):
+    """d32's chunking must not shuffle: tokens, offsets, slices, and
+    the explode are all narrow; only doc_id+text are read."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.textops import chunk_documents
+
+    df = chunk_documents(
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet"), 64, 8
+    )
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    read_schema = scan.split("ReadSchema:")[1]
+    assert "text" in read_schema and "lang" not in read_schema, read_schema
+
+
+def test_nfc_audit_reads_narrow_projection(spark):
+    """d33's Python seam is Arrow-batched over exactly (doc_id, text) —
+    the normalizer never sees (or shuffles) other columns."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.textops import nfc_audit
+
+    df = nfc_audit(spark.read.parquet(f"{SF_CORRECT}/documents.parquet"))
+    plan = _plan(df)
+    assert "MapInPandas" in plan, plan
+    assert "Exchange" not in plan, plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    read_schema = scan.split("ReadSchema:")[1]
+    assert "doc_id" in read_schema and "text" in read_schema, read_schema
+    assert "lang" not in read_schema and "source" not in read_schema, read_schema
+
+
+def test_media_decoders_never_shuffle_payload(spark):
+    """m05/m06: the binary payload flows scan -> synthesize -> decode
+    with no Exchange touching it (aggregations happen after the seam
+    reduced payloads to scalar stats)."""
+    from advanced_technologies_of_china_graph_database_construction_spark.multimodal import media as mm
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    for df in (
+        mm.image_stats(mm.attach_ppm_images(docs)),
+        mm.video_stats(mm.attach_y4m_videos(docs)),
+    ):
+        plan = _plan(df)
+        assert "MapInPandas" in plan, plan
+        assert "Exchange" not in plan, plan
+
+
+def test_pagerank_iteration_shuffles_rank_vector_not_edges(spark):
+    """The hoisted superstep: the edge frame enters the loop already
+    hash-partitioned by src (captured by localCheckpoint), so one
+    iteration's plan contains no Exchange of the wide edge relation —
+    the only exchanges move the |V|-sized rank/message vectors."""
+    from pyspark.sql import functions as F
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(200)], "src long, dst long"
+    ).filter("src <> dst")
+    ranks = pagerank(edges, n_iter=1)
+    plan = _plan(ranks)
+    # the checkpointed edge scan must already report hash partitioning
+    # by src rather than being re-exchanged inside the iteration
+    assert "Exchange hashpartitioning(src" not in plan, plan
