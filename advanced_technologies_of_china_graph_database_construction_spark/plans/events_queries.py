@@ -295,7 +295,8 @@ def _write_ts_slices(ev: DataFrame, d: str, n: int = 4):
     equal keys never straddle a boundary), then synthetic mtimes
     stamped in part-filename order.  One scan + one shuffle replaces
     the previous n filtered scans with single-task writes (measured on
-    e15 at sf0.1: 5.8 → 3.9 s end-to-end)."""
+    e15 at sf0.1: 5.8 → 5.2 s end-to-end — the streaming query itself,
+    not the slice write, is the dominant cost)."""
     import os
 
     hi = ev.agg(F.max("ts").alias("hi")).first()["hi"]
