@@ -41,9 +41,15 @@ def pagerank(
     n_iter: int = 3,
     damping: float = 0.85,
     dangling: str = "drop",
+    weight: str | None = None,
 ) -> DataFrame:
     """(node, pagerank) after ``n_iter`` power iterations over directed
     ``edges(src, dst)``.
+
+    ``weight`` names an edge-weight column: messages become
+    rank·w/Σw(out) — the strength-aware variant (e.g. co-publication
+    count as tie strength), same plan shape (the weighted out-degree
+    folds into the hoisted edge frame exactly like the count).
 
     Node set = sources ∪ destinations.  ``dangling`` controls nodes
     without out-edges:
@@ -88,10 +94,14 @@ def pagerank(
     if n == 0:
         # empty graph: empty ranks, not a 1/n division crash
         return nodes.select("node", F.lit(0.0).alias("pagerank"))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    wcol = F.col(weight).cast("double") if weight else F.lit(1.0)
+    deg = edges.groupBy("src").agg(F.sum(wcol).alias("outdeg"))
     edges = (
-        edges.join(deg, "src").repartition("src").localCheckpoint(eager=True)
-    )  # (src, dst, outdeg), hash-partitioned by src for the loop
+        edges.withColumn("__w", wcol)
+        .join(deg, "src")
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )  # (src, dst, __w, outdeg), hash-partitioned by src for the loop
     nodes = nodes.join(
         deg.select(F.col("src").alias("node"), F.lit(True).alias("has_out")),
         "node",
@@ -101,7 +111,8 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
         msgs = edges.join(ranks, edges.src == ranks.node).select(
-            F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("m")
+            F.col("dst").alias("node"),
+            (F.col("rank") * F.col("__w") / F.col("outdeg")).alias("m"),
         )
         sums = msgs.groupBy("node").agg(F.sum("m").alias("m"))
         base = F.lit((1.0 - damping) / n)

@@ -383,6 +383,69 @@ G28_SQL = (
 )
 
 
+# ------------------------------------- g32 weighted PageRank -----------
+
+def g32_weighted_copub_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strength-aware PageRank: the co-publication graph with the
+    SHARED-DOCUMENT COUNT as edge weight — an org that co-publishes 50
+    papers with a hub passes proportionally more rank along that tie
+    than a 30-paper acquaintance.  Same hoisted superstep as g21; only
+    the message expression changes (rank·w/Σw)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_orderkey").alias("doc"), F.col("l_suppkey").alias("org")
+    ).distinct()
+    e2 = e.withColumnsRenamed({"org": "org2"})
+    pairs = (
+        e.join(e2, "doc")
+        .filter(F.col("org") < F.col("org2"))
+        .groupBy(F.col("org").alias("src"), F.col("org2").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= MIN_SHARED)
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    ranks = pagerank(edges, N_ITER, DAMPING, weight="w")
+    return ranks.select(F.col("node").alias("org_id"), "pagerank")
+
+
+_G32_CTES = f"""
+WITH de AS (SELECT DISTINCT l_orderkey AS doc, l_suppkey AS org FROM lineitem),
+wpairs AS (
+  SELECT a.org AS src, b.org AS dst, count(*) AS w
+  FROM de a JOIN de b ON a.doc = b.doc AND a.org < b.org
+  GROUP BY 1, 2 HAVING count(*) >= {MIN_SHARED}),
+wedges AS (SELECT src, dst, w FROM wpairs
+           UNION ALL SELECT dst, src, w FROM wpairs),
+nodes AS (SELECT DISTINCT src AS node FROM wedges),
+nn AS (SELECT count(*) AS n FROM nodes),
+wdeg AS (SELECT src, sum(w) AS outdeg FROM wedges GROUP BY src)
+"""
+
+
+def _g32_iter_cte(k: int) -> str:
+    prev = f"r{k - 1}"
+    return f"""
+r{k} AS (
+  SELECT nodes.node,
+         0.15 / (SELECT n FROM nn)
+           + 0.85 * coalesce(s.m, 0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum({prev}.rank * e.w / wdeg.outdeg) AS m
+    FROM wedges e JOIN {prev} ON e.src = {prev}.node JOIN wdeg ON e.src = wdeg.src
+    GROUP BY e.dst) s ON nodes.node = s.node)
+"""
+
+
+G32_SQL = (
+    _G32_CTES
+    + ", r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),"
+    + ",".join(_g32_iter_cte(k) for k in range(1, N_ITER + 1))
+    + f"\nSELECT node AS org_id, round(rank, 6) AS pagerank FROM r{N_ITER}"
+)
+
+
 # --------------------------------------- g31 bipartite k-core ----------
 
 # The co-publication graph is EMPTY at sf0.1 (MIN_SHARED=30 sits past
@@ -524,6 +587,15 @@ SPECS = [
         description="Fixed-round synchronous k-core peeling (degree agg + two "
         "semi-joins per round); oracle is the unrolled rounds in SQL.",
         bench=True,  # slowest replica spec (r4): superstep materialization under time
+    ),
+    QuerySpec(
+        name="g32_weighted_copub_pagerank",
+        fn=g32_weighted_copub_pagerank,
+        oracle=G32_SQL,
+        category="analytics",
+        description="Weighted PageRank (shared-doc count as tie strength): "
+        "rank·w/Σw messages over the hoisted superstep; oracle is the "
+        "unrolled weighted power method in SQL.",
     ),
     QuerySpec(
         name="g31_kcore_doc_keyword",

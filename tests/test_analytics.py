@@ -388,3 +388,30 @@ def test_components_partition_the_node_set(spark):
     # endpoints of every edge share a component
     for r in pairs.collect():
         assert comp[r.src] == comp[r.dst]
+
+
+def test_weighted_pagerank_uniform_weights_match_unweighted(spark):
+    """weight≡const must reproduce the unweighted ranks exactly, and a
+    skewed weight must move rank toward the heavy edge's target."""
+    from pyspark.sql import functions as F
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import pagerank, symmetric_edges
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    sym = symmetric_edges(pairs).withColumn("w", F.lit(7.0))
+    uni = {r["node"]: r["pagerank"] for r in pagerank(sym, 3).collect()}
+    wuni = {r["node"]: r["pagerank"] for r in pagerank(sym, 3, weight="w").collect()}
+    assert uni == wuni
+
+    # node 1 splits rank between 2 and 3; weighting the 1->2 edge 9:1
+    # must rank 2 above 3's unweighted share
+    skew = symmetric_edges(pairs).withColumn(
+        "w",
+        F.when((F.col("src") == 1) & (F.col("dst") == 2), F.lit(9.0)).otherwise(
+            F.lit(1.0)
+        ),
+    )
+    wskew = {r["node"]: r["pagerank"] for r in pagerank(skew, 3, weight="w").collect()}
+    assert wskew[2] > uni[2], (wskew, uni)
