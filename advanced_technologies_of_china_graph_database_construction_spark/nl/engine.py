@@ -156,6 +156,20 @@ def t_cooccurring_keywords(g: GraphModel, keyword: str) -> DataFrame:
     )
 
 
+def t_count_docs_by_author(g: GraphModel, author: str) -> DataFrame:
+    """Counting face of 类型三 (Q.txt Q10 family): how many documents
+    an author wrote — one broadcast semi-funnel + a count aggregate
+    (always exactly one row, zero for an unknown author, mirroring the
+    reference's count(*) Cypher shape)."""
+    a = g.authors.filter(F.col("name") == author)
+    e = g.edges_of(REL_AUTHORED)
+    return (
+        e.join(F.broadcast(a), e.src == a.author_id, "left_semi")
+        .agg(F.countDistinct("dst").alias("n_docs"))
+        .select(F.lit(author).alias("author"), "n_docs")
+    )
+
+
 def t_related_authors_via_keywords(g: GraphModel, author: str) -> DataFrame:
     """Q.txt 类型六 4-hop (Q16, `Q.txt:61-63`): authors related to X
     through shared keywords — Author → Doc → Keyword → Doc → Author,
@@ -222,6 +236,7 @@ TEMPLATES: dict[str, Callable[..., DataFrame]] = {
     "coauthors_of": t_coauthors_of,
     "cooccurring_keywords": t_cooccurring_keywords,
     "related_authors_via_keywords": t_related_authors_via_keywords,
+    "count_docs_by_author": t_count_docs_by_author,
     "org_topics": t_org_topics,
 }
 

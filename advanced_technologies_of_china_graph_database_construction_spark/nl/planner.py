@@ -42,6 +42,10 @@ class QueryPlan:
 # template name, names to bind from quoted terms in order).
 _RULES: list[tuple[re.Pattern, str, tuple[str, ...]]] = [
     (re.compile(r"per year|by year|每年|各年"), "docs_per_year_for_keyword", ("keyword",)),
+    # counting face of 类型三: must precede the did-X-write existence rule
+    (re.compile(r"how many (papers?|docs?|documents?|publications?)"
+                r".*(by|did|write|written|publish)|写了多少|发表了多少"),
+     "count_docs_by_author", ("author",)),
     (re.compile(r"did .*write|is .*author of|是不是.*作者|是否.*作者"),
      "author_wrote_doc", ("author", "title")),
     (re.compile(r"co-?authors?|collaborat|合作者|合著"), "coauthors_of", ("author",)),

@@ -244,7 +244,34 @@ def n07_multiturn_followup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return execute_plan(spark, sf_dir, p)
 
 
+# counting face of 类型三 through the NL path — one-row aggregate, so
+# the serving LIMIT is irrelevant and execute_plan runs unmodified.
+Q_COUNT = 'How many papers did "Customer#000000001" write?'
+
+
+def n11_nl_count_docs_by_author(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = plan(Q_COUNT)
+    assert p.template == "count_docs_by_author", p
+    assert p.params.get("author") == "Customer#000000001", p
+    return execute_plan(spark, sf_dir, p)
+
+
+N11_SQL = GRAPH_ORACLE_CTES + """
+SELECT 'Customer#000000001' AS author, count(DISTINCT e.dst) AS n_docs
+FROM e_authored e JOIN authors a ON e.src = a.author_id
+WHERE a.name = 'Customer#000000001'
+"""
+
+
 SPECS = [
+    QuerySpec(
+        name="n11_nl_count_docs_by_author",
+        fn=n11_nl_count_docs_by_author,
+        oracle=N11_SQL,
+        category="nl",
+        description="Q1+Q2: counting question (类型三) through the NL planner "
+        "— semi-funnel + count aggregate, one deterministic row.",
+    ),
     QuerySpec(
         name="n01_nl_docs_per_year",
         fn=_run(Q_PER_YEAR),

@@ -28,6 +28,10 @@ SF = "/root/testdata/sf0.001"
          "cooccurring_keywords", {"keyword": "cold widget"}),
         ('关于"cold widget"的论文', "docs_by_keyword", {"keyword": "cold widget"}),
         ('《DOC-7》的关键词', "keywords_of_doc", {"title": "DOC-7"}),
+        ('How many papers did "Customer#000000001" write?',
+         "count_docs_by_author", {"author": "Customer#000000001"}),
+        ('"Customer#000000001"写了多少论文？',
+         "count_docs_by_author", {"author": "Customer#000000001"}),
         # Q.txt 类型六 4-hop (Q16) — three phrasings of the related-authors ask
         ('Which authors publish on the same keywords as "Customer#000000001"?',
          "related_authors_via_keywords", {"author": "Customer#000000001"}),
