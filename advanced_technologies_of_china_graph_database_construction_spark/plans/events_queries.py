@@ -570,7 +570,66 @@ def e16_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------- e17 streaming dedup face --------------
+
+def e17_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once-ish ingest face (W2's
+    ``dropDuplicatesWithinWatermark``), driver-gated: the base events
+    stream as time-ordered micro-batches, then every 10th event is
+    RE-DELIVERED verbatim as its own FINAL micro-batch — so the dedup
+    must happen across batches out of the operator's key state, not
+    within one batch's shuffle (a generous watermark keeps early keys'
+    state alive; with a tight one the replays would instead be dropped
+    as late data, which passes the same gate for the wrong reason).
+    Append mode emits each first-seen event_id immediately — no
+    finalization wait, unlike e15's windows.  The sink must equal the
+    batch distinct projection exactly: one replay slipping through
+    doubles a row and fails the hash."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="e17_events_")
+    try:
+        _, seen = _write_ts_slices(ev, d)
+        ev.filter(F.col("event_id") % 10 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        _bump_mtimes(d, seen, 10)
+        stream = windows.streaming_source(spark, d, watermark=None)
+        deduped = windows.dedup_events(stream, within="30 days").select(
+            "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+        )
+        name = f"e17_sink_{uuid.uuid4().hex[:8]}"
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name)
+
+
+# Base event_ids are unique and the injected duplicates are verbatim
+# copies, so distinct-by-row == dedup-by-event_id.
+E17_SQL = """
+SELECT DISTINCT event_id, user_id, event_type, round(value, 6) AS value
+FROM (SELECT * FROM events
+      UNION ALL SELECT * FROM events WHERE event_id % 10 = 0)
+"""
+
+
 SPECS = [
+    QuerySpec("e17_streaming_dedup", e17_streaming_dedup, E17_SQL, "events",
+              "REAL streaming dropDuplicatesWithinWatermark run over a "
+              "duplicate-injected corpus, gated vs the batch distinct oracle"),
     QuerySpec("e01_tumbling_daily", e01_tumbling_daily, E01_SQL, "events",
               "tumbling 1-day window stats per event_type", bench=True),
     QuerySpec("e02_sliding_hourly", e02_sliding_hourly, E02_SQL, "events",
