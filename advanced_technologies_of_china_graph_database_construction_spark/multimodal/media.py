@@ -288,6 +288,11 @@ def image_stats(media: DataFrame) -> DataFrame:
                     if maxv != 255:
                         err = f"decode_error: unsupported maxval {maxv}"
                         w = h = None
+                    elif w * h == 0:
+                        # a zero-dim header parses but has no pixels —
+                        # dead-letter, never a ZeroDivision that kills the job
+                        err = "decode_error: zero-dimension image"
+                        w = h = None
                     elif len(plane) < w * h * 3:
                         err = "decode_error: truncated pixel plane"
                         w = h = None
@@ -413,6 +418,10 @@ def video_stats(media: DataFrame) -> DataFrame:
                     continue
                 w, h = int(m.group(1)), int(m.group(2))
                 plane = w * h
+                if plane == 0:
+                    # same dead-letter guard as image_stats
+                    emit(err="decode_error: zero-dimension stream")
+                    continue
                 pos, planes = m.end(), []
                 bad = None
                 while pos < len(raw):

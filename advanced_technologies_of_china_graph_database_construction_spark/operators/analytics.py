@@ -50,6 +50,13 @@ def pagerank(
     rank·w/Σw(out) — the strength-aware variant (e.g. co-publication
     count as tie strength), same plan shape (the weighted out-degree
     folds into the hoisted edge frame exactly like the count).
+    Non-positive and NULL weights are DROPPED before anything else: a
+    zero-weight tie is no tie, a zero weighted out-degree would
+    otherwise produce 0/0 = NaN messages that poison every downstream
+    rank, and a NULL weight would silently leak its node's mass (null
+    messages skip the sum while has_out still blocks redistribution).
+    A node whose every edge drops becomes dangling, handled by the
+    chosen ``dangling`` mode.
 
     Node set = sources ∪ destinations.  ``dangling`` controls nodes
     without out-edges:
@@ -83,6 +90,8 @@ def pagerank(
     # shuffles — the |E| side never moves again; the dangling-mass
     # reduction reads a precomputed has_out flag carried on the rank
     # vector instead of running an |V|⋈|V| anti-join per iteration.
+    if weight:
+        edges = edges.filter(F.col(weight).isNotNull() & (F.col(weight) > 0))
     edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -95,7 +104,7 @@ def pagerank(
         # empty graph: empty ranks, not a 1/n division crash
         return nodes.select("node", F.lit(0.0).alias("pagerank"))
     wcol = F.col(weight).cast("double") if weight else F.lit(1.0)
-    deg = edges.groupBy("src").agg(F.sum(wcol).alias("outdeg"))
+    deg = edges.groupBy("src").agg(F.sum(wcol).alias("outdeg")).localCheckpoint(eager=True)
     edges = (
         edges.withColumn("__w", wcol)
         .join(deg, "src")
@@ -193,8 +202,11 @@ def personalized_pagerank(
     )
     # Iteration-invariant hoisting, same as pagerank: outdeg folded into
     # the src-partitioned edge frame (only the rank vector shuffles per
-    # round); dangling mass reads the precomputed has_out flag.
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # round); dangling mass reads the precomputed has_out flag.  deg is
+    # checkpointed because TWO separately-materialized lineages consume
+    # it (the edge fold and the has_out flags) — unmaterialized it would
+    # re-run the |E| aggregation once per consumer.
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(eager=True)
     edges = edges.join(deg, "src").repartition("src").localCheckpoint(eager=True)
     nodes_r = (
         nodes.join(F.broadcast(sdf), "node", "left")

@@ -29,7 +29,10 @@ DAMPING = 0.85
 
 
 def _copub_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected org pairs (o1 < o2) sharing ≥ MIN_SHARED docs."""
+    """Undirected org pairs (o1 < o2, plus their ``shared`` doc count)
+    sharing ≥ MIN_SHARED docs — ONE definition of the co-publication
+    graph for every consumer (g21/g22/g23/g27-g30 drop the count;
+    g32 uses it as the edge weight)."""
     li = load_table(spark, sf_dir, "lineitem")
     e = li.select(F.col("l_orderkey").alias("doc"), F.col("l_suppkey").alias("org")).distinct()
     e2 = e.withColumnsRenamed({"org": "org2"})
@@ -39,7 +42,6 @@ def _copub_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("org").alias("src"), F.col("org2").alias("dst"))
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= MIN_SHARED)
-        .select("src", "dst")
     )
 
 
@@ -391,18 +393,7 @@ def g32_weighted_copub_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     papers with a hub passes proportionally more rank along that tie
     than a 30-paper acquaintance.  Same hoisted superstep as g21; only
     the message expression changes (rank·w/Σw)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    e = li.select(
-        F.col("l_orderkey").alias("doc"), F.col("l_suppkey").alias("org")
-    ).distinct()
-    e2 = e.withColumnsRenamed({"org": "org2"})
-    pairs = (
-        e.join(e2, "doc")
-        .filter(F.col("org") < F.col("org2"))
-        .groupBy(F.col("org").alias("src"), F.col("org2").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= MIN_SHARED)
-    )
+    pairs = _copub_pairs(spark, sf_dir).withColumnRenamed("shared", "w")
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )

@@ -386,25 +386,13 @@ GROUP BY t.name
 
 def g16_related_authors_via_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4-hop: Author → Doc → Keyword → Doc → Author (Q.txt Q16 shape).
-    g = build_graph(spark, sf_dir)
-    a = g.authors.filter(F.col("name") == AUTHOR)
-    ea = g.edges_of(REL_AUTHORED)
-    ek = g.edges_of(REL_HAS_KEYWORD)
-    my_docs = ea.join(F.broadcast(a), ea.src == a.author_id, "left_semi").select(F.col("dst").alias("doc_id"))
-    my_kws = ek.join(my_docs, ek.src == my_docs.doc_id, "left_semi").select(F.col("dst").alias("kw")).distinct()
-    other_docs = ek.join(my_kws, ek.dst == my_kws.kw).select(F.col("src").alias("doc_id"), "kw")
-    ea2 = g.edges_of(REL_AUTHORED).withColumnRenamed("src", "author_id").withColumnRenamed("dst", "doc_id")
-    related = (
-        other_docs.join(ea2, "doc_id")
-        .join(g.authors, "author_id")
-        .filter(F.col("name") != AUTHOR)
-    )
-    return (
-        related.groupBy(F.col("name").alias("author"))
-        .agg(F.countDistinct("kw").alias("n_shared_keywords"))
-        .orderBy(F.desc("n_shared_keywords"), F.asc("author"))
-        .limit(20)
-    )
+    # ONE implementation of the join chain: the NL-facing template owns
+    # it (nl/engine.t_related_authors_via_keywords, the n10 spec), and
+    # the direct query delegates — the n10-vs-g16 gate equality is then
+    # structural, not a two-copy coincidence.
+    from ..nl.engine import t_related_authors_via_keywords
+
+    return t_related_authors_via_keywords(build_graph(spark, sf_dir), AUTHOR)
 
 
 G16_SQL = GRAPH_ORACLE_CTES + f"""

@@ -189,10 +189,17 @@ def s07_orc_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     try:
         docs.write.mode("overwrite").partitionBy("lang").orc(out)
         back = spark.read.orc(out).filter(F.col("lang") == "en")
-        # Pruning check stays live: exactly one lang=... directory may
-        # appear in the pruned scan's partition listing.
+        # Pruning check stays live: the lang predicate must reach the
+        # ORC scan as a PARTITION filter (the executed plan renders it
+        # as "(lang#N = en)" inside PartitionFilters — asserting on
+        # directory names is vacuous because the plan string only shows
+        # the root location).
         plan = back._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("lang=") <= 1, plan
+        pruned = [
+            l for l in plan.splitlines()
+            if "PartitionFilters" in l and "lang" in l and "= en" in l
+        ]
+        assert pruned, plan
         res = back.select("doc_id", "lang", "source", "n_chars")
         # Materialize before removing the backing dir (the returned
         # DataFrame must not lazily read a deleted path — the e11/a07

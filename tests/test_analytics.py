@@ -415,3 +415,24 @@ def test_weighted_pagerank_uniform_weights_match_unweighted(spark):
     )
     wskew = {r["node"]: r["pagerank"] for r in pagerank(skew, 3, weight="w").collect()}
     assert wskew[2] > uni[2], (wskew, uni)
+
+
+def test_weighted_pagerank_drops_nonpositive_and_null_weights(spark):
+    """Zero/NULL weights must be dropped, not poison the ranks: a
+    zero-weight out-edge set would yield 0/0 = NaN messages, and a NULL
+    weight silently leaks mass (review-found, pinned).  An all-dropped
+    node simply becomes dangling."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import pagerank
+
+    rows = [(1, 2, 0.0), (1, 3, None), (2, 3, 5.0), (3, 1, 5.0)]
+    df = spark.createDataFrame(rows, "src long, dst long, w double")
+    got = {r["node"]: r["pagerank"] for r in pagerank(df, 3, weight="w").collect()}
+    assert all(not math.isnan(v) for v in got.values()), got
+    # node 1's edges all dropped -> same result as the graph without them
+    clean = df.filter(F.col("src") != 1)
+    want = {r["node"]: r["pagerank"] for r in pagerank(clean, 3, weight="w").collect()}
+    assert got == want

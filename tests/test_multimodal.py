@@ -127,6 +127,24 @@ def test_y4m_decode_error_channel(spark):
     assert "no frames" in got[5]
 
 
+def test_zero_dimension_payloads_ride_dead_letter(spark):
+    """A zero-dim header parses (\\d+ matches '0') but has no pixels —
+    it must land in the error channel, never a ZeroDivisionError that
+    kills the whole job (review-found crash, pinned)."""
+    imgs = spark.createDataFrame(
+        [(1, b"P6\n0 0\n255\n"), (2, b"P6\n2 0\n255\n")],
+        "media_id long, payload binary",
+    )
+    for r in mm.image_stats(imgs).collect():
+        assert r["error"] and "zero-dimension" in r["error"], r
+    vids = spark.createDataFrame(
+        [(1, b"YUV4MPEG2 W0 H3 F25:1 Ip A1:1 Cmono\nFRAME\n")],
+        "media_id long, payload binary",
+    )
+    r = mm.video_stats(vids).collect()[0]
+    assert r["error"] and "zero-dimension" in r["error"], r
+
+
 def test_attach_y4m_videos_payload_shape(spark):
     """Synthesized streams are well-formed for every row, and decoded
     dims/frame counts equal the doc_id-derived construction."""

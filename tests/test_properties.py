@@ -516,35 +516,6 @@ def test_symdelete_unicode_matches_bruteforce(spark, names):
 
 # ------------------------- BPE incremental trainer: adversarial sweep -----
 
-def _py_bpe_ref(texts, n_merges):
-    from collections import Counter
-
-    words = Counter(t for text in texts for t in text.lower().split() if t)
-    syms = {w: list(w) for w in words}
-    merges = []
-    for rank in range(1, n_merges + 1):
-        pairs = Counter()
-        for w, freq in words.items():
-            s = syms[w]
-            for i in range(len(s) - 1):
-                pairs[(s[i], s[i + 1])] += freq
-        if not pairs:
-            break
-        (l, r), freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        merges.append((rank, l, r, freq))
-        for w in syms:
-            s, out, i = syms[w], [], 0
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
-                    out.append(l + r)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            syms[w] = out
-    return merges
-
-
 @given(
     st.lists(
         st.text(alphabet=["a", "b"], min_size=1, max_size=7),
@@ -563,10 +534,12 @@ def test_bpe_incremental_matches_reference_on_adversarial_corpora(
     would first diverge from the from-scratch reference."""
     from advanced_technologies_of_china_graph_database_construction_spark.operators.bpe import bpe_merges
 
+    from .test_bpe import _py_bpe
+
     text = " ".join(words)
     df = spark.createDataFrame([(0, text)], "doc_id long, text string")
     got = [
         (r["rank"], r["left"], r["right"], r["pair_freq"])
         for r in bpe_merges(df, n_merges=n_merges).orderBy("rank").collect()
     ]
-    assert got == _py_bpe_ref([text], n_merges), (words, n_merges)
+    assert got == _py_bpe([text], n_merges)[0], (words, n_merges)
