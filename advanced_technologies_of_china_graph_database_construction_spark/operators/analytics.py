@@ -158,6 +158,7 @@ def personalized_pagerank(
     seeds,
     n_iter: int = 3,
     damping: float = 0.85,
+    weight: str | None = None,
 ) -> DataFrame:
     """(node, ppr): power iteration with restart concentrated on the
     ``seeds`` id set instead of uniform teleport — scores measure
@@ -174,13 +175,16 @@ def personalized_pagerank(
     (the typical seed set is a handful of entities; a DataFrame-sized
     personalization vector would instead join on node, same shape).
     Fixed ``n_iter`` keeps it deterministic and SQL-oracle-able like
-    g21/g24.
+    g21/g24.  ``weight`` follows the ``pagerank`` contract exactly:
+    rank·w/Σw messages, non-positive/NULL weights dropped up front.
     """
     from pyspark.sql import types as T
 
     seed_list = list(dict.fromkeys(seeds))
     if not seed_list:
         raise ValueError("personalized_pagerank needs at least one seed")
+    if weight:
+        edges = edges.filter(F.col(weight).isNotNull() & (F.col(weight) > 0))
     spark = edges.sparkSession
     node_type = edges.schema["src"].dataType
     sdf = spark.createDataFrame(
@@ -206,8 +210,14 @@ def personalized_pagerank(
     # checkpointed because TWO separately-materialized lineages consume
     # it (the edge fold and the has_out flags) — unmaterialized it would
     # re-run the |E| aggregation once per consumer.
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(eager=True)
-    edges = edges.join(deg, "src").repartition("src").localCheckpoint(eager=True)
+    wcol = F.col(weight).cast("double") if weight else F.lit(1.0)
+    deg = edges.groupBy("src").agg(F.sum(wcol).alias("outdeg")).localCheckpoint(eager=True)
+    edges = (
+        edges.withColumn("__w", wcol)
+        .join(deg, "src")
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
     nodes_r = (
         nodes.join(F.broadcast(sdf), "node", "left")
         .join(
@@ -225,7 +235,8 @@ def personalized_pagerank(
     ranks = nodes_r.select("node", "r", "has_out", F.col("r").alias("rank"))
     for _ in range(n_iter):
         msgs = edges.join(ranks, edges.src == ranks.node).select(
-            F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("m")
+            F.col("dst").alias("node"),
+            (F.col("rank") * F.col("__w") / F.col("outdeg")).alias("m"),
         )
         sums = msgs.groupBy("node").agg(F.sum("m").alias("m"))
         dmass = (

@@ -436,3 +436,22 @@ def test_weighted_pagerank_drops_nonpositive_and_null_weights(spark):
     clean = df.filter(F.col("src") != 1)
     want = {r["node"]: r["pagerank"] for r in pagerank(clean, 3, weight="w").collect()}
     assert got == want
+
+
+def test_weighted_ppr_uniform_weights_match_unweighted(spark):
+    from pyspark.sql import functions as F
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import (
+        personalized_pagerank,
+        symmetric_edges,
+    )
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    sym = symmetric_edges(pairs).withColumn("w", F.lit(3.0))
+    uni = {r["node"]: r["ppr"] for r in personalized_pagerank(sym, [1], 3).collect()}
+    wuni = {
+        r["node"]: r["ppr"]
+        for r in personalized_pagerank(sym, [1], 3, weight="w").collect()
+    }
+    assert uni == wuni
+    assert abs(sum(wuni.values()) - 1.0) < 1e-4
