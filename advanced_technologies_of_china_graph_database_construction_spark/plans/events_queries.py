@@ -590,6 +590,13 @@ def e17_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     ev = load_table(spark, sf_dir, "events")
+    # the distinct-by-row oracle is only equivalent to dedup-by-id when
+    # base event_ids are unique — assert it so a fixture change fails
+    # loudly here rather than as a mystery hash mismatch
+    u = ev.agg(
+        F.count("event_id").alias("n"), F.countDistinct("event_id").alias("d")
+    ).first()
+    assert u["n"] == u["d"], f"events.event_id not unique: {u}"
     d = tempfile.mkdtemp(prefix="e17_events_")
     try:
         _, seen = _write_ts_slices(ev, d)
