@@ -437,6 +437,60 @@ G32_SQL = (
 )
 
 
+# --------------------------------- g33 weighted personalized PR --------
+
+def g33_weighted_copub_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted personalized PageRank: proximity to the smallest org
+    over the co-publication graph with shared-doc counts as tie
+    strength — the strength-aware related-entity primitive (g25's
+    seeded restart × g32's weighted messages).  The edge set is
+    materialized once (the g25 pattern) so the seed lookup doesn't
+    re-run the co-occurrence join."""
+    from ..operators.analytics import personalized_pagerank
+
+    pairs = _copub_pairs(spark, sf_dir).withColumnRenamed("shared", "w")
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint(eager=True)
+    seed = edges.agg(F.min("src")).first()[0]
+    ranks = personalized_pagerank(edges, [seed], N_ITER, DAMPING, weight="w")
+    return ranks.select(F.col("node").alias("org_id"), "ppr")
+
+
+# Symmetric graph with strictly positive weights → no dangling nodes,
+# so the operator's dangling-mass term is identically 0 and the oracle
+# is the plain seeded weighted power method.
+_G33_CTES = (
+    _G32_CTES
+    + """,
+seed AS (SELECT min(src) AS s FROM wedges),
+rvec AS (SELECT node, CASE WHEN node = (SELECT s FROM seed) THEN 1.0 ELSE 0.0 END AS r
+         FROM nodes)
+"""
+)
+
+
+def _g33_iter_cte(k: int) -> str:
+    prev = f"r{k - 1}"
+    return f"""
+r{k} AS (
+  SELECT nodes.node,
+         0.15 * rvec.r + 0.85 * coalesce(s.m, 0) AS rank
+  FROM nodes JOIN rvec ON rvec.node = nodes.node LEFT JOIN (
+    SELECT e.dst AS node, sum({prev}.rank * e.w / wdeg.outdeg) AS m
+    FROM wedges e JOIN {prev} ON e.src = {prev}.node JOIN wdeg ON e.src = wdeg.src
+    GROUP BY e.dst) s ON nodes.node = s.node)
+"""
+
+
+G33_SQL = (
+    _G33_CTES
+    + ", r0 AS (SELECT node, r AS rank FROM rvec),"
+    + ",".join(_g33_iter_cte(k) for k in range(1, N_ITER + 1))
+    + f"\nSELECT node AS org_id, round(rank, 6) AS ppr FROM r{N_ITER}"
+)
+
+
 # --------------------------------------- g31 bipartite k-core ----------
 
 # The co-publication graph is EMPTY at sf0.1 (MIN_SHARED=30 sits past
@@ -587,6 +641,15 @@ SPECS = [
         description="Weighted PageRank (shared-doc count as tie strength): "
         "rank·w/Σw messages over the hoisted superstep; oracle is the "
         "unrolled weighted power method in SQL.",
+    ),
+    QuerySpec(
+        name="g33_weighted_copub_ppr",
+        fn=g33_weighted_copub_ppr,
+        oracle=G33_SQL,
+        category="analytics",
+        description="Weighted personalized PageRank (seeded restart × tie-"
+        "strength messages) over the co-publication graph; oracle is the "
+        "unrolled seeded weighted power method in SQL.",
     ),
     QuerySpec(
         name="g31_kcore_doc_keyword",
