@@ -72,9 +72,34 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _ascii_checked(docs: DataFrame) -> DataFrame:
+    """Fail LOUDLY if any document text is non-ASCII.  Every attach_*
+    constructor sizes pixel/sample planes in CHARACTERS but emits
+    ``encode(..., 'UTF-8')`` BYTES, and the m02/m04/m05/m06 oracles
+    read the payload back with byte-positional ``ascii()`` arithmetic —
+    the byte==char assumption is load-bearing for all of them.  It held
+    only as a docstring promise before; this guard turns a fixture
+    charset change into an immediate raise_error at construction
+    instead of a mystery hash mismatch downstream.  One narrow JVM
+    projection — no extra scan, no Python."""
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.octet_length("text") != F.length("text"),
+            F.raise_error(
+                F.concat(
+                    F.lit("non-ASCII text breaks byte==char media sizing: doc_id="),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+        ).otherwise(F.col("text")),
+    )
+
+
 def attach_media(docs: DataFrame) -> DataFrame:
     """Synthesize a deterministic media table from documents: payload =
     UTF-8 text bytes, kind by doc_id mod 3, metadata from n_chars."""
+    docs = _ascii_checked(docs)
     d = F.col("doc_id")
     kind = F.element_at(F.array(*[F.lit(k) for k in KINDS]), (d % 3 + 1).cast("int"))
     return docs.select(
@@ -218,8 +243,10 @@ def attach_ppm_images(docs: DataFrame) -> DataFrame:
     bytes taken from the document text (repeated/truncated to length).
     Dims vary per row (w = doc_id%5+2, h = doc_id%7+2) so the decoder
     must actually parse the header — it cannot assume a shape.  All
-    construction is JVM column expressions; text is ASCII so encode()
-    is byte-per-char and the payload is SQL-derivable."""
+    construction is JVM column expressions; text must be ASCII so
+    encode() is byte-per-char and the payload is SQL-derivable
+    (enforced by ``_ascii_checked``, not assumed)."""
+    docs = _ascii_checked(docs)
     d = F.col("doc_id")
     w = (d % 5 + 2).cast("int")
     h = (d % 7 + 2).cast("int")
@@ -335,7 +362,8 @@ def attach_y4m_videos(docs: DataFrame) -> DataFrame:
     so the decoder must parse the header and walk the frame markers.
     Luma bytes continue through the document text across frames (frame
     f, pixel i = text[(f·w·h + i) mod len]) — SQL-derivable like the
-    PPM/PCM payloads."""
+    PPM/PCM payloads (byte==char enforced by ``_ascii_checked``)."""
+    docs = _ascii_checked(docs)
     d = F.col("doc_id")
     w = (d % 4 + 2).cast("int")
     h = (d % 5 + 2).cast("int")
@@ -413,7 +441,11 @@ def video_stats(media: DataFrame) -> DataFrame:
                 if not m:
                     emit(err="decode_error: not a YUV4MPEG2 stream")
                     continue
-                if b"Cmono" not in raw[: m.end()]:
+                # exact colourspace token (param boundary = whitespace):
+                # a substring test would let Cmono12/Cmono16 (multi-byte
+                # samples) slip through and be misdecoded as 8-bit luma
+                # instead of riding the dead-letter channel
+                if not _re.search(rb"\sCmono[\s\n]", raw[: m.end()]):
                     emit(err="decode_error: unsupported colourspace")
                     continue
                 w, h = int(m.group(1)), int(m.group(2))

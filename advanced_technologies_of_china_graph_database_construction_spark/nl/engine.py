@@ -171,13 +171,19 @@ def t_count_docs_by_author(g: GraphModel, author: str) -> DataFrame:
 
 
 def t_related_authors_via_keywords(g: GraphModel, author: str) -> DataFrame:
-    """Q.txt 类型六 4-hop (Q16, `Q.txt:61-63`): authors related to X
-    through shared keywords — Author → Doc → Keyword → Doc → Author,
-    ranked by how many keywords they share.  The reference compiles this
-    class only via its LLM (`neo4j_query_executor.py:240-322`); this is
-    the deterministic-planner face of the same join chain as the g16
-    gated query (semi-join funnels keep every hop's frontier narrow;
-    deterministic order + LIMIT 20 with ties broken on author name)."""
+    """Q16-STYLE 4-hop variant (Q.txt 类型六 workload class, `Q.txt:61-63`):
+    authors related to X through SHARED KEYWORDS — Author → Doc →
+    Keyword → Doc → Author, ranked by how many keywords they share.
+    NOT the reference's literal Q16 chain, which goes through COAUTHORS
+    (Author→Doc→Author→Doc→Topic plus Document.abstract); that literal
+    chain is implemented as :func:`t_coauthor_doc_topics` and is
+    provably empty on this corpus (every doc has exactly one author),
+    so the gated 4-hop face uses the keyword variant, which has real
+    rows.  The reference compiles this class only via its LLM
+    (`neo4j_query_executor.py:240-322`); this is the deterministic-
+    planner face of the same join chain as the g16 gated query
+    (semi-join funnels keep every hop's frontier narrow; deterministic
+    order + LIMIT 20 with ties broken on author name)."""
     a = g.authors.filter(F.col("name") == author)
     ea = g.edges_of(REL_AUTHORED)
     ek = g.edges_of(REL_HAS_KEYWORD)
@@ -205,6 +211,58 @@ def t_related_authors_via_keywords(g: GraphModel, author: str) -> DataFrame:
         .agg(F.countDistinct("kw").alias("n_shared_keywords"))
         .orderBy(F.desc("n_shared_keywords"), F.asc("author"))
         .limit(20)
+    )
+
+
+def t_coauthor_doc_topics(g: GraphModel, author: str) -> DataFrame:
+    """The LITERAL Q.txt Q16 chain (类型六, `Q.txt:61-63`): Author →
+    Document → Author (coauthors of X) → Document → Topic, plus a
+    content property of those documents — "与王芳合作过的作者都发表过
+    哪些领域的文献？这些文献的内容都是什么？".  The derived graph's
+    document content property is ``title`` (the TPC-H projection carries
+    no abstract), so the projection is (coauthor, topic, title).
+
+    On the shipped fixtures every document has exactly ONE author, so
+    the coauthor frontier — and therefore this template — is empty;
+    the semantics are pinned by a synthetic multi-author graph test
+    (`tests/test_nl.py`) instead of a vacuous driver gate, and the
+    gated 4-hop face is the shared-keyword variant
+    (:func:`t_related_authors_via_keywords` / g16 / n10).
+
+    Plan shape: two semi-join funnels (X's docs, then coauthor ids) keep
+    the frontier narrow; an anti-join removes X; topic and author dims
+    join last (small, broadcast-able)."""
+    a = g.authors.filter(F.col("name") == author)
+    ea = g.edges_of(REL_AUTHORED).withColumnsRenamed(
+        {"src": "co_id", "dst": "doc_id"}
+    )
+    my_docs = (
+        g.edges_of(REL_AUTHORED)
+        .join(F.broadcast(a), F.col("src") == a.author_id, "left_semi")
+        .select(F.col("dst").alias("doc_id"))
+    )
+    co = (
+        ea.join(my_docs, "doc_id", "left_semi")
+        .join(F.broadcast(a), F.col("co_id") == a.author_id, "left_anti")
+        .select("co_id")
+        .distinct()
+    )
+    co_docs = ea.join(co, "co_id")
+    et = g.edges_of(REL_HAS_TOPIC).withColumnsRenamed(
+        {"src": "doc_id", "dst": "topic_id"}
+    )
+    topics = g.topics.withColumnsRenamed({"name": "topic"})
+    coauthors = g.authors.withColumnsRenamed(
+        {"author_id": "co_id", "name": "coauthor"}
+    )
+    return (
+        co_docs.join(et, "doc_id")
+        .join(topics, "topic_id")
+        .join(g.docs, "doc_id")
+        .join(coauthors, "co_id")
+        .select("coauthor", "topic", "title")
+        .distinct()
+        .orderBy("coauthor", "topic", "title")
     )
 
 
@@ -236,6 +294,7 @@ TEMPLATES: dict[str, Callable[..., DataFrame]] = {
     "coauthors_of": t_coauthors_of,
     "cooccurring_keywords": t_cooccurring_keywords,
     "related_authors_via_keywords": t_related_authors_via_keywords,
+    "coauthor_doc_topics": t_coauthor_doc_topics,
     "count_docs_by_author": t_count_docs_by_author,
     "org_topics": t_org_topics,
 }

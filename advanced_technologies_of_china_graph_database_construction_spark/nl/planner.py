@@ -48,10 +48,16 @@ _RULES: list[tuple[re.Pattern, str, tuple[str, ...]]] = [
      "count_docs_by_author", ("author",)),
     (re.compile(r"did .*write|is .*author of|是不是.*作者|是否.*作者"),
      "author_wrote_doc", ("author", "title")),
+    # literal Q16 chain (类型六): fields/topics of COAUTHORS' documents —
+    # must precede the plain coauthors rule, which also matches 合作
+    (re.compile(r"(co-?author|collaborat|合作).{0,40}(fields?|areas?|topics?|领域)"
+                r"|(fields?|areas?|topics?|领域).{0,40}(co-?author|collaborat|合作)"),
+     "coauthor_doc_topics", ("author",)),
     (re.compile(r"co-?authors?|collaborat|合作者|合著"), "coauthors_of", ("author",)),
     (re.compile(r"co-?occur|related keywords?|相关关键词|共现"),
      "cooccurring_keywords", ("keyword",)),
-    # Q.txt 类型六 4-hop (Q16): authors related through shared keywords
+    # Q16-STYLE 4-hop variant (类型六 class): authors related through
+    # shared keywords — the literal Q16 coauthor chain is the rule above
     (re.compile(r"(same|shared|相同|共享).{0,30}(keywords?|topics?|关键词|主题)"
                 r"|related authors?|similar authors?|相关作者"),
      "related_authors_via_keywords", ("author",)),

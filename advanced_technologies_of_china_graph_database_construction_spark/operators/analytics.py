@@ -36,6 +36,52 @@ def symmetric_edges(pairs: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     return fwd.unionByName(rev)
 
 
+def _hoisted_edge_frame(
+    edges: DataFrame, weight: str | None
+) -> tuple[DataFrame, DataFrame]:
+    """(hoisted_edges, deg): the iteration-invariant superstep input
+    shared by ``pagerank`` and ``personalized_pagerank`` (r5, measured
+    g25 6.7 → 3.4 s, g24 ~4.9 → 3.8 s at sf0.1).
+
+    The (weighted) out-degree is static across iterations, so it is
+    folded into the edge frame ONCE instead of a second per-iteration
+    join, and the frame is pre-partitioned on the scatter key (``src``)
+    so every iteration's edges⋈ranks join reuses that layout — only the
+    |V| rank vector shuffles per round, never the |E| side.
+
+    The frame is PERSISTED (materialized via count), not
+    localCheckpointed: under AQE, ``localCheckpoint`` wraps the result
+    in a LogicalRDD whose output partitioning is
+    ``UnknownPartitioning`` (the AdaptiveSparkPlanExec parent hides the
+    final plan's partitioning at capture time — measured on this
+    build's Spark: every checkpointed repartition variant reports
+    Unknown, and the in-loop join then RE-EXCHANGED the |E| side each
+    iteration, defeating the hoist it was documented to enable).  An
+    InMemoryRelation keeps the cached plan's partitioning visible to
+    EnsureRequirements, so the loop join inserts no edge-side exchange
+    (`tests/test_plan_quality.py` pins the exchange-free edge side of a
+    live in-loop iteration plan).  Lineage growth — the reason the
+    ITERATED rank vector must checkpoint — doesn't apply here: the
+    edge frame is built once and only read in the loop.  Callers
+    unpersist it after their final superstep is materialized.
+
+    ``deg`` is checkpointed because two separately-materialized
+    lineages consume it (the edge fold and the callers' has_out flags).
+    Callers must have applied their weight-validity filter already."""
+    wcol = F.col(weight).cast("double") if weight else F.lit(1.0)
+    deg = (
+        edges.groupBy("src").agg(F.sum(wcol).alias("outdeg")).localCheckpoint(eager=True)
+    )
+    hoisted = (
+        edges.withColumn("__w", wcol)
+        .join(deg, "src")
+        .repartition("src")
+        .persist()
+    )  # (src, dst, __w, outdeg), hash-partitioned by src for the loop
+    hoisted.count()  # materialize the cache before the loop reads it
+    return hoisted, deg
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 3,
@@ -55,8 +101,11 @@ def pagerank(
     otherwise produce 0/0 = NaN messages that poison every downstream
     rank, and a NULL weight would silently leak its node's mass (null
     messages skip the sum while has_out still blocks redistribution).
-    A node whose every edge drops becomes dangling, handled by the
-    chosen ``dangling`` mode.
+    The node set is derived from the POST-filter edges, so a node whose
+    every incident edge is dropped leaves the graph entirely (no rank
+    row) — a zero-strength node is no node, consistent with the edges
+    themselves; a node that keeps ≥1 in-edge but loses all out-edges
+    becomes dangling, handled by the chosen ``dangling`` mode.
 
     Node set = sources ∪ destinations.  ``dangling`` controls nodes
     without out-edges:
@@ -82,12 +131,11 @@ def pagerank(
     # g24 2.3 → 1.5 s at sf0.01.
     #
     # Iteration-invariant work is hoisted OUT of the loop (r5, measured
-    # g25 6.7 → 3.4 s, g24 ~4.9 → 3.8 s at sf0.1): outdeg is static, so it is folded into
-    # the edge frame once instead of a second per-iteration join; the
-    # edge frame is pre-partitioned on the scatter key so every
-    # iteration's edges⋈ranks join reuses that layout (localCheckpoint
-    # preserves outputPartitioning) and only the |V| rank vector
-    # shuffles — the |E| side never moves again; the dangling-mass
+    # g25 6.7 → 3.4 s, g24 ~4.9 → 3.8 s at sf0.1): outdeg is static, so
+    # it is folded into the edge frame once instead of a second
+    # per-iteration join; the edge frame is src-partitioned and CACHED
+    # (see _hoisted_edge_frame for why persist, not localCheckpoint) so
+    # only the |V| rank vector shuffles per round; the dangling-mass
     # reduction reads a precomputed has_out flag carried on the rank
     # vector instead of running an |V|⋈|V| anti-join per iteration.
     if weight:
@@ -103,14 +151,7 @@ def pagerank(
     if n == 0:
         # empty graph: empty ranks, not a 1/n division crash
         return nodes.select("node", F.lit(0.0).alias("pagerank"))
-    wcol = F.col(weight).cast("double") if weight else F.lit(1.0)
-    deg = edges.groupBy("src").agg(F.sum(wcol).alias("outdeg")).localCheckpoint(eager=True)
-    edges = (
-        edges.withColumn("__w", wcol)
-        .join(deg, "src")
-        .repartition("src")
-        .localCheckpoint(eager=True)
-    )  # (src, dst, __w, outdeg), hash-partitioned by src for the loop
+    edges, deg = _hoisted_edge_frame(edges, weight)
     nodes = nodes.join(
         deg.select(F.col("src").alias("node"), F.lit(True).alias("has_out")),
         "node",
@@ -150,6 +191,7 @@ def pagerank(
                 (base + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))).alias("rank"),
             )
         ranks = ranks.localCheckpoint(eager=True)
+    edges.unpersist()  # final superstep is checkpointed; cache no longer needed
     return ranks.select("node", F.round("rank", 6).alias("pagerank"))
 
 
@@ -204,20 +246,10 @@ def personalized_pagerank(
         .unionByName(sdf.select("node"))
         .distinct()
     )
-    # Iteration-invariant hoisting, same as pagerank: outdeg folded into
-    # the src-partitioned edge frame (only the rank vector shuffles per
-    # round); dangling mass reads the precomputed has_out flag.  deg is
-    # checkpointed because TWO separately-materialized lineages consume
-    # it (the edge fold and the has_out flags) — unmaterialized it would
-    # re-run the |E| aggregation once per consumer.
-    wcol = F.col(weight).cast("double") if weight else F.lit(1.0)
-    deg = edges.groupBy("src").agg(F.sum(wcol).alias("outdeg")).localCheckpoint(eager=True)
-    edges = (
-        edges.withColumn("__w", wcol)
-        .join(deg, "src")
-        .repartition("src")
-        .localCheckpoint(eager=True)
-    )
+    # Iteration-invariant hoisting, same as pagerank (see
+    # _hoisted_edge_frame); dangling mass reads the precomputed has_out
+    # flag instead of an |V|⋈|V| anti-join per iteration.
+    edges, deg = _hoisted_edge_frame(edges, weight)
     nodes_r = (
         nodes.join(F.broadcast(sdf), "node", "left")
         .join(
@@ -257,6 +289,7 @@ def personalized_pagerank(
                 ).alias("rank"),
             )
         ).localCheckpoint(eager=True)
+    edges.unpersist()  # final superstep is checkpointed; cache no longer needed
     return ranks.select("node", F.round("rank", 6).alias("ppr"))
 
 
@@ -275,7 +308,12 @@ def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     with a fixed round count both engines see the same oscillation,
     which is exactly what the gate needs.
     """
-    edges = edges.localCheckpoint(eager=True)  # superstep pattern, see pagerank
+    # Scatter-key cache, not checkpoint: the loop joins on edges.src
+    # every round and AQE hides a checkpointed frame's partitioning
+    # (see _hoisted_edge_frame) — persist keeps the layout visible so
+    # only the |V| label vector shuffles per round.
+    edges = edges.repartition("src").persist()
+    edges.count()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -294,6 +332,7 @@ def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
         labels = nodes.join(winner, "node", "left").select(
             "node", F.coalesce(winner.label, F.col("node")).alias("label")
         ).localCheckpoint(eager=True)
+    edges.unpersist()  # final labels are checkpointed; cache no longer needed
     return labels
 
 
@@ -349,8 +388,12 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    e_src = edges.repartition("src").localCheckpoint(eager=True)
-    e_dst = edges.repartition("dst").localCheckpoint(eager=True)
+    # Persist (not localCheckpoint): AQE hides a checkpointed frame's
+    # partitioning and the loop joins would re-exchange |E| per
+    # half-step — see _hoisted_edge_frame.
+    e_src = edges.repartition("src").persist()
+    e_dst = edges.repartition("dst").persist()
+    e_src.count(), e_dst.count()  # materialize both caches pre-loop
     hub = nodes.withColumn("hub", F.lit(1.0))
     for _ in range(n_iter):
         a_raw = (
@@ -369,6 +412,8 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
         hub = nodes.join(h_raw, "node", "left").select(
             "node", F.coalesce("__h", F.lit(0.0)).alias("hub")
         ).localCheckpoint(eager=True)
+    e_src.unpersist()  # hub/auth are checkpointed; caches no longer needed
+    e_dst.unpersist()
     asum = auth.agg(F.sum("a").alias("__as"))
     hsum = hub.agg(F.sum("hub").alias("__hs"))
     return (
@@ -472,7 +517,11 @@ def bfs_distances(
     rather than monotonically improved).  Terminates in ≤ diameter+1
     rounds.
     """
-    edges = edges.localCheckpoint(eager=True)  # superstep pattern, see pagerank
+    # Scatter-key cache, not checkpoint — see _hoisted_edge_frame: the
+    # relax step joins on edges.src every round; the cached layout keeps
+    # the |E| side exchange-free so only the |V| dist vector shuffles.
+    edges = edges.repartition("src").persist()
+    edges.count()
     dist = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -515,4 +564,5 @@ def bfs_distances(
     else:
         for _ in range(max_hops):
             dist = relax(dist)
+    edges.unpersist()  # dist is checkpointed per relax; cache no longer needed
     return dist.filter(F.col("dist").isNotNull())

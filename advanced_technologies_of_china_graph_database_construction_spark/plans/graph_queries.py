@@ -385,7 +385,10 @@ GROUP BY t.name
 
 
 def g16_related_authors_via_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 4-hop: Author → Doc → Keyword → Doc → Author (Q.txt Q16 shape).
+    # 4-hop: Author → Doc → Keyword → Doc → Author — a Q16-STYLE variant
+    # of the 类型六 class (the literal Q16 chain routes through coauthors
+    # and is empty on single-author fixtures; see
+    # nl/engine.t_coauthor_doc_topics for the literal chain).
     # ONE implementation of the join chain: the NL-facing template owns
     # it (nl/engine.t_related_authors_via_keywords, the n10 spec), and
     # the direct query delegates — the n10-vs-g16 gate equality is then
@@ -532,7 +535,8 @@ SPECS = [
     QuerySpec("g14_copublishing_orgs", g14_copublishing_orgs, G14_SQL, "graph", "类型五: co-publishing orgs (J7)"),
     QuerySpec("g15_org_topics", g15_org_topics, G15_SQL, "graph", "类型六: 3-hop org→doc→topic (J8)"),
     QuerySpec("g16_related_authors_via_keywords", g16_related_authors_via_keywords, G16_SQL, "graph",
-              "类型六: 4-hop author→doc→kw→doc→author (J8)", bench=True),
+              "类型六: 4-hop author→doc→kw→doc→author (J8; Q16-style keyword "
+              "variant, literal coauthor chain empty on fixture)", bench=True),
     QuerySpec("g17_alias_expanded_docs", g17_alias_expanded_docs, G17_SQL, "graph", "J9 alias expansion"),
     QuerySpec("g18_fulltext_and", g18_fulltext_and, G18_SQL, "graph", "fallback AND-of-terms (P8/J10)"),
     QuerySpec("g19_fulltext_or", g19_fulltext_or, G19_SQL, "graph", "fallback OR-of-terms regex (P9)"),

@@ -211,9 +211,13 @@ def n09_http_answer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Q.txt 类型六 4-hop (Q16) through the NL path — the last workload class
-# the deterministic planner compiles (the reference reaches it only via
-# its LLM, `neo4j_query_executor.py:240-322`).  Gated against the same
+# Q16-STYLE 4-hop variant (Q.txt 类型六 class) through the NL path — the
+# last workload class the deterministic planner compiles (the reference
+# reaches it only via its LLM, `neo4j_query_executor.py:240-322`).  The
+# chain here is shared-KEYWORD related authors, not the literal Q16
+# coauthor chain (Author→Doc→Author→Doc→Topic + abstract): that chain is
+# empty on single-author fixtures, so it lives as the unit-tested
+# `nl/engine.t_coauthor_doc_topics` template.  Gated against the same
 # oracle as the direct-DataFrame g16 spec: the template's ORDER BY
 # (score desc, author asc) + LIMIT 20 is deterministic, so the full
 # template result is compared (the n08 pattern — serving LIMIT 10 is
@@ -345,8 +349,10 @@ SPECS = [
         fn=n10_nl_related_authors,
         oracle=G16_SQL,
         category="nl",
-        description="Q1+Q2: 4-hop related-authors question (Q.txt 类型六 Q16, "
-        "the class the reference compiles only via LLM) through the "
+        description="Q1+Q2: 4-hop related-authors question (Q16-style 类型六 "
+        "variant via shared keywords — the literal coauthor chain is empty "
+        "on single-author fixtures; the class the reference compiles only "
+        "via LLM) through the "
         "deterministic NL planner; full ordered top-20 gated against the g16 "
         "oracle (the n08 pattern).",
     ),

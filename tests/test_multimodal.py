@@ -127,6 +127,38 @@ def test_y4m_decode_error_channel(spark):
     assert "no frames" in got[5]
 
 
+def test_y4m_multibyte_colourspace_rides_dead_letter(spark):
+    """Cmono12/Cmono16 are multi-byte-per-sample streams: the guard
+    must match the colourspace TOKEN exactly, not the substring — a
+    substring test would silently misdecode them as 8-bit luma."""
+    rows = [
+        (1, b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 Cmono12\n" + b"FRAME\n" + b"\x00" * 8),
+        (2, b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 Cmono16\n" + b"FRAME\n" + b"\x00" * 8),
+        (3, b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 Cmono\n" + b"FRAME\n" + b"\x08" * 4),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in mm.video_stats(df).collect()}
+    assert "colourspace" in got[1]["error"]
+    assert "colourspace" in got[2]["error"]
+    assert got[3]["error"] is None and got[3]["mean_luma"] == 8.0
+
+
+def test_non_ascii_text_fails_loudly_at_attach(spark):
+    """The byte==char sizing assumption is ENFORCED, not assumed: a
+    non-ASCII document text must raise at construction (m02/m04/m05/m06
+    oracles read payloads with byte-positional ascii() arithmetic)."""
+    import pytest as _pytest
+
+    # ids chosen to survive each constructor's doc_id%3 selection filter
+    docs = spark.createDataFrame(
+        [(0, "café text", 9), (2, "naïve", 5)],
+        "doc_id long, text string, n_chars long",
+    )
+    for attach in (mm.attach_media, mm.attach_ppm_images, mm.attach_y4m_videos):
+        with _pytest.raises(Exception, match="non-ASCII"):
+            attach(docs).collect()
+
+
 def test_zero_dimension_payloads_ride_dead_letter(spark):
     """A zero-dim header parses (\\d+ matches '0') but has no pixels —
     it must land in the error channel, never a ZeroDivisionError that

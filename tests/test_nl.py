@@ -573,3 +573,67 @@ def test_append_turn_is_atomic(tmp_path):
     with pytest.raises(sqlite3.IntegrityError):
         h.append_turn("s2", "q", None, 5, 6)  # type: ignore[arg-type]
     assert h.list_chats() == [("s1", "q1")]
+
+
+def test_literal_q16_planner_intent():
+    """The literal Q16 coauthor-chain phrasing routes to the literal
+    template, not the shared-keyword variant or plain coauthors_of."""
+    for q in (
+        '与"Customer#000000001"合作过的作者都发表过哪些领域的文献？',
+        'What fields do coauthors of "Customer#000000001" publish in?',
+    ):
+        p = planner.plan(q)
+        assert p.template == "coauthor_doc_topics"
+        assert p.params == {"author": "Customer#000000001"}
+
+
+def test_literal_q16_chain_on_synthetic_multi_author_graph(spark):
+    """The literal Q.txt Q16 chain (Author→Doc→Author→Doc→Topic +
+    content property) — pinned on a SYNTHETIC multi-author graph,
+    because the shipped fixture gives every doc exactly one author and
+    the coauthor frontier is empty there (which is why the gated 4-hop
+    spec is the shared-keyword variant).
+
+    Graph: alice & bob coauthor d1; bob also wrote d2 (topic T2, title
+    DOC-2); carol wrote d3 alone.  Coauthors of alice = {bob}; bob's
+    docs = {d1, d2} with topics {T1, T2} — so the chain returns both
+    (bob, T1, DOC-1) and (bob, T2, DOC-2), and nothing from carol."""
+    from pyspark.sql import functions as F
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.graph import (
+        REL_AUTHORED,
+        REL_HAS_TOPIC,
+        GraphModel,
+    )
+
+    authors = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, "carol")], "author_id long, name string"
+    )
+    docs = spark.createDataFrame(
+        [(10, "DOC-1"), (20, "DOC-2"), (30, "DOC-3")], "doc_id long, title string"
+    )
+    topics = spark.createDataFrame(
+        [(100, "T1"), (200, "T2")], "topic_id long, name string"
+    )
+    edges = spark.createDataFrame(
+        [
+            (1, 10, REL_AUTHORED),  # alice -> d1
+            (2, 10, REL_AUTHORED),  # bob   -> d1 (coauthored)
+            (2, 20, REL_AUTHORED),  # bob   -> d2
+            (3, 30, REL_AUTHORED),  # carol -> d3 (no coauthors)
+            (10, 100, REL_HAS_TOPIC),
+            (20, 200, REL_HAS_TOPIC),
+            (30, 100, REL_HAS_TOPIC),
+        ],
+        "src long, dst long, rel_type string",
+    )
+    empty = spark.createDataFrame([], "id long, name string")
+    g = GraphModel(
+        docs=docs, authors=authors, keywords=empty, orgs=empty,
+        addresses=empty, topics=topics, edges=edges,
+        kw_alias=spark.createDataFrame([], "keyword_id long, canonical_id long"),
+    )
+    got = [tuple(r) for r in engine.t_coauthor_doc_topics(g, "alice").collect()]
+    assert got == [("bob", "T1", "DOC-1"), ("bob", "T2", "DOC-2")]
+    # single-author node: empty chain, not an error
+    assert engine.t_coauthor_doc_topics(g, "carol").count() == 0

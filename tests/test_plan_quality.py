@@ -429,19 +429,70 @@ def test_media_decoders_never_shuffle_payload(spark):
 
 
 def test_pagerank_iteration_shuffles_rank_vector_not_edges(spark):
-    """The hoisted superstep: the edge frame enters the loop already
-    hash-partitioned by src (captured by localCheckpoint), so one
-    iteration's plan contains no Exchange of the wide edge relation —
-    the only exchanges move the |V|-sized rank/message vectors."""
+    """The hoisted superstep, asserted on the IN-LOOP plan: pagerank
+    eagerly localCheckpoints every superstep, so the RETURNED frame's
+    executed plan is just a scan over the last checkpoint and can never
+    contain an edge Exchange, hoisted or not (the pre-r6 version of
+    this test asserted on that plan — vacuously).  Instead this builds
+    the hoisted edge frame via the shared helper and one iteration's
+    msgs→sums plan WITHOUT the trailing checkpoint, then asserts:
+
+    1. the edge side of the join reads the persisted, src-partitioned
+       cache (InMemoryTableScan — the hoist's delivery mechanism: under
+       AQE a localCheckpoint reports UnknownPartitioning and the loop
+       would re-exchange |E| per round, which is exactly what r5's
+       version silently did);
+    2. the live iteration plan inserts no exchange on src above the
+       cache — the only exchange in the outer plan moves the |V|-sized
+       message vector (hashpartitioning on the gather key) into the
+       groupBy.  The cache-BUILD plan nested inside InMemoryRelation
+       legitimately contains the one-time src exchanges (the deg fold
+       join), so assertions run on the OUTER region only — everything
+       printed before the nested InMemoryRelation subtree, which covers
+       the aggregate, its exchange, the join, and the edge-side scan;
+    3. the plan really contains the join + aggregate (guards against
+       this test going vacuous again if the loop body changes shape).
+
+    Broadcast is disabled for the probe: the production rank vector is
+    |V|-sized (not broadcast-able), and a broadcast join here would
+    hide the partitioning question entirely.
+    """
     from pyspark.sql import functions as F
 
-    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import pagerank
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import (
+        _hoisted_edge_frame,
+    )
 
-    edges = spark.createDataFrame(
-        [(i, (i * 7 + 1) % 50) for i in range(200)], "src long, dst long"
-    ).filter("src <> dst")
-    ranks = pagerank(edges, n_iter=1)
-    plan = _plan(ranks)
-    # the checkpointed edge scan must already report hash partitioning
-    # by src rather than being re-exchanged inside the iteration
-    assert "Exchange hashpartitioning(src" not in plan, plan
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = spark.createDataFrame(
+            [(i, (i * 7 + 1) % 50) for i in range(200)], "src long, dst long"
+        ).filter("src <> dst")
+        hoisted, deg = _hoisted_edge_frame(edges.localCheckpoint(eager=True), None)
+        nodes = (
+            hoisted.select(F.col("src").alias("node"))
+            .unionByName(hoisted.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        ranks = nodes.withColumn("rank", F.lit(1.0 / 50))
+        # one loop body, NOT checkpointed — the live superstep plan
+        sums = (
+            hoisted.join(ranks, hoisted.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") * F.col("__w") / F.col("outdeg")).alias("m"),
+            )
+            .groupBy("node")
+            .agg(F.sum("m").alias("m"))
+        )
+        outer = _plan(sums).split("InMemoryRelation")[0]
+        assert "Join" in outer and "Aggregate" in outer, outer  # non-vacuity
+        assert "InMemoryTableScan" in outer, outer  # edge side reads the cache
+        # |E| side never re-exchanged inside the loop
+        assert "Exchange hashpartitioning(src" not in outer, outer
+        assert "Exchange hashpartitioning(node" in outer, outer  # the |V| shuffle
+        hoisted.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
