@@ -494,41 +494,70 @@ def k_core(
 
 
 def bfs_distances(
-    edges: DataFrame, source, max_hops: int = 4, until_converged: bool = False
+    edges: DataFrame,
+    source,
+    max_hops: int = 4,
+    until_converged: bool = False,
+    weight: str | None = None,
 ) -> DataFrame:
-    """(node, dist): length of the shortest directed path from
-    ``source`` to every node reachable within ``max_hops`` — the
-    Pregel BFS / k-hop-neighborhood primitive behind reach queries
+    """(node, dist): shortest directed path from ``source`` to every
+    node reachable within ``max_hops`` relaxation rounds — the Pregel
+    BFS / k-hop-neighborhood primitive behind reach queries
     ("everything within 3 hops of this entity").
+
+    ``weight`` names an edge-weight column and switches the relaxation
+    to MIN-PLUS (Bellman-Ford supersteps): cand = dist(src) + w instead
+    of dist + 1, so ``dist`` becomes the cheapest total weight over
+    paths of ≤ ``max_hops`` edges (double; hop counts stay int when
+    unweighted).  NULL and non-positive weights are DROPPED up front —
+    the same guard as ``pagerank``: a NULL weight would propagate NULL
+    distances through least(), and a non-positive weight breaks both
+    termination (negative cycles) and the monotone convergence
+    argument, neither of which a distributed fixed-point should accept
+    silently.  A node whose every edge drops leaves the graph, exactly
+    like pagerank's contract.
 
     Each round relaxes the frontier with one edges⋈dist join and folds
     it in with a min-aggregate — distances only ever decrease, so a
-    fixed round count yields exact ≤``max_hops`` distances.  Plan per
-    round: one join + one groupBy min (two shuffles), same superstep
-    budget as ``pagerank``; the fixed hop bound keeps the operator
-    deterministic and SQL-oracle-able as unrolled iterations.
+    fixed round count yields exact ≤``max_hops``-edge distances.  Plan
+    per round: one join + one groupBy min (two shuffles), same
+    superstep budget as ``pagerank``; the fixed hop bound keeps the
+    operator deterministic and SQL-oracle-able as unrolled iterations
+    (g27 unweighted, g34 weighted).
 
     ``until_converged=True`` relaxes to EXACT whole-graph distances
-    (``max_hops`` is then ignored): distances only ever DECREASE and
-    the reached set only GROWS, so the pair (reached count, total
-    distance) is an exact monotone convergence witness — equal across
-    a round ⇔ nothing changed (no probabilistic hash needed; compare
-    connected_components' fingerprint, whose edge set is rewritten
-    rather than monotonically improved).  Terminates in ≤ diameter+1
-    rounds.
+    (``max_hops`` is then ignored).  Witnesses differ by mode:
+
+    - unweighted: distances only DECREASE and the reached set only
+      GROWS, so the pair (reached count, total distance) — exact
+      integers — is an exact monotone witness: equal across a round ⇔
+      nothing changed.  Terminates in ≤ diameter+1 rounds.
+    - weighted: the same pair is monotone in exact arithmetic, but the
+      total is now a FLOAT SUM whose value depends on aggregation
+      order — two evaluations of identical data can differ in the last
+      ulp, so pair equality is not a sound fixpoint test.  The witness
+      is instead the exact count of nodes whose dist changed this
+      round (one |V| self-join; 0 ⇔ fixpoint).  With positive weights
+      Bellman-Ford converges in ≤ |V|−1 rounds.
     """
+    if weight:
+        edges = edges.filter(F.col(weight).isNotNull() & (F.col(weight) > 0))
     # Scatter-key cache, not checkpoint — see _hoisted_edge_frame: the
     # relax step joins on edges.src every round; the cached layout keeps
     # the |E| side exchange-free so only the |V| dist vector shuffles.
-    edges = edges.repartition("src").persist()
+    step = F.col(weight).cast("double") if weight else F.lit(1)
+    edges = (
+        edges.select("src", "dst", step.alias("__step")).repartition("src").persist()
+    )
     edges.count()
+    zero = F.lit(0.0) if weight else F.lit(0)
     dist = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
         .select(
             "node",
-            F.when(F.col("node") == F.lit(source), F.lit(0)).alias("dist"),
+            F.when(F.col("node") == F.lit(source), zero).alias("dist"),
         )
     )
 
@@ -536,7 +565,10 @@ def bfs_distances(
         relaxed = (
             edges.join(d, edges.src == d.node)
             .filter(F.col("dist").isNotNull())
-            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("cand"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("__step")).alias("cand"),
+            )
             .groupBy("node")
             .agg(F.min("cand").alias("cand"))
         )
@@ -552,15 +584,31 @@ def bfs_distances(
         ).first()
         return (row["reached"], row["total"])
 
+    def n_changed(prev: DataFrame, cur: DataFrame) -> int:
+        p = prev.select("node", F.col("dist").alias("__pd"))
+        return (
+            cur.join(p, "node")
+            .filter(~F.col("dist").eqNullSafe(F.col("__pd")))
+            .count()
+        )
+
     if until_converged:
         dist = dist.localCheckpoint(eager=True)
-        prev = witness(dist)
-        while True:
-            dist = relax(dist)
-            cur = witness(dist)
-            if cur == prev:
-                break
-            prev = cur
+        if weight:
+            while True:
+                nxt = relax(dist)
+                if n_changed(dist, nxt) == 0:
+                    dist = nxt
+                    break
+                dist = nxt
+        else:
+            prev = witness(dist)
+            while True:
+                dist = relax(dist)
+                cur = witness(dist)
+                if cur == prev:
+                    break
+                prev = cur
     else:
         for _ in range(max_hops):
             dist = relax(dist)

@@ -491,6 +491,54 @@ G33_SQL = (
 )
 
 
+# --------------------------------- g34 weighted shortest paths ---------
+
+def g34_weighted_reach_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (min-plus Bellman-Ford
+    supersteps, ≤ MAX_HOPS relaxation rounds) from the smallest org
+    over the co-publication graph with the SHARED-DOCUMENT COUNT as
+    edge weight — the weighted-traversal primitive completing the
+    weighted family (g32 weighted PR, g33 weighted PPR).  dist is the
+    cheapest total weight over paths of ≤4 edges; integer weights cast
+    to double keep the arithmetic exact on both engines.  The edge set
+    is materialized once (the g25/g33 pattern) so the source lookup
+    doesn't re-run the co-occurrence join."""
+    from ..operators.analytics import bfs_distances
+
+    pairs = _copub_pairs(spark, sf_dir).withColumnRenamed("shared", "w")
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint(eager=True)
+    source = edges.agg(F.min("src")).first()[0]
+    d = bfs_distances(edges, source, MAX_HOPS, weight="w")
+    return d.select(F.col("node").alias("org_id"), F.round("dist", 6).alias("dist"))
+
+
+def _g34_iter_ctes(k: int) -> str:
+    prev = f"d{k - 1}"
+    return f"""
+rx{k} AS MATERIALIZED (
+  SELECT e.dst AS node, min(d.dist + CAST(e.w AS DOUBLE)) AS cand
+  FROM wedges e JOIN {prev} d ON e.src = d.node
+  WHERE d.dist IS NOT NULL GROUP BY e.dst),
+d{k} AS MATERIALIZED (
+  SELECT d.node, least(d.dist, r.cand) AS dist
+  FROM {prev} d LEFT JOIN rx{k} r ON d.node = r.node)
+"""
+
+
+G34_SQL = (
+    _G32_CTES
+    + """, d0 AS (
+  SELECT node,
+         CASE WHEN node = (SELECT min(src) FROM wedges)
+              THEN CAST(0 AS DOUBLE) END AS dist
+  FROM nodes),"""
+    + ",".join(_g34_iter_ctes(k) for k in range(1, MAX_HOPS + 1))
+    + f"\nSELECT node AS org_id, round(dist, 6) AS dist FROM d{MAX_HOPS} WHERE dist IS NOT NULL"
+)
+
+
 # --------------------------------------- g31 bipartite k-core ----------
 
 # The co-publication graph is EMPTY at sf0.1 (MIN_SHARED=30 sits past
@@ -650,6 +698,15 @@ SPECS = [
         description="Weighted personalized PageRank (seeded restart × tie-"
         "strength messages) over the co-publication graph; oracle is the "
         "unrolled seeded weighted power method in SQL.",
+    ),
+    QuerySpec(
+        name="g34_weighted_reach_distances",
+        fn=g34_weighted_reach_distances,
+        oracle=G34_SQL,
+        category="analytics",
+        description="Weighted SSSP: min-plus Bellman-Ford supersteps over the "
+        "co-publication graph with shared-doc-count weights (≤4 relaxation "
+        "rounds); oracle is the unrolled min-plus relaxation in SQL.",
     ),
     QuerySpec(
         name="g31_kcore_doc_keyword",

@@ -455,3 +455,73 @@ def test_weighted_ppr_uniform_weights_match_unweighted(spark):
     }
     assert uni == wuni
     assert abs(sum(wuni.values()) - 1.0) < 1e-4
+
+
+def _bellman_ford_ref(edges, source, rounds=None):
+    """Python min-plus reference: rounds=None relaxes to fixpoint."""
+    nodes = {u for u, _, _ in edges} | {v for _, v, _ in edges}
+    dist = {n: (0.0 if n == source else None) for n in nodes}
+    k = 0
+    while rounds is None or k < rounds:
+        changed = False
+        nxt = dict(dist)
+        for u, v, w in edges:
+            if dist[u] is not None and (nxt[v] is None or dist[u] + w < nxt[v]):
+                nxt[v] = dist[u] + w
+                changed = True
+        dist = nxt
+        k += 1
+        if rounds is None and not changed:
+            break
+    return {n: d for n, d in dist.items() if d is not None}
+
+
+def test_weighted_sssp_matches_reference(spark):
+    """Min-plus relaxation vs a Python Bellman-Ford on a graph where
+    the cheap path has MORE hops than the direct edge (1→2→3→4 costs 3,
+    direct 1→4 costs 10) — so the fixed-hop mode must improve across
+    rounds and the weighted answer must differ from hop-count BFS."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import bfs_distances
+
+    rows = [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (1, 4, 10.0), (4, 5, 2.0)]
+    df = spark.createDataFrame(rows, "src long, dst long, w double")
+    for hops in (1, 2, 4):
+        got = {
+            r["node"]: r["dist"]
+            for r in bfs_distances(df, 1, max_hops=hops, weight="w").collect()
+        }
+        assert got == _bellman_ford_ref(rows, 1, rounds=hops), hops
+    exact = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(df, 1, until_converged=True, weight="w").collect()
+    }
+    assert exact == _bellman_ford_ref(rows, 1)
+    assert exact[4] == 3.0 and exact[5] == 5.0  # cheap 3-hop beats direct edge
+
+
+def test_weighted_sssp_drops_nonpositive_and_null_weights(spark):
+    """NULL/non-positive weights are dropped up front (the pagerank
+    guard): a zero-weight edge must not create a free path and a NULL
+    must not poison least()."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import bfs_distances
+
+    rows = [(1, 2, 2.0), (2, 3, 0.0), (2, 4, None), (2, 5, 1.0)]
+    df = spark.createDataFrame(rows, "src long, dst long, w double")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(df, 1, until_converged=True, weight="w").collect()
+    }
+    # 3 and 4 are unreachable once their only in-edges drop; 4 even
+    # leaves the node set (its only incident edge was dropped)
+    assert got == {1: 0.0, 2: 2.0, 5: 3.0}
+
+
+def test_unweighted_bfs_unchanged_by_weight_generalization(spark):
+    """weight=None keeps the original integer hop-count contract."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import bfs_distances
+
+    rows = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = {r["node"]: r["dist"] for r in bfs_distances(df, 1, max_hops=4).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 1}
+    assert all(isinstance(v, int) for v in got.values())
