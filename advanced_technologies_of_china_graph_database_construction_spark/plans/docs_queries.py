@@ -1705,6 +1705,61 @@ FROM documents GROUP BY source
 """
 
 
+# -------------------------------------- d35 heavy-hitters contract -------
+
+D35_TOP_K = 20
+D35_SUPPORT = 0.001  # freq_items minimum support (Spark floor is 1e-4)
+
+
+def d35_heavy_hitters_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate frequent-items at 100 TB — the skew-audit primitive
+    that pairs with ``operators/skew.py``: before salting a join you
+    need to KNOW the heavy keys, and an exact per-key count of a
+    100 TB key column is a full shuffle, while Spark's ``freqItems``
+    (Karp–Shenker–Papadimitriou one-pass counting) is a bounded-size
+    per-partition summary merged without shuffling per-key counts.
+
+    The d30/d34 contract pattern: the exact top-K words (deterministic
+    ties → word asc) ship alongside a boolean asserting the sketch's
+    one-sided guarantee — every item with frequency > support·n MUST
+    appear in the sketch result (no false negatives; false positives
+    are allowed and irrelevant here).  Words at or under the support
+    line are outside the guarantee, so the contract is
+    ``n <= support·total OR word ∈ sketch`` — deterministically TRUE by
+    the algorithm, which is exactly what makes it gate-able (the
+    sketch's item LIST is merge-order-dependent and never shipped)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(textops.nonempty_tokens(F.col("text"))).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
+    sketch = words.stat.freqItems(["word"], D35_SUPPORT)  # 1-row array summary
+    top = counts.orderBy(F.desc("n"), "word").limit(D35_TOP_K)
+    return (
+        top.crossJoin(F.broadcast(sketch))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "word",
+            "n",
+            (
+                (F.col("n") <= F.lit(D35_SUPPORT) * F.col("__total"))
+                | F.array_contains(F.col("word_freqItems"), F.col("word"))
+            ).alias("sketch_ok"),
+        )
+    )
+
+
+D35_SQL = rf"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS word
+  FROM documents),
+counts AS (SELECT word, count(*) AS n FROM words GROUP BY word)
+SELECT word, n, TRUE AS sketch_ok
+FROM counts ORDER BY n DESC, word LIMIT {D35_TOP_K}
+"""
+
+
 # ------------------------------------------ d29 dup-span audit ------------
 
 SPAN_N = 8
@@ -1794,6 +1849,10 @@ SPECS = [
               "text", "HyperLogLog++ cardinality contract per source (d30 "
               "pattern: exact value + tolerance boolean ship, sketch value "
               "doesn't)"),
+    QuerySpec("d35_heavy_hitters_contract", d35_heavy_hitters_contract, D35_SQL,
+              "text", "frequent-items skew audit: exact top-20 words + the "
+              "freqItems one-sided no-false-negative contract (d30/d34 "
+              "pattern; sketch list never ships)"),
     QuerySpec("d33_nfc_audit", d33_nfc_audit, D33_SQL, "text",
               "Unicode NFC canonicalization audit: unicodedata (Arrow seam) vs "
               "DuckDB nfc_normalize, byte-exact via md5"),

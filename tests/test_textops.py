@@ -222,3 +222,25 @@ def test_nfc_audit_fuses_decomposed_sequences(spark):
     assert got[1]["norm_md5"] == got[2]["norm_md5"]
     assert got[3]["changed"] is False
     assert got[4]["changed"] is None and got[4]["norm_md5"] is None
+
+
+def test_d35_contract_hot_word_exercises_sketch_guarantee(spark, tmp_path):
+    """On a skewed corpus the hot word sits far ABOVE the support line,
+    so its sketch_ok comes from the freqItems no-false-negative
+    guarantee — the real branch, not the <=support vacuous one."""
+    import pandas as pd
+
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.docs_queries import (
+        D35_SUPPORT,
+        d35_heavy_hitters_contract,
+    )
+
+    pd.DataFrame(
+        {"doc_id": range(30), "text": [f"hot hot hot unique{i}" for i in range(30)]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = {r["word"]: r for r in d35_heavy_hitters_contract(spark, str(tmp_path)).collect()}
+    total_words = 120  # 30 docs x (3 hot + 1 unique)
+    assert rows["hot"]["n"] == 90
+    assert rows["hot"]["n"] > D35_SUPPORT * total_words  # guarantee regime
+    assert rows["hot"]["sketch_ok"]
+    assert all(r["sketch_ok"] for r in rows.values())
