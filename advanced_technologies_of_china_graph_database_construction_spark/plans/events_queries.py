@@ -624,6 +624,70 @@ def e17_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# --------------------------------- e18 stream-stream join face -----------
+
+def e18_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream JOIN face (the last core Structured Streaming
+    shape without a driver-gated run — e11 covered aggregation, e15
+    session windows, e16 arbitrary state, e17 dedup): E08's
+    click↔purchase event-time interval join executed as a REAL
+    readStream ⋈ readStream with watermarks on BOTH sides — the dual
+    watermark is what bounds each side's join state at scale (buffered
+    clicks are evicted once the global watermark passes click.ts + the
+    30-minute join upper bound; without it a 100 TB stream buffers
+    forever).
+
+    Each side is written as its own ts-range-sliced directory (the
+    `_write_ts_slices` pattern), so the two sources advance roughly in
+    event-time lockstep: 4 micro-batches, one file per side per
+    trigger.  The 1-hour watermark delay dominates the inter-side
+    slice-boundary skew (both sides sample the same underlying ts
+    distribution, so their range-partition boundaries sit within
+    minutes of each other at any sf) — a matching purchase always
+    arrives before the click's state is evicted, and no input row
+    falls below the global watermark.  Inner joins emit eagerly on
+    match (no finalization wait, so no sentinel batches needed —
+    unlike e15's append-mode windows).  The joined pairs land in the
+    memory sink; the per-user aggregate runs batch-side on the sink so
+    the E08 oracle hash-gates the streamed join exactly."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    d_clicks = tempfile.mkdtemp(prefix="e18_clicks_")
+    d_purchases = tempfile.mkdtemp(prefix="e18_purchases_")
+    try:
+        _write_ts_slices(ev.filter(F.col("event_type") == "click"), d_clicks)
+        _write_ts_slices(ev.filter(F.col("event_type") == "purchase"), d_purchases)
+        clicks = windows.streaming_source(spark, d_clicks, watermark=None)
+        purchases = windows.streaming_source(spark, d_purchases, watermark=None)
+        # interval_join watermarks each streaming side itself (dual wm)
+        joined = windows.interval_join(clicks, purchases, watermark="1 hour")
+        name = f"e18_sink_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(d_clicks, ignore_errors=True)
+        shutil.rmtree(d_purchases, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.sum("r_value"), 6).alias("purchase_value"),
+        )
+    )
+
+
 # Base event_ids are unique and the injected duplicates are verbatim
 # copies, so distinct-by-row == dedup-by-event_id.
 E17_SQL = """
@@ -634,6 +698,10 @@ FROM (SELECT * FROM events
 
 
 SPECS = [
+    QuerySpec("e18_streaming_interval_join", e18_streaming_interval_join, E08_SQL,
+              "events", "REAL readStream-to-readStream interval join with dual "
+              "watermarks (stream-stream join state cleanup), gated vs the "
+              "batch E08 oracle"),
     QuerySpec("e17_streaming_dedup", e17_streaming_dedup, E17_SQL, "events",
               "REAL streaming dropDuplicatesWithinWatermark run over a "
               "duplicate-injected corpus, gated vs the batch distinct oracle"),

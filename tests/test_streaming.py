@@ -276,3 +276,22 @@ def test_streaming_packing_checkpoint_recovery(spark, tmp_path):
     )
     assert 0 < n1 < len(want)
     assert got == want
+
+
+def test_e18_dual_watermark_join_matches_batch(spark):
+    """The gated stream-stream face: dual-WATERMARKED readStream join
+    over ts-ordered slices must agree with the batch interval join —
+    unlike test_interval_join_stream_matches_batch (unwatermarked,
+    unordered files), this exercises the state-cleanup configuration
+    the e18 spec gates: watermarks bound the buffers AND must not drop
+    a single pair on ts-ordered replay."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.events_queries import (
+        e08_click_purchase_interval_join,
+        e18_streaming_interval_join,
+    )
+
+    got = sorted(tuple(r) for r in e18_streaming_interval_join(spark, SF_CORRECT).collect())
+    want = sorted(
+        tuple(r) for r in e08_click_purchase_interval_join(spark, SF_CORRECT).collect()
+    )
+    assert got == want and len(got) > 0
