@@ -221,17 +221,53 @@ def clean_records(parsed: DataFrame, rec_col: str = "rec") -> DataFrame:
     return parsed.select(*cols)
 
 
+def natural_sort_key(col: Column) -> Column:
+    """L3 filename NUMERIC sort: zero-pad every digit run so plain
+    string ordering equals numeric ordering (``file_2`` before
+    ``file_10`` — raw string order puts ``file_10`` first, which is
+    neither the reference's iteration order nor any ingest order a
+    human would call "first").  Pure JVM HOF: split into digit /
+    non-digit runs (lookaround regex), left-pad the numeric runs to 20
+    digits, re-join.  Runs longer than 20 digits would tie — no real
+    filename carries a 20-digit counter.
+
+    Found the hard way (r6): at sf0.01 the synthetic corpus spans
+    file_0..file_9 where string order HAPPENS to equal numeric order,
+    so the i02 gate stayed green — at sf0.1 (file_0..file_99) the raw
+    string ordering picked the wrong "first" record for 300 of 400
+    colliding titles."""
+    runs = F.split(col, r"(?<=\d)(?=\D)|(?<=\D)(?=\d)")
+    return F.array_join(
+        F.transform(
+            runs,
+            lambda p: F.when(p.rlike(r"^\d+$"), F.lpad(p, 20, "0")).otherwise(p),
+        ),
+        "",
+    )
+
+
 def keep_first_dedup(
     records: DataFrame, key: str = "title", order_cols: tuple[str, ...] = ("file", "pos")
 ) -> DataFrame:
     """D1: keep the first-ingested record per key (`cleaner.py:77-94`).
 
     Input-order "first" is made explicit and distribution-safe by the
-    (file, pos) provenance columns — SURVEY.md §7 hard-part (b).  One
-    shuffle on the dedup key; at 100 TB this is the ingest plan's only
-    wide stage and the key (title) is near-unique so no skew.
+    (file, pos) provenance columns — SURVEY.md §7 hard-part (b) — with
+    STRING order columns compared under ``natural_sort_key`` so the
+    file component sorts numerically (L3; see that docstring for the
+    sf0.1 trap this closes).  One shuffle on the dedup key; at 100 TB
+    this is the ingest plan's only wide stage and the key (title) is
+    near-unique so no skew.
     """
-    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_cols])
+    from pyspark.sql.types import StringType
+
+    order_exprs = [
+        natural_sort_key(F.col(c))
+        if isinstance(records.schema[c].dataType, StringType)
+        else F.col(c)
+        for c in order_cols
+    ]
+    w = Window.partitionBy(key).orderBy(*order_exprs)
     return (
         records.filter(F.col(key).isNotNull() & (F.col(key) != ""))
         .withColumn("__rn", F.row_number().over(w))

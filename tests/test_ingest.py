@@ -87,3 +87,29 @@ def test_ingest_keep_first_dedup(spark, tmp_path):
     winner = deduped.filter(F.col("title") == "Deep Learning for Lithography").collect()[0]
     # keep-FIRST: the pos-0 record (authors Zhang/Li), not the later one
     assert winner["authors"] == ["Zhang, Wei", "Li, Na"]
+
+
+def test_keep_first_dedup_orders_files_numerically(spark):
+    """r6 regression: raw string order puts file_10 before file_2, so a
+    title colliding across files with different digit counts kept the
+    WRONG record (sf0.1: 300 of 400 titles) — keep_first_dedup must
+    compare string provenance under the natural-sort key."""
+    from advanced_technologies_of_china_graph_database_construction_spark.sources.txt_records import (
+        keep_first_dedup,
+        natural_sort_key,
+    )
+
+    rows = [
+        ("file_2", 0, "T", "early"),   # numerically first
+        ("file_10", 0, "T", "late"),   # string-first, numerically later
+        ("file_10", 1, "U", "only"),
+    ]
+    df = spark.createDataFrame(rows, "file string, pos int, title string, body string")
+    got = {r["title"]: r["body"] for r in keep_first_dedup(df).collect()}
+    assert got == {"T": "early", "U": "only"}
+    ordered = [
+        r["file"]
+        for r in df.select("file").distinct()
+        .orderBy(natural_sort_key(df.file)).collect()
+    ]
+    assert ordered == ["file_2", "file_10"]
