@@ -1,0 +1,194 @@
+"""p01: the composed END-TO-END build path as ONE gated spec.
+
+SURVEY.md §3.2's lifecycle (`Hype.py:64-86`: scan+parse → normalize →
+entity-resolve → extract → serve) is gated piecewise by i01/i02 (parse/
+clean/dedup), er01–er04 (ER), g01+ (graph queries) and s03–s07 (sinks) —
+but never as one spec running the full pipeline and answering a query
+off the freshly built graph.  p01 closes that: stage HAND-OFF contracts
+(schema drift between parse → clean → dedup → ER → extraction → query)
+become a gate failure instead of a latent integration bug.
+
+The corpus is rendered deterministically from ``documents`` with the
+properties each stage needs to do REAL work:
+
+- colliding titles (mod P01_TITLE_MOD) so keep-first dedup drops rows;
+- keyword surfaces with injected TYPOS (every third record drops the
+  last character of its first keyword) so the ER stage has real
+  clusters: the typo'd surface sits at Levenshtein distance 1 from its
+  canonical form and ≥2 from every other surface, so SymSpell blocking
+  + connected components recover exactly the {canonical, typo} pairs
+  and min-of-cluster elects the typo form ("kwaa" < "kwaaa");
+- a non-numeric Year every 10th record so the lenient cast runs.
+
+Every stage is the REAL operator (`sources.txt_records`,
+`operators.er`, `operators.connected_components`), not a re-derivation;
+the DuckDB oracle computes the expected final answer in closed form
+from ``documents`` — fully independent of the pipeline, so a bug in
+ANY stage (or any hand-off) surfaces as a mismatch.
+
+Scale notes (100 TB): the pipeline is one lazy DAG per SURVEY §3.2 —
+parse/normalize narrow, dedup one title shuffle (natural-sort ingest
+order), ER shuffles only the keyword VOCABULARY (deletion-variant
+hashes, never the corpus), extraction one explode + one distinct
+shuffle on (title, keyword).  In production the extraction output
+lands in the partitioned graph store (s03–s07 gate those sinks); the
+serving query here reads the extraction frame directly — same plan
+shape either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.connected_components import connected_components
+from ..operators.er import apply_mapping_array, symdelete_typo_pairs
+from ..sources import txt_records as txt
+from .spec import QuerySpec
+
+P01_TITLE_MOD = 350
+P01_BLOCKS_PER_FILE = 50
+# keyword vocabulary: "kwaaa".."kwjjj" — pairwise Levenshtein ≥ 3, so
+# the only distance-1 pairs in the corpus are (canonical, its typo)
+P01_VOCAB = ["kw" + chr(97 + i) * 3 for i in range(10)]
+
+
+def _render_p01_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (file, text) EndNote-style blocks with the typo'd
+    keyword surfaces and colliding titles described in the module
+    docstring.  Files of 50 blocks, blocks ordered by doc_id — so
+    keep-first under the natural-sort (file, pos) order is keep-min-
+    doc_id, which is what the oracle's row_number mirrors."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    names = F.array(*[F.lit(n) for n in P01_VOCAB])
+    typos = F.array(*[F.lit(n[:-1]) for n in P01_VOCAB])
+    kw1 = F.when(d % 3 == 0, F.element_at(typos, (d % 10 + 1).cast("int"))).otherwise(
+        F.element_at(names, (d % 10 + 1).cast("int"))
+    )
+    kw2 = F.element_at(names, (d % 7 + 1).cast("int"))
+    line = lambda field, val: F.concat(F.lit("{" + field + "}: "), val)  # noqa: E731
+    block = F.concat_ws(
+        "\n",
+        line("Title", F.concat(F.lit("P-"), s(d % P01_TITLE_MOD))),
+        line("Reference Type", F.lit("Journal Article")),
+        line("Author", F.concat(F.lit("A "), F.col("source"))),
+        line("Keywords", F.concat(kw1, F.lit(" ; "), kw2)),
+        line("Year", F.when(d % 10 == 0, F.lit("n.d.")).otherwise(s(d % 30 + 1990))),
+    )
+    return (
+        docs.select(
+            (d / P01_BLOCKS_PER_FILE).cast("int").alias("file_id"),
+            d.alias("doc_id"),
+            block.alias("block"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "block"))),
+                    lambda x: x["block"],
+                ),
+                "\n\n",
+            ).alias("text")
+        )
+        .select(
+            F.concat(F.lit("pfile_"), F.col("file_id").cast("string")).alias("file"),
+            "text",
+        )
+    )
+
+
+def keyword_er_mapping(records: DataFrame, col: str = "keywords") -> DataFrame:
+    """The ER stage over an array column's surface VOCABULARY:
+    distinct surfaces → SymSpell distance-1 typo pairs → connected
+    components → canonical = min surface per component.  Returns the
+    (id=surface, canonical=surface) mapping frame ``apply_mapping_array``
+    consumes — the string-side analogue of `operators.er`'s embedding
+    pipeline (`keyword_merger.py:222` min-representative, `:231-232`
+    noise→identity).
+
+    Ids for the component step are ``xxhash64(surface)`` — fully
+    distributed, no global row-number sort over the vocabulary; the
+    canonical ELECTION is by surface name (min per component), so the
+    hash values never leak into the result."""
+    surfaces = (
+        records.select(F.explode(col).alias("name"))
+        .distinct()
+        .withColumn("sid", F.xxhash64("name"))
+        .localCheckpoint(eager=True)  # consumed by pairs, comp join, election
+    )
+    pairs = symdelete_typo_pairs(surfaces, id_col="sid", name_col="name")
+    comp = connected_components(pairs.select("src", "dst"))
+    withcomp = surfaces.join(comp, surfaces.sid == comp.id, "left").select(
+        "name", F.coalesce("component", F.col("sid")).alias("comp")
+    )
+    canon = withcomp.groupBy("comp").agg(F.min("name").alias("canonical"))
+    return withcomp.join(canon, "comp").select(F.col("name").alias("id"), "canonical")
+
+
+def p01_end_to_end_build_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SURVEY §3.2 lifecycle as one plan, answering the
+    Q10-class question (documents per year for each keyword) off the
+    freshly built graph.  Stages (each the real operator):
+
+    1. scan+parse   — `txt.parse_blocks` over the rendered corpus (S1)
+    2. normalize    — `txt.clean_records` (F1–F5)
+    3. dedup        — `txt.keep_first_dedup` (D1, natural-sort order)
+    4. entity-resolve — `keyword_er_mapping` (SymSpell blocking +
+       connected components + min-representative) applied through
+       `apply_mapping_array` (J1 array case, M4)
+    5. extract      — explode + distinct (title, keyword) edge tuples
+       plus (title, year) doc nodes (the csv_extractor shape)
+    6. serve        — the g10-class per-(keyword, year) count off the
+       extracted graph
+    """
+    rec = txt.keep_first_dedup(
+        txt.clean_records(txt.parse_blocks(_render_p01_files(spark, sf_dir)))
+    )
+    mapping = keyword_er_mapping(rec)
+    mapped = apply_mapping_array(rec, mapping, "keywords", id_cols=("title", "year"))
+    edges = mapped.select(
+        "title", "year", F.explode("keywords").alias("keyword")
+    ).distinct()
+    return edges.groupBy("keyword", "year").agg(F.count("*").alias("n_docs"))
+
+
+# Closed-form oracle: the typo'd surface of every vocabulary letter
+# exists in any corpus of ≥30 docs (doc_id ≡ 0 mod 3 covers every
+# residue mod 10 — lcm(3,10)=30), so post-ER every surface collapses to
+# the typo form 'kw' || letter*2, the min of its cluster.
+P01_SQL = f"""
+WITH expected AS (
+  SELECT doc_id,
+         'P-' || CAST(doc_id % {P01_TITLE_MOD} AS VARCHAR) AS title,
+         CASE WHEN doc_id % 10 = 0 THEN NULL
+              ELSE CAST(doc_id % 30 + 1990 AS INT) END AS year,
+         'kw' || repeat(chr(97 + CAST(doc_id % 10 AS INT)), 2) AS kw1,
+         'kw' || repeat(chr(97 + CAST(doc_id % 7 AS INT)), 2) AS kw2
+  FROM documents),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY title ORDER BY doc_id) AS rn
+    FROM expected) WHERE rn = 1),
+edges AS (
+  SELECT DISTINCT title, year, kw AS keyword FROM (
+    SELECT title, year, kw1 AS kw FROM dedup
+    UNION ALL SELECT title, year, kw2 FROM dedup))
+SELECT keyword, year, count(*) AS n_docs FROM edges GROUP BY 1, 2
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "p01_end_to_end_build_path",
+        p01_end_to_end_build_path,
+        P01_SQL,
+        "pipeline",
+        "composed SURVEY §3.2 lifecycle: txt parse → clean → keep-first "
+        "dedup → SymSpell ER → graph extraction → Q10-class answer off "
+        "the fresh store, oracled in closed form from documents",
+    ),
+]

@@ -70,6 +70,7 @@ def all_specs() -> list[QuerySpec]:
         "skew_queries",
         "analytics_queries",
         "sink_queries",
+        "pipeline_queries",
     ):
         try:
             modules.append(__import__(f"{__package__}.{optional}", fromlist=["SPECS"]))
