@@ -66,19 +66,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for spec in specs:
-        # Clear cross-spec state: cached relations, then the prior
-        # spec's checkpoint RDD blocks (python gc drops the DataFrame
-        # refs; a JVM System.gc() lets the ContextCleaner actually
-        # release the blocks instead of letting them pile up under the
-        # later, heavier specs — the shared-session churn that defeated
-        # the fixed warm-up scheme in BENCH_r05).
-        spark.catalog.clearCache()
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
         runs: list[float] = []
         while len(runs) < MAX_RUNS and (
             len(runs) < MIN_RUNS or runs[-1] < 0.9 * min(runs[:-1])
         ):
+            # Clear accumulated state BETWEEN RUNS, outside the timed
+            # window: cached relations, then released checkpoint RDD
+            # blocks (python gc drops the DataFrame refs; a JVM
+            # System.gc() lets the ContextCleaner actually free the
+            # blocks).  Between-specs-only clearing left each repeat of
+            # a superstep spec holding every prior repeat's checkpoint
+            # blocks — observed as multi-second GC-pause outliers on a
+            # spec's LAST runs (g25: [8.3, 5.4, 5.2, 17.1] at sf0.1)
+            # while its steady state is ~5 s.
+            spark.catalog.clearCache()
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 4))
