@@ -45,6 +45,17 @@ def _copub_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sym_weighted_copub_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric weighted co-publication edges (src, dst, w) — ONE
+    symmetrization for every weighted consumer (g32/g33/g34;
+    ``symmetric_edges`` drops the weight column, so the weighted family
+    needs its own union)."""
+    pairs = _copub_pairs(spark, sf_dir).withColumnRenamed("shared", "w")
+    return pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+
+
 def g21_copub_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank(symmetric_edges(_copub_pairs(spark, sf_dir)), N_ITER, DAMPING)
     return ranks.select(F.col("node").alias("org_id"), "pagerank")
@@ -393,11 +404,9 @@ def g32_weighted_copub_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     papers with a hub passes proportionally more rank along that tie
     than a 30-paper acquaintance.  Same hoisted superstep as g21; only
     the message expression changes (rank·w/Σw)."""
-    pairs = _copub_pairs(spark, sf_dir).withColumnRenamed("shared", "w")
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ranks = pagerank(
+        _sym_weighted_copub_edges(spark, sf_dir), N_ITER, DAMPING, weight="w"
     )
-    ranks = pagerank(edges, N_ITER, DAMPING, weight="w")
     return ranks.select(F.col("node").alias("org_id"), "pagerank")
 
 
@@ -448,10 +457,7 @@ def g33_weighted_copub_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-run the co-occurrence join."""
     from ..operators.analytics import personalized_pagerank
 
-    pairs = _copub_pairs(spark, sf_dir).withColumnRenamed("shared", "w")
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    ).localCheckpoint(eager=True)
+    edges = _sym_weighted_copub_edges(spark, sf_dir).localCheckpoint(eager=True)
     seed = edges.agg(F.min("src")).first()[0]
     ranks = personalized_pagerank(edges, [seed], N_ITER, DAMPING, weight="w")
     return ranks.select(F.col("node").alias("org_id"), "ppr")
@@ -505,10 +511,7 @@ def g34_weighted_reach_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     doesn't re-run the co-occurrence join."""
     from ..operators.analytics import bfs_distances
 
-    pairs = _copub_pairs(spark, sf_dir).withColumnRenamed("shared", "w")
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    ).localCheckpoint(eager=True)
+    edges = _sym_weighted_copub_edges(spark, sf_dir).localCheckpoint(eager=True)
     source = edges.agg(F.min("src")).first()[0]
     d = bfs_distances(edges, source, MAX_HOPS, weight="w")
     return d.select(F.col("node").alias("org_id"), F.round("dist", 6).alias("dist"))

@@ -261,12 +261,15 @@ def keep_first_dedup(
     """
     from pyspark.sql.types import StringType
 
-    order_exprs = [
-        natural_sort_key(F.col(c))
-        if isinstance(records.schema[c].dataType, StringType)
-        else F.col(c)
-        for c in order_cols
-    ]
+    # Raw column appended as tie-break: the natural key COLLAPSES
+    # textually distinct strings ('file_2' vs 'file_02' share one
+    # padded key), and a window tie would make "first" run-dependent —
+    # (natural_key, raw) is a total order again.
+    order_exprs: list[Column] = []
+    for c in order_cols:
+        if isinstance(records.schema[c].dataType, StringType):
+            order_exprs.append(natural_sort_key(F.col(c)))
+        order_exprs.append(F.col(c))
     w = Window.partitionBy(key).orderBy(*order_exprs)
     return (
         records.filter(F.col(key).isNotNull() & (F.col(key) != ""))

@@ -113,3 +113,18 @@ def test_keep_first_dedup_orders_files_numerically(spark):
         .orderBy(natural_sort_key(df.file)).collect()
     ]
     assert ordered == ["file_2", "file_10"]
+
+
+def test_keep_first_dedup_breaks_natural_key_ties_deterministically(spark):
+    """'file_2' and 'file_02' collapse to the same padded natural key;
+    the raw string tie-break must make the winner deterministic
+    (review-found, pinned): 'file_02' < 'file_2' in raw order."""
+    from advanced_technologies_of_china_graph_database_construction_spark.sources.txt_records import (
+        keep_first_dedup,
+    )
+
+    rows = [("file_2", 0, "T", "plain"), ("file_02", 0, "T", "padded")]
+    df = spark.createDataFrame(rows, "file string, pos int, title string, body string")
+    for _ in range(3):  # stable across executions, not one lucky pick
+        got = {r["title"]: r["body"] for r in keep_first_dedup(df).collect()}
+        assert got == {"T": "padded"}

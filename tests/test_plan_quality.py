@@ -493,6 +493,9 @@ def test_pagerank_iteration_shuffles_rank_vector_not_edges(spark):
         # |E| side never re-exchanged inside the loop
         assert "Exchange hashpartitioning(src" not in outer, outer
         assert "Exchange hashpartitioning(node" in outer, outer  # the |V| shuffle
-        hoisted.unpersist()
     finally:
+        try:
+            hoisted.unpersist()  # even on assert failure: session is shared
+        except NameError:
+            pass  # _hoisted_edge_frame itself raised; nothing persisted here
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
