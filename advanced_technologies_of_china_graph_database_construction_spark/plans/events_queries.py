@@ -472,6 +472,32 @@ FROM counts
 
 # ------------------------------------- e15 streaming session face --------
 
+def _append_sentinels(ev: DataFrame, d: str, seen: set, max_ts, base_tick: int = 4):
+    """Two far-future sentinel micro-batches (reserved user_id −1) on a
+    slice directory: the first advances the watermark past every real
+    window/join bound, the second triggers the flush (watermark state
+    applies on the NEXT batch).  Shared by every append-mode face whose
+    results only finalize under the watermark (e15 session windows, e19
+    outer join).  Returns the updated seen set."""
+    for i, days in enumerate((30, 31)):
+        (
+            ev.limit(1)
+            .select(
+                F.lit(-1 - i).cast("long").alias("event_id"),
+                (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("sentinel").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(d)
+        )
+        seen = _bump_mtimes(d, seen, base_tick + i)
+    return seen
+
+
 def e15_streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window streaming face, driver-gated: the SAME
     session_stats plan as e03 executed as a REAL Structured Streaming
@@ -492,22 +518,7 @@ def e15_streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="e15_events_")
     try:
         max_ts, seen = _write_ts_slices(ev, d)
-        for i, days in enumerate((30, 31)):
-            (
-                ev.limit(1)
-                .select(
-                    F.lit(-1 - i).cast("long").alias("event_id"),
-                    (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
-                    F.lit(-1).cast("long").alias("user_id"),
-                    F.lit("sentinel").alias("event_type"),
-                    F.lit(0.0).alias("value"),
-                    F.lit(None).cast("string").alias("props"),
-                )
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(d)
-            )
-            seen = _bump_mtimes(d, seen, 4 + i)
+        _append_sentinels(ev, d, seen, max_ts)
         stream = windows.streaming_source(spark, d, watermark="1 hour")
         name = f"e15_sink_{uuid.uuid4().hex[:8]}"
         q = (
@@ -688,6 +699,86 @@ def e18_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------ e19 LEFT OUTER stream-stream join --------
+
+def e19_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HARDEST stream-stream state-cleanup case: the click↔purchase
+    interval join as LEFT OUTER — unlike e18's inner join (matches emit
+    eagerly), an outer-null row ("click with no purchase within 30
+    minutes") can only be emitted once the WATERMARK proves no match
+    can still arrive, so the results trail the watermark and a finite
+    stream needs sentinel batches on BOTH sources to flush the tail
+    (global watermark = min across sources; advancing only one side
+    would pin it).  This is exactly the state-eviction path that breaks
+    at 100 TB if watermarks are wrong: evict too early → matched clicks
+    emit spurious null rows, too late → unbounded buffers.  The gate
+    catches both: a spurious null doubles a click's row count and an
+    unemitted tail drops rows — either fails the hash against the
+    batch LEFT JOIN oracle."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    d_clicks = tempfile.mkdtemp(prefix="e19_clicks_")
+    d_purchases = tempfile.mkdtemp(prefix="e19_purchases_")
+    try:
+        hi_c, seen_c = _write_ts_slices(
+            ev.filter(F.col("event_type") == "click"), d_clicks
+        )
+        hi_p, seen_p = _write_ts_slices(
+            ev.filter(F.col("event_type") == "purchase"), d_purchases
+        )
+        hi = max(hi_c, hi_p)
+        _append_sentinels(ev, d_clicks, seen_c, hi)
+        _append_sentinels(ev, d_purchases, seen_p, hi)
+        clicks = windows.streaming_source(spark, d_clicks, watermark=None)
+        purchases = windows.streaming_source(spark, d_purchases, watermark=None)
+        joined = windows.interval_join(
+            clicks, purchases, watermark="1 hour", how="left_outer"
+        )
+        name = f"e19_sink_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(d_clicks, ignore_errors=True)
+        shutil.rmtree(d_purchases, ignore_errors=True)
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)  # drop sentinel-user rows
+        .groupBy("user_id")
+        .agg(
+            F.count("r_event_id").alias("n_pairs"),
+            F.sum(F.when(F.col("r_event_id").isNull(), 1).otherwise(0)).alias(
+                "n_unmatched"
+            ),
+            F.round(F.sum("r_value"), 6).alias("purchase_value"),
+        )
+    )
+
+
+E19_SQL = """
+WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+     r AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT l.user_id,
+       count(r.value) AS n_pairs,
+       (count(*) - count(r.value))::BIGINT AS n_unmatched,
+       round(sum(r.value), 6) AS purchase_value
+FROM l LEFT JOIN r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '30 minutes'
+GROUP BY l.user_id
+"""
+
+
 # Base event_ids are unique and the injected duplicates are verbatim
 # copies, so distinct-by-row == dedup-by-event_id.
 E17_SQL = """
@@ -698,6 +789,10 @@ FROM (SELECT * FROM events
 
 
 SPECS = [
+    QuerySpec("e19_streaming_left_outer_join", e19_streaming_left_outer_join, E19_SQL,
+              "events", "REAL LEFT OUTER stream-stream interval join: outer-null "
+              "rows finalized by the dual watermark (sentinel-flushed on both "
+              "sources), gated vs the batch LEFT JOIN oracle"),
     QuerySpec("e18_streaming_interval_join", e18_streaming_interval_join, E08_SQL,
               "events", "REAL readStream-to-readStream interval join with dual "
               "watermarks (stream-stream join state cleanup), gated vs the "

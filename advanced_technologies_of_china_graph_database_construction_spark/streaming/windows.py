@@ -124,6 +124,7 @@ def interval_join(
     lower: str = "INTERVAL 0 SECONDS",
     upper: str = "INTERVAL 30 MINUTES",
     watermark: str | None = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Event-time interval join: pair each left event with right events
     of the same ``key`` whose timestamp falls in
@@ -131,9 +132,20 @@ def interval_join(
     (each side watermarked so the join state is bounded; the time-range
     condition is what lets Spark expire buffered rows).
 
+    ``how="left_outer"`` keeps unmatched left events (null right
+    columns).  Streaming semantics differ by join type: inner matches
+    emit EAGERLY, but an outer-null row can only be emitted once the
+    watermark proves no match can still arrive — so outer results
+    trail the watermark, and a finite stream needs watermark-advancing
+    sentinel batches to flush the tail (the e15/e19 pattern).  Outer
+    stream-stream joins REQUIRE the watermark + time bound; Spark
+    rejects them otherwise.
+
     Works identically on batch DataFrames, where Catalyst executes it as
     an equi-join on ``key`` with the range as a post-join predicate.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how={how!r}; use 'inner' or 'left_outer'")
     if watermark is not None and left.isStreaming:
         left = left.withWatermark("ts", watermark)
     if watermark is not None and right.isStreaming:
@@ -155,7 +167,7 @@ def interval_join(
         & (F.col("r_ts") >= F.col("l_ts") + F.expr(lower))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(upper))
     )
-    return l.join(r, cond).select(
+    return l.join(r, cond, how).select(
         F.col("k").alias("user_id"), "l_event_id", "r_event_id", "l_ts", "r_ts",
         "l_value", "r_value",
     )

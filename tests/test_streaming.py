@@ -295,3 +295,30 @@ def test_e18_dual_watermark_join_matches_batch(spark):
         tuple(r) for r in e08_click_purchase_interval_join(spark, SF_CORRECT).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_e19_left_outer_join_matches_batch(spark):
+    """Outer-null rows must be exactly the clicks the batch LEFT JOIN
+    leaves unmatched — spurious nulls (premature eviction) or a missing
+    tail (unflushed state) both break the agreement."""
+    import duckdb
+
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.events_queries import (
+        E19_SQL,
+        e19_streaming_left_outer_join,
+    )
+
+    got = sorted(
+        tuple(r) for r in e19_streaming_left_outer_join(spark, SF_CORRECT).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_CORRECT}/events.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(E19_SQL).fetchall())
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1] and g[2] == w[2], (g, w)
+        assert (g[3] is None) == (w[3] is None)
+        if g[3] is not None:
+            assert abs(g[3] - w[3]) < 1e-6, (g, w)
