@@ -190,5 +190,6 @@ SPECS = [
         "composed SURVEY §3.2 lifecycle: txt parse → clean → keep-first "
         "dedup → SymSpell ER → graph extraction → Q10-class answer off "
         "the fresh store, oracled in closed form from documents",
+        bench=True,  # the end-to-end build-path number: every stage in one plan
     ),
 ]

@@ -499,3 +499,18 @@ def test_pagerank_iteration_shuffles_rank_vector_not_edges(spark):
         except NameError:
             pass  # _hoisted_edge_frame itself raised; nothing persisted here
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_p01_composed_pipeline_stays_jvm_side(spark):
+    """The end-to-end build path (parse → clean → dedup → ER-mapped
+    keywords → extraction → aggregate) compiles to a single JVM plan:
+    no row-at-a-time Python, no Arrow seam (the ER mapping is applied
+    as a broadcast join, not a UDF), no cartesian product."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.pipeline_queries import (
+        p01_end_to_end_build_path,
+    )
+
+    plan = _plan(p01_end_to_end_build_path(spark, SF_CORRECT))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # the mapping application
