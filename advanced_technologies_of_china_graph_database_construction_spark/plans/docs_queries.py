@@ -1760,6 +1760,65 @@ FROM counts ORDER BY n DESC, word LIMIT {D35_TOP_K}
 """
 
 
+# ---------------------------------- d36 Naive Bayes classifier -----------
+
+def d36_nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-apply document classification, fully gated: multinomial
+    Naive Bayes (Laplace α=1) fit on the corpus' own ``lang`` labels and
+    applied back to it, shipped as the (true, predicted) confusion
+    matrix — the CCNet/fastText-style curation-filter shape with a
+    CLOSED-FORM trainer, so unlike iterative classifiers the whole
+    train+predict pipeline has an exact DuckDB oracle.  Only the argmax
+    ships (ties → smallest label); raw log-sum scores are aggregation-
+    order-dependent floats and stay inside the plan
+    (`operators/classify.py` module docstring)."""
+    from ..operators.classify import nb_predict, nb_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = nb_train(docs, "lang")
+    pred = nb_predict(docs, model)
+    return (
+        pred.join(docs.select(F.col("doc_id").alias("id"), "lang"), "id")
+        .groupBy(F.col("lang").alias("true_lang"), "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+D36_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS word
+  FROM documents),
+wc AS (SELECT lang, word, count(*) AS cnt FROM toks GROUP BY 1, 2),
+ct AS (SELECT lang, sum(cnt) AS total FROM wc GROUP BY 1),
+v AS (SELECT count(DISTINCT word) AS v FROM wc),
+nd AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+priors AS (
+  SELECT lang, ln(n / (SELECT sum(n) FROM nd)) AS log_prior FROM nd),
+words AS (
+  SELECT wc.lang, wc.word,
+         ln((cnt + 1.0) / (total + (SELECT v FROM v))) AS log_prob
+  FROM wc JOIN ct USING (lang)),
+floors AS (
+  SELECT lang, ln(1.0 / (total + (SELECT v FROM v))) AS log_floor FROM ct),
+perclass AS (
+  SELECT t.doc_id, f.lang AS label, coalesce(w.log_prob, f.log_floor) AS lp
+  FROM toks t CROSS JOIN floors f
+  LEFT JOIN words w ON w.lang = f.lang AND w.word = t.word),
+sums AS (SELECT doc_id, label, sum(lp) AS s FROM perclass GROUP BY 1, 2),
+scored AS (
+  SELECT s.doc_id, s.label, s.s + p.log_prior AS score
+  FROM sums s JOIN priors p ON p.lang = s.label),
+pred AS (
+  SELECT doc_id, label AS predicted FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, label ASC) AS rn
+    FROM scored) WHERE rn = 1)
+SELECT d.lang AS true_lang, p.predicted, count(*) AS n_docs
+FROM pred p JOIN documents d USING (doc_id) GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------ d29 dup-span audit ------------
 
 SPAN_N = 8
@@ -1849,6 +1908,10 @@ SPECS = [
               "text", "HyperLogLog++ cardinality contract per source (d30 "
               "pattern: exact value + tolerance boolean ship, sketch value "
               "doesn't)"),
+    QuerySpec("d36_nb_langid_confusion", d36_nb_langid_confusion, D36_SQL, "text",
+              "train+apply multinomial Naive Bayes (closed-form, exact-count "
+              "trainer) as the curation-filter primitive; confusion matrix "
+              "gated, argmax-only output"),
     QuerySpec("d35_heavy_hitters_contract", d35_heavy_hitters_contract, D35_SQL,
               "text", "frequent-items skew audit: exact top-20 words + the "
               "freqItems one-sided no-false-negative contract (d30/d34 "

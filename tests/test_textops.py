@@ -244,3 +244,64 @@ def test_d35_contract_hot_word_exercises_sketch_guarantee(spark, tmp_path):
     assert rows["hot"]["n"] > D35_SUPPORT * total_words  # guarantee regime
     assert rows["hot"]["sketch_ok"]
     assert all(r["sketch_ok"] for r in rows.values())
+
+
+def test_naive_bayes_matches_python_reference(spark):
+    """Train+predict vs a closed-form python NB on a corpus with a
+    clearly-separable vocabulary, plus an exact-tie document (identical
+    class-symmetric counts) that must break to the smallest label."""
+    import math
+    from collections import Counter
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.classify import (
+        nb_predict,
+        nb_train,
+    )
+
+    rows = [
+        (1, "apple apple banana", "fruit"),
+        (2, "apple banana banana", "fruit"),
+        (3, "bolt nut bolt", "tool"),
+        (4, "nut nut bolt", "tool"),
+        (5, "apple bolt", "mixed?"),  # scored, not a training anomaly
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, l) for i, t, l in rows], "doc_id long, text string, lang string"
+    )
+    train = docs.filter("doc_id <= 4")
+    model = nb_train(train, "lang")
+    test = spark.createDataFrame(
+        [
+            (10, "apple banana apple"),
+            (11, "bolt nut"),
+            # exact tie: one word from each class's vocabulary, and the
+            # two classes have symmetric counts -> scores are EXACTLY
+            # equal; the tie must go to 'fruit' < 'tool'
+            (12, "apple bolt"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r["predicted"] for r in nb_predict(test, model).collect()}
+
+    # python reference
+    def ref_predict(words):
+        langs = ["fruit", "tool"]
+        wc = {l: Counter() for l in langs}
+        nd = Counter()
+        for _i, t, l in [r for r in rows if r[0] <= 4]:
+            wc[l].update(t.split())
+            nd[l] += 1
+        vocab = {w for c in wc.values() for w in c}
+        best = None
+        for l in sorted(langs):
+            total = sum(wc[l].values())
+            s = math.log(nd[l] / sum(nd.values()))
+            for w in words:
+                s += math.log((wc[l][w] + 1.0) / (total + len(vocab)))
+            if best is None or s > best[1] + 1e-12:
+                best = (l, s)
+        return best[0]
+
+    assert got[10] == ref_predict(["apple", "banana", "apple"]) == "fruit"
+    assert got[11] == ref_predict(["bolt", "nut"]) == "tool"
+    assert got[12] == "fruit"  # exact tie -> smallest label
