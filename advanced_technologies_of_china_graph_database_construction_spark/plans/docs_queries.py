@@ -1819,6 +1819,65 @@ FROM pred p JOIN documents d USING (doc_id) GROUP BY 1, 2
 """
 
 
+# ------------------------------- d37 bigram-LM perplexity filter ---------
+
+def d37_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-style perplexity quality filter, fully gated: an add-1
+    bigram LM trained on the EVEN-doc_id half of the corpus scores the
+    ODD half (a real train/score split, so the unseen-bigram smoothing
+    paths actually fire — self-scoring would make them vacuous).  Per
+    the float discipline (d30/d34/d36), only integers ship: bigram
+    count, unseen-bigram count, floor(perplexity)."""
+    from ..operators.lm import bigram_lm_train, bigram_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = bigram_lm_train(docs.filter(F.col("doc_id") % 2 == 0))
+    out = bigram_perplexity(docs.filter(F.col("doc_id") % 2 == 1), model)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_bigrams", "n_unseen", "ppl_floor"
+    )
+
+
+D37_SQL = r"""
+WITH trtoks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ws
+  FROM documents WHERE doc_id % 2 = 0),
+tetoks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ws
+  FROM documents WHERE doc_id % 2 = 1),
+trbg AS (
+  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+  FROM trtoks WHERE len(ws) >= 2),
+c2 AS (SELECT w1, w2, count(*) AS cnt FROM trbg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(cnt) AS total FROM c2 GROUP BY 1),
+v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(ws) AS t FROM trtoks)),
+tebg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+  FROM tetoks WHERE len(ws) >= 2),
+scored AS (
+  SELECT b.doc_id,
+         CASE WHEN c2.cnt IS NOT NULL
+                THEN ln((c2.cnt + 1.0) / (c1.total + (SELECT v FROM v)))
+              WHEN c1.total IS NOT NULL
+                THEN ln(1.0 / (c1.total + (SELECT v FROM v)))
+              ELSE ln(1.0 / (SELECT v FROM v)) END AS lp,
+         CASE WHEN c2.cnt IS NULL THEN 1 ELSE 0 END AS unseen
+  FROM tebg b LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+              LEFT JOIN c1 ON b.w1 = c1.w1),
+agg AS (
+  SELECT doc_id, count(*) AS n_bigrams, sum(unseen) AS n_unseen,
+         floor(exp(-sum(lp) / count(*))) AS ppl
+  FROM scored GROUP BY 1)
+SELECT t.doc_id, coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(a.n_unseen, 0)::BIGINT AS n_unseen,
+       a.ppl::BIGINT AS ppl_floor
+FROM tetoks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ------------------------------------------ d29 dup-span audit ------------
 
 SPAN_N = 8
@@ -1908,6 +1967,10 @@ SPECS = [
               "text", "HyperLogLog++ cardinality contract per source (d30 "
               "pattern: exact value + tolerance boolean ship, sketch value "
               "doesn't)"),
+    QuerySpec("d37_bigram_lm_perplexity", d37_bigram_lm_perplexity, D37_SQL, "text",
+              "train+score bigram-LM perplexity filter (CCNet shape, closed-"
+              "form add-1 model, real train/score split); integer outputs "
+              "only"),
     QuerySpec("d36_nb_langid_confusion", d36_nb_langid_confusion, D36_SQL, "text",
               "train+apply multinomial Naive Bayes (closed-form, exact-count "
               "trainer) as the curation-filter primitive; confusion matrix "

@@ -305,3 +305,62 @@ def test_naive_bayes_matches_python_reference(spark):
     assert got[10] == ref_predict(["apple", "banana", "apple"]) == "fruit"
     assert got[11] == ref_predict(["bolt", "nut"]) == "tool"
     assert got[12] == "fruit"  # exact tie -> smallest label
+
+
+def test_bigram_lm_perplexity_matches_python_reference(spark):
+    """Train/score vs closed-form python math: seen bigrams, an unseen
+    bigram with a SEEN start (per-start floor), an unseen start
+    (uniform floor), and a <2-token doc (NULL perplexity)."""
+    import math
+    from collections import Counter
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.lm import (
+        bigram_lm_train,
+        bigram_perplexity,
+    )
+
+    train_texts = ["a b a b c", "a b c a"]
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], "doc_id long, text string"
+    )
+    test = spark.createDataFrame(
+        [
+            (10, "a b c"),    # all bigrams seen
+            (11, "a c b"),    # 'a c'/'c b': unseen with seen starts
+            (12, "z q"),      # unseen start -> uniform floor
+            (13, "solo"),     # <2 tokens -> NULL ppl
+        ],
+        "doc_id long, text string",
+    )
+    model = bigram_lm_train(train)
+    got = {r["id"]: r for r in bigram_perplexity(test, model).collect()}
+
+    c2, c1, vocab = Counter(), Counter(), set()
+    for t in train_texts:
+        ws = t.split()
+        vocab.update(ws)
+        for x, y in zip(ws, ws[1:]):
+            c2[(x, y)] += 1
+            c1[x] += 1
+    V = len(vocab)
+
+    def ref(text):
+        ws = text.split()
+        if len(ws) < 2:
+            return (0, 0, None)
+        lps, unseen = [], 0
+        for x, y in zip(ws, ws[1:]):
+            if (x, y) in c2:
+                lps.append(math.log((c2[(x, y)] + 1.0) / (c1[x] + V)))
+            else:
+                unseen += 1
+                lps.append(
+                    math.log(1.0 / (c1[x] + V)) if x in c1 else math.log(1.0 / V)
+                )
+        return (len(lps), unseen, math.floor(math.exp(-sum(lps) / len(lps))))
+
+    for doc_id, text in ((10, "a b c"), (11, "a c b"), (12, "z q"), (13, "solo")):
+        n, u, p = ref(text)
+        r = got[doc_id]
+        assert (r["n_bigrams"], r["n_unseen"], r["ppl_floor"]) == (n, u, p), (doc_id, r)
+    assert got[11]["n_unseen"] == 2 and got[12]["n_unseen"] == 1  # non-vacuous
