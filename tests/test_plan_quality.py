@@ -514,3 +514,18 @@ def test_p01_composed_pipeline_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan  # the mapping application
+
+
+def test_classifier_and_lm_plans_stay_jvm_side(spark):
+    """d36 (Naive Bayes) and d37 (bigram-LM perplexity) are pure
+    column-expression pipelines: counts, joins, log arithmetic — no
+    Python evaluation anywhere, partial aggregation below the count
+    shuffles, and the tiny model-side frames broadcast."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.registry import spec_map
+
+    m = spec_map()
+    for name in ("d36_nb_langid_confusion", "d37_bigram_lm_perplexity"):
+        plan = _plan(m[name].fn(spark, SF_CORRECT))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "partial_count" in plan or "partial_sum" in plan, name
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
