@@ -788,7 +788,82 @@ FROM (SELECT * FROM events
 """
 
 
+# --------------------------------- e20 stream-STATIC broadcast join ------
+
+def e20_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-STATIC join face — the remaining core Structured
+    Streaming join shape after e18/e19's stream-stream pair: a
+    readStream of events enriched against a static dimension table
+    (customer) and aggregated per day × market segment.  Unlike
+    stream-stream, a static side needs NO watermark and buffers NO
+    state — Spark re-plans it per micro-batch as an ordinary broadcast
+    hash join, which is exactly the 100 TB topology for enriching an
+    event firehose with a small dimension: the dim broadcasts to every
+    executor once per batch and the stream side never shuffles for the
+    join.  The explicit ``F.broadcast`` pins that plan (an AQE size
+    estimate can't see the dim is small relative to the unbounded
+    stream).  Gated end-to-end: 4 ts-ranged micro-batches through the
+    join + complete-mode windowed aggregation into the memory sink,
+    hash-compared to the batch join oracle."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    d = tempfile.mkdtemp(prefix="e20_events_")
+    try:
+        _write_ts_slices(ev, d)
+        stream = windows.streaming_source(spark, d, watermark="1 hour")
+        joined = stream.join(
+            F.broadcast(cust), stream.user_id == cust.c_custkey
+        )
+        agg = (
+            joined.groupBy(F.window("ts", "1 day").alias("w"), "c_mktsegment")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "c_mktsegment",
+                "n_events",
+                "sum_value",
+            )
+        )
+        name = f"e20_sink_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name)
+
+
+E20_SQL = """
+SELECT date_trunc('day', ts) AS window_start,
+       c_mktsegment,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 SPECS = [
+    QuerySpec("e20_streaming_static_join", e20_streaming_static_join, E20_SQL,
+              "events", "REAL stream-static broadcast join: readStream events "
+              "enriched vs the static customer dim (stateless per-batch "
+              "broadcast hash join), windowed agg gated vs the batch oracle"),
     QuerySpec("e19_streaming_left_outer_join", e19_streaming_left_outer_join, E19_SQL,
               "events", "REAL LEFT OUTER stream-stream interval join: outer-null "
               "rows finalized by the dual watermark (sentinel-flushed on both "

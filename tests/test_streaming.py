@@ -322,3 +322,36 @@ def test_e19_left_outer_join_matches_batch(spark):
         assert (g[3] is None) == (w[3] is None)
         if g[3] is not None:
             assert abs(g[3] - w[3]) < 1e-6, (g, w)
+
+
+def test_e20_stream_static_join_matches_batch(spark, event_dir):
+    """Stream-static join: the streamed join+agg must equal the same
+    plan run batch-side on identical input — and the static side must
+    ride a broadcast join (stateless per-batch enrichment), which the
+    batch face's physical plan witnesses."""
+    cust = load_table(spark, SF_CORRECT, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def enriched_daily(ev):
+        return (
+            ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+            .groupBy(F.window("ts", "1 day").alias("w"), "c_mktsegment")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                "c_mktsegment",
+                "n_events",
+            )
+        )
+
+    stream = windows.streaming_source(spark, event_dir, watermark="1 hour")
+    name = _run_stream(enriched_daily(stream), "complete")
+    cols = ["window_start", "c_mktsegment", "n_events"]
+    batch = enriched_daily(spark.read.parquet(event_dir))
+    want = sorted(tuple(r[c] for c in cols) for r in batch.collect())
+    assert _rows(spark, name, cols) == want and len(want) > 0
+    plan = batch._sc._jvm.PythonSQLUtils.explainString(
+        batch._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan, plan
