@@ -498,6 +498,217 @@ def video_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, VIDEO_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("target_w", IntegerType()),
+        StructField("target_h", IntegerType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def resized_image_stats(media: DataFrame, target: int = 3) -> DataFrame:
+    """REAL pixel resample (the step ``resize_plan`` only plans):
+    nearest-neighbor resize of each PPM payload to a fixed
+    ``target``×``target`` thumbnail, reduced to per-channel means of
+    the RESIZED image — the normalize-before-featurize step of a
+    vision-training pipeline, where every image must land on one
+    tensor shape regardless of source dims.  Nearest-neighbor index
+    map: resized (r, c) reads source (r·h//t, c·w//t) — pure integer
+    arithmetic, no interpolation, so the result is SQL-derivable and
+    the gate proves the RESAMPLED pixels, not just metadata (both up-
+    and down-sampling occur: source dims straddle ``target`` on both
+    sides).  Decode guards are ``image_stats``'s: bad magic, non-255
+    maxval, zero dims, truncated plane all dead-letter.
+
+    Scale: the resample is numpy fancy-indexing inside the same
+    narrow mapInPandas seam — payload bytes never shuffle, and the
+    output is O(t²) per image regardless of source size, so the
+    operator's output volume is decoupled from corpus byte volume."""
+    import re as _re
+
+    import numpy as np
+
+    if target < 1:
+        raise ValueError(f"target={target}; must be >= 1")
+    hdr = _re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)[ \t\r\n]")
+    idx = np.arange(target)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in ("w", "h", "r", "g", "b", "err")}
+
+            def emit(w=None, h=None, r=None, g=None, b=None, err=None):
+                for k, v in zip(("w", "h", "r", "g", "b", "err"),
+                                (w, h, r, g, b, err)):
+                    cols[k].append(v)
+
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                m = hdr.match(raw)
+                if not m:
+                    emit(err="decode_error: not a P6 ppm")
+                    continue
+                w, h, maxv = (int(x) for x in m.groups())
+                if maxv != 255:
+                    emit(err=f"decode_error: unsupported maxval {maxv}")
+                    continue
+                if w * h == 0:
+                    emit(err="decode_error: zero-dimension image")
+                    continue
+                plane = raw[m.end() : m.end() + w * h * 3]
+                if len(plane) < w * h * 3:
+                    emit(err="decode_error: truncated pixel plane")
+                    continue
+                arr = (
+                    np.frombuffer(plane, dtype=np.uint8)
+                    .reshape(h, w, 3)
+                )
+                rows = (idx * h) // target  # nearest-neighbor index map
+                colz = (idx * w) // target
+                resized = arr[np.ix_(rows, colz)].astype(np.int64)
+                n = target * target
+                sums = resized.sum(axis=(0, 1))
+                emit(
+                    w=w,
+                    h=h,
+                    r=float(sums[0]) / n,
+                    g=float(sums[1]) / n,
+                    b=float(sums[2]) / n,
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": cols["w"],
+                    "height": cols["h"],
+                    "target_w": [target if e is None else None for e in cols["err"]],
+                    "target_h": [target if e is None else None for e in cols["err"]],
+                    "mean_r": cols["r"],
+                    "mean_g": cols["g"],
+                    "mean_b": cols["b"],
+                    "error": cols["err"],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+SAMPLED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_sampled", IntegerType()),
+        StructField("mean_sampled_luma", DoubleType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def sampled_frame_stats(media: DataFrame, step: int = 2) -> DataFrame:
+    """SELECTIVE frame decode: stats over every ``step``-th frame of a
+    YUV4MPEG2 stream, touching ONLY the sampled frames' bytes — the
+    100 TB video pattern.  ``video_stats`` walks every frame; at scale
+    a 1-fps sample over 30-fps footage must not decode (or ideally even
+    read) the other 29/30 of the corpus.  Fixed-size mono frames make
+    every frame's byte offset closed-form (header_end + f·(6 + w·h) +
+    6), so the decoder SEEKS: frame count from length arithmetic, then
+    a marker check + plane slice per sampled frame only.  In a real
+    store the same offsets become parquet/object-store byte-range reads
+    — the in-payload slice here is that access pattern with the I/O
+    layer collapsed.  Compressed formats would instead seek via a
+    keyframe index; fixed-size-frame arithmetic is that index's
+    degenerate closed form.
+
+    Determinism: int64 sums, one float64 division — bit-identical to
+    the SQL oracle's filtered avg.  A byte length that doesn't divide
+    into whole frames, or a non-FRAME marker at any sampled offset,
+    dead-letters the row (the marker check at every SEEKED offset means
+    corruption in sampled regions is still caught; corruption in
+    skipped frames is by design invisible — the cost of not reading
+    them)."""
+    import re as _re
+
+    import numpy as np
+
+    if step < 1:
+        raise ValueError(f"step={step}; must be >= 1")
+    hdr = _re.compile(rb"^YUV4MPEG2 W(\d+) H(\d+) [^\n]*\n")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in ("w", "h", "nf", "ns", "mean", "err")}
+
+            def emit(w=None, h=None, nf=None, ns=None, mean=None, err=None):
+                for k, v in zip(("w", "h", "nf", "ns", "mean", "err"),
+                                (w, h, nf, ns, mean, err)):
+                    cols[k].append(v)
+
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                m = hdr.match(raw)
+                if not m:
+                    emit(err="decode_error: not a YUV4MPEG2 stream")
+                    continue
+                if not _re.search(rb"\sCmono[\s\n]", raw[: m.end()]):
+                    emit(err="decode_error: unsupported colourspace")
+                    continue
+                w, h = int(m.group(1)), int(m.group(2))
+                plane = w * h
+                if plane == 0:
+                    emit(err="decode_error: zero-dimension stream")
+                    continue
+                body = len(raw) - m.end()
+                block = 6 + plane  # FRAME\n marker + luma plane
+                nf, rem = divmod(body, block)
+                if rem or nf == 0:
+                    emit(err="decode_error: body is not whole frames")
+                    continue
+                total = 0
+                n_sampled = 0
+                bad = None
+                for f in range(0, nf, step):  # the SEEK: skipped frames untouched
+                    pos = m.end() + f * block
+                    if raw[pos : pos + 6] != b"FRAME\n":
+                        bad = "decode_error: bad frame marker"
+                        break
+                    luma = np.frombuffer(
+                        raw[pos + 6 : pos + 6 + plane], dtype=np.uint8
+                    )
+                    total += int(luma.astype(np.int64).sum())
+                    n_sampled += 1
+                if bad:
+                    emit(err=bad)
+                    continue
+                emit(
+                    w=w,
+                    h=h,
+                    nf=nf,
+                    ns=n_sampled,
+                    mean=float(total) / (plane * n_sampled),
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": cols["w"],
+                    "height": cols["h"],
+                    "n_frames": cols["nf"],
+                    "n_sampled": cols["ns"],
+                    "mean_sampled_luma": cols["mean"],
+                    "error": cols["err"],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, SAMPLED_SCHEMA)
+
+
 def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
     """Resize planning is pure metadata arithmetic — JVM-side, no decode:
     compute target dims preserving aspect ratio; the actual pixel

@@ -185,7 +185,111 @@ FROM px GROUP BY doc_id
 """
 
 
+M07_STEP = 2
+
+
+def m07_sampled_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECTIVE video decode: stats over every 2nd frame only, the
+    sampled frames located by closed-form byte offsets (seek, not
+    scan) — at 100 TB the skipped frames' bytes are never read, which
+    is what makes frame-sampling over a video corpus tractable.  The
+    oracle derives the same filtered mean from the text bytes, so the
+    gate proves the seek arithmetic landed on exactly the right
+    frames."""
+    vids = mm.attach_y4m_videos(load_table(spark, sf_dir, "documents"))
+    stats = mm.sampled_frame_stats(vids, step=M07_STEP)
+    return stats.filter(F.col("error").isNull()).select(
+        "media_id",
+        "width",
+        "height",
+        "n_frames",
+        "n_sampled",
+        F.round("mean_sampled_luma", 6).alias("mean_sampled_luma"),
+    )
+
+
+# Same byte construction as M06; sampled frames are f % 2 = 0 and
+# n_sampled = ceil(nf / 2).
+M07_SQL = f"""
+WITH px AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, (doc_id % 4 + 2) * (doc_id % 5 + 2) * (doc_id % 7 + 2)),
+           u -> struct_pack(
+             f := u // ((doc_id % 4 + 2) * (doc_id % 5 + 2)),
+             b := ascii(substr(text, ((u % length(text)) + 1)::INT, 1))))) AS p
+  FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0)
+SELECT doc_id + 5000000 AS media_id,
+       (doc_id % 4 + 2)::INT AS width,
+       (doc_id % 5 + 2)::INT AS height,
+       (doc_id % 7 + 2)::INT AS n_frames,
+       (((doc_id % 7 + 2) + {M07_STEP} - 1) // {M07_STEP})::INT AS n_sampled,
+       round(avg(p.b) FILTER (WHERE p.f % {M07_STEP} = 0), 6) AS mean_sampled_luma
+FROM px GROUP BY doc_id
+"""
+
+
+M08_TARGET = 3
+
+
+def m08_resized_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor resample: every PPM resized to a fixed
+    3×3 thumbnail (source dims 2–6 × 2–8, so both up- and
+    down-sampling paths run), per-channel means of the RESIZED pixels
+    gated against an oracle that replays the index map (r·h//3,
+    c·w//3) over the text bytes — metadata-only resize planning can't
+    fake this."""
+    imgs = mm.attach_ppm_images(load_table(spark, sf_dir, "documents"))
+    stats = mm.resized_image_stats(imgs, target=M08_TARGET)
+    return stats.filter(F.col("error").isNull()).select(
+        "media_id",
+        "width",
+        "height",
+        "target_w",
+        "target_h",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+# Resized pixel u of t·t·3 (rr = u//(t·3), cc = (u//3) % t, ch = u%3)
+# reads source byte ((rr·h//t)·w + cc·w//t)·3 + ch of the repeated
+# text — the exact nearest-neighbor index map the operator applies.
+M08_SQL = f"""
+WITH px AS (
+  SELECT doc_id,
+         (doc_id % 5 + 2) AS w, (doc_id % 7 + 2) AS h,
+         unnest(list_transform(
+           range(0, {M08_TARGET * M08_TARGET * 3}),
+           u -> struct_pack(
+             ch := u % 3,
+             b := ascii(substr(text,
+               (((((u // {M08_TARGET * 3}) * (doc_id % 7 + 2) // {M08_TARGET})
+                    * (doc_id % 5 + 2)
+                   + ((u // 3) % {M08_TARGET}) * (doc_id % 5 + 2) // {M08_TARGET})
+                  * 3 + u % 3) % length(text) + 1)::INT,
+               1))))) AS p
+  FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0)
+SELECT doc_id + 5000000 AS media_id,
+       w::INT AS width, h::INT AS height,
+       {M08_TARGET}::INT AS target_w, {M08_TARGET}::INT AS target_h,
+       round(avg(p.b) FILTER (WHERE p.ch = 0), 6) AS mean_r,
+       round(avg(p.b) FILTER (WHERE p.ch = 1), 6) AS mean_g,
+       round(avg(p.b) FILTER (WHERE p.ch = 2), 6) AS mean_b
+FROM px GROUP BY doc_id, w, h
+"""
+
+
 SPECS = [
+    QuerySpec("m08_resized_image_stats", m08_resized_image_stats, M08_SQL,
+              "multimodal", "REAL nearest-neighbor resize to a fixed thumbnail "
+              "shape: resampled-pixel means gated vs an oracle replaying the "
+              "index map"),
+    QuerySpec("m07_sampled_frame_stats", m07_sampled_frame_stats, M07_SQL,
+              "multimodal", "SELECTIVE frame decode via closed-form byte-offset "
+              "seek (skipped frames never read), gated vs the filtered-frame "
+              "oracle"),
     QuerySpec("m06_video_stats", m06_video_stats, M06_SQL, "multimodal",
               "REAL Y4M video decode: header parse + frame walk + numpy luma "
               "stats through the Arrow seam, integer-exact vs the SQL oracle"),

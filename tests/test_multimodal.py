@@ -240,3 +240,70 @@ def test_pil_decoder_real_decode(spark):
     row = mm.extract_features(media, decoder=mm.pil_decoder).collect()[0]
     assert row["error"] is None
     assert row["features"] == [4.0, 2.0, 3.0, 20.0]
+
+
+def test_sampled_frame_stats_seeks_only_sampled_frames(spark):
+    """step=2 over a 3-frame stream must average frames 0 and 2 only —
+    and corruption confined to a SKIPPED frame's marker must go
+    unnoticed (the operator never reads it), while corruption at a
+    SAMPLED offset dead-letters."""
+    hdr = b"YUV4MPEG2 W2 H1 F25:1 Ip A1:1 Cmono\n"
+    good = (
+        hdr
+        + b"FRAME\n\x0a\x14"  # frame 0: 10, 20
+        + b"FRAME\n\xff\xff"  # frame 1: skipped
+        + b"FRAME\n\x1e\x28"  # frame 2: 30, 40
+    )
+    skipped_bad = good.replace(b"FRAME\n\xff\xff", b"XRAME\n\xff\xff")
+    sampled_bad = good.replace(b"FRAME\n\x1e\x28", b"XRAME\n\x1e\x28")
+    ragged = hdr + b"FRAME\n\x0a\x14" + b"FRA"  # not whole frames
+    df = spark.createDataFrame(
+        [(1, good), (2, skipped_bad), (3, sampled_bad), (4, ragged)],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in mm.sampled_frame_stats(df, step=2).collect()}
+    assert got[1]["error"] is None
+    assert (got[1]["n_frames"], got[1]["n_sampled"]) == (3, 2)
+    assert got[1]["mean_sampled_luma"] == 25.0  # (10+20+30+40)/4
+    assert got[2]["error"] is None  # skipped frame's bytes never read
+    assert got[2]["mean_sampled_luma"] == 25.0
+    assert "marker" in got[3]["error"]
+    assert "whole frames" in got[4]["error"]
+
+
+def test_resized_image_stats_index_map(spark):
+    """Nearest-neighbor downsample of a hand-built 4x2 image to 2x2:
+    resized (r, c) must read source (r*h//2, c*w//2) — rows 0,1 and
+    cols 0,2 — so the channel means cover exactly those 4 pixels."""
+    # pixel (row, col) has R = 10*row + col, G = 100 + R, B = 200 + R
+    px = bytes(
+        b
+        for row in range(2)
+        for col in range(4)
+        for b in (10 * row + col, 100 + 10 * row + col, 200 + 10 * row + col)
+    )
+    payload = b"P6\n4 2\n255\n" + px
+    df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    r = mm.resized_image_stats(df, target=2).collect()[0]
+    assert r["error"] is None
+    assert (r["width"], r["height"], r["target_w"], r["target_h"]) == (4, 2, 2, 2)
+    # sampled source pixels: (0,0)=0, (0,2)=2, (1,0)=10, (1,2)=12
+    assert r["mean_r"] == (0 + 2 + 10 + 12) / 4
+    assert r["mean_g"] == 100 + (0 + 2 + 10 + 12) / 4
+    assert r["mean_b"] == 200 + (0 + 2 + 10 + 12) / 4
+
+
+def test_resized_image_stats_upsample_and_errors(spark):
+    """Upsampling a 1x1 image to 3x3 repeats the single pixel; decode
+    guards match image_stats (truncated plane dead-letters)."""
+    df = spark.createDataFrame(
+        [
+            (1, b"P6\n1 1\n255\n\x05\x06\x07"),
+            (2, b"P6\n2 2\n255\n\x00\x00"),  # truncated
+        ],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in mm.resized_image_stats(df, target=3).collect()}
+    assert got[1]["error"] is None
+    assert (got[1]["mean_r"], got[1]["mean_g"], got[1]["mean_b"]) == (5.0, 6.0, 7.0)
+    assert "truncated" in got[2]["error"]

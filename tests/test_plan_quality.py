@@ -422,6 +422,8 @@ def test_media_decoders_never_shuffle_payload(spark):
     for df in (
         mm.image_stats(mm.attach_ppm_images(docs)),
         mm.video_stats(mm.attach_y4m_videos(docs)),
+        mm.sampled_frame_stats(mm.attach_y4m_videos(docs)),
+        mm.resized_image_stats(mm.attach_ppm_images(docs)),
     ):
         plan = _plan(df)
         assert "MapInPandas" in plan, plan
