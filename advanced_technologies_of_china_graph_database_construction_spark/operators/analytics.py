@@ -614,3 +614,69 @@ def bfs_distances(
             dist = relax(dist)
     edges.unpersist()  # dist is checkpointed per relax; cache no longer needed
     return dist.filter(F.col("dist").isNotNull())
+
+
+def multi_source_bfs(edges: DataFrame, sources: list, max_hops: int = 4) -> DataFrame:
+    """(seed, node, dist): shortest unweighted distances from EVERY
+    seed in ``sources`` to every node within ``max_hops``, in ONE
+    superstep loop — the landmark-distance primitive behind
+    centrality sampling, graph-diameter estimation (double sweep), and
+    landmark-based shortest-path approximation at scale.
+
+    The naive form — one ``bfs_distances`` call per seed — re-scans
+    and re-shuffles the edge set k times and serializes k fixpoint
+    loops on the driver.  Here the seed id rides the dist vector as a
+    payload column, so ALL seeds' frontiers advance in the SAME
+    relax round: state is the (seed, node, dist) vector — |S|·|V|
+    rows, the deliberate trade for touching the |E| side once per
+    round instead of once per round per seed.  Each round is still one
+    edges⋈dist join + one (seed, dst) min-fold, the same two-shuffle
+    superstep budget as ``bfs_distances`` regardless of seed count.
+    The edge frame keeps the scatter-key cache layout (src-partitioned
+    persist), so only the dist vector moves per round; seeds enter via
+    a broadcast cross join (|S| rows — never a shuffle).
+
+    Fixed rounds keep it SQL-oracle-able (g35 unrolls the iterations);
+    distances only decrease, so round r yields exact ≤r-hop distances.
+    """
+    seed_rows = [(s,) for s in sources]
+    if not seed_rows:
+        raise ValueError("multi_source_bfs needs at least one source")
+    edges = edges.select("src", "dst").repartition("src").persist()
+    edges.count()
+    spark = edges.sparkSession
+    seeds = F.broadcast(
+        spark.createDataFrame(seed_rows, ["seed"]).distinct()
+    )
+    dist = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .crossJoin(seeds)
+        .select(
+            "seed",
+            "node",
+            F.when(F.col("node") == F.col("seed"), F.lit(0)).alias("dist"),
+        )
+    )
+
+    def relax(d: DataFrame) -> DataFrame:
+        relaxed = (
+            edges.join(d, edges.src == d.node)
+            .filter(F.col("dist").isNotNull())
+            .select("seed", F.col("dst").alias("node"), (F.col("dist") + 1).alias("cand"))
+            .groupBy("seed", "node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        return (
+            d.join(relaxed, ["seed", "node"], "left")
+            .select(
+                "seed", "node", F.least(F.col("dist"), F.col("cand")).alias("dist")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    for _ in range(max_hops):
+        dist = relax(dist)
+    edges.unpersist()
+    return dist.filter(F.col("dist").isNotNull())

@@ -674,7 +674,67 @@ SELECT node AS org_id, min(m) AS component FROM reach GROUP BY node
 DEFERRED_SPECS: list[QuerySpec] = []
 
 
+# --------------------------------------- g35 multi-source BFS ----------
+
+N_SEEDS = 3
+
+
+def g35_multi_source_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark distances: shortest paths within MAX_HOPS from the 3
+    smallest document nodes over the symmetric doc↔keyword graph, all
+    seeds advanced in ONE superstep loop (seed rides the dist vector
+    as a payload column) — the |E| side is touched once per round
+    total, not once per round per seed.  The seed lookup is one tiny
+    distinct+limit job, a literal like g27's min().  Non-empty at
+    every sf (the doc↔keyword graph, unlike copub's MIN_SHARED
+    cliff), so the bench face tracks real multi-frontier work."""
+    from ..operators.analytics import multi_source_bfs, symmetric_edges
+
+    ce = _citation_edges(spark, sf_dir)
+    seeds = [
+        r[0]
+        for r in ce.select("src").distinct().orderBy("src").limit(N_SEEDS).collect()
+    ]
+    d = multi_source_bfs(symmetric_edges(ce), seeds, MAX_HOPS)
+    return d.select("seed", F.col("node").alias("node_id"), "dist")
+
+
+def _g35_iter_ctes(k: int) -> str:
+    prev = f"md{k - 1}"
+    return f"""
+mrx{k} AS MATERIALIZED (
+  SELECT d.seed, e.dst AS node, min(d.dist + 1) AS cand
+  FROM sym e JOIN {prev} d ON e.src = d.node
+  WHERE d.dist IS NOT NULL GROUP BY d.seed, e.dst),
+md{k} AS MATERIALIZED (
+  SELECT d.seed, d.node, least(d.dist, r.cand) AS dist
+  FROM {prev} d LEFT JOIN mrx{k} r ON d.seed = r.seed AND d.node = r.node)
+"""
+
+
+G35_SQL = (
+    _G24_CTES
+    + f""", sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+seeds AS (SELECT src AS seed FROM edges GROUP BY src ORDER BY src LIMIT {N_SEEDS}),
+md0 AS (
+  SELECT s.seed, n.node, CASE WHEN n.node = s.seed THEN 0 END AS dist
+  FROM seeds s CROSS JOIN nodes n),"""
+    + ",".join(_g35_iter_ctes(k) for k in range(1, MAX_HOPS + 1))
+    + f"\nSELECT seed, node AS node_id, dist FROM md{MAX_HOPS} WHERE dist IS NOT NULL"
+)
+
+
 SPECS = [
+    QuerySpec(
+        name="g35_multi_source_bfs",
+        fn=g35_multi_source_bfs,
+        oracle=G35_SQL,
+        category="analytics",
+        description="Multi-source (landmark) BFS: 3 seeds' frontiers advanced "
+        "in one superstep loop over the doc↔keyword graph, seed as a payload "
+        "column; oracle is the unrolled per-seed frontier relaxation in SQL.",
+        bench=True,
+    ),
     QuerySpec(
         name="g28_kcore_orgs",
         fn=g28_kcore_orgs,

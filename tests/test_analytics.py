@@ -525,3 +525,48 @@ def test_unweighted_bfs_unchanged_by_weight_generalization(spark):
     got = {r["node"]: r["dist"] for r in bfs_distances(df, 1, max_hops=4).collect()}
     assert got == {1: 0, 2: 1, 3: 2, 4: 1}
     assert all(isinstance(v, int) for v in got.values())
+
+
+def test_multi_source_bfs_matches_per_seed_runs(spark):
+    """One joint superstep loop must equal k independent single-source
+    BFS runs on a random graph — the correctness contract for carrying
+    the seed as a payload column."""
+    import random
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import (
+        bfs_distances,
+        multi_source_bfs,
+    )
+
+    rng = random.Random(7)
+    rows = list({(rng.randrange(30), rng.randrange(30)) for _ in range(80)})
+    rows = [(a, b) for a, b in rows if a != b]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    seeds = [0, 1, 2]
+    got = {
+        (r["seed"], r["node"]): r["dist"]
+        for r in multi_source_bfs(df, seeds, max_hops=3).collect()
+    }
+    want = {}
+    for s in seeds:
+        for r in bfs_distances(df, s, max_hops=3).collect():
+            want[(s, r["node"])] = r["dist"]
+    assert got == want and len(got) > len(seeds)
+
+
+def test_multi_source_bfs_dedups_and_validates_seeds(spark):
+    """Duplicate seeds collapse to one frontier; an empty seed list is
+    a contract error, not a silent empty result."""
+    import pytest as _pytest
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import (
+        multi_source_bfs,
+    )
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = multi_source_bfs(df, [1, 1], max_hops=2).collect()
+    assert {(r["seed"], r["node"]): r["dist"] for r in got} == {
+        (1, 1): 0, (1, 2): 1, (1, 3): 2
+    }
+    with _pytest.raises(ValueError):
+        multi_source_bfs(df, [], max_hops=2)
