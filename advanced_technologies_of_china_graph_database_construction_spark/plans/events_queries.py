@@ -859,7 +859,80 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------- e21 incremental aggregate maintenance --------
+
+def e21_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a daily per-type
+    aggregate kept current by MERGING a delta partition's partial
+    aggregate into the materialized state — never recomputing the
+    base.  At 100 TB this is the difference between O(delta) and
+    O(corpus) per refresh: the base aggregate is a few thousand rows
+    regardless of corpus size, so the refresh cost is the delta scan
+    plus a merge keyed on the (much smaller) aggregate key space.
+
+    The algebra is Spark's own partial-aggregation contract surfaced
+    as an operator: (count, sum) are mergeable (full-outer on the
+    group keys + coalesced addition), while avg is NOT — it is derived
+    from the merged (sum, count) AFTER the merge, the standard
+    algebraic-aggregate decomposition.  The cutoff is the median ts
+    (one tiny percentile job, a literal like pagerank's count); base
+    and delta are disjoint ts ranges, exactly the shape of a
+    date-partitioned table receiving a late partition.  The gate
+    compares the MERGED state to a from-scratch aggregate over the
+    union (the DuckDB oracle) — any drift between the incremental and
+    the recompute path fails the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        F.percentile_approx("ts", 0.5, 10_000).alias("m")
+    ).first()["m"]
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("window_start"), "event_type"
+        ).agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+
+    base = partial(ev.filter(F.col("ts") < F.lit(cutoff)))
+    delta = partial(ev.filter(F.col("ts") >= F.lit(cutoff)))
+    merged = (
+        base.alias("b")
+        .join(delta.alias("d"), ["window_start", "event_type"], "full_outer")
+        .select(
+            "window_start",
+            "event_type",
+            (
+                F.coalesce(F.col("b.n_events"), F.lit(0))
+                + F.coalesce(F.col("d.n_events"), F.lit(0))
+            ).alias("n_events"),
+            (
+                F.coalesce(F.col("b.sum_value"), F.lit(0.0))
+                + F.coalesce(F.col("d.sum_value"), F.lit(0.0))
+            ).alias("sum_value"),
+        )
+    )
+    return merged.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round(F.col("sum_value") / F.col("n_events"), 6).alias("avg_value"),
+    )
+
+
+E21_SQL = """
+SELECT date_trunc('day', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(sum(value) / count(*), 6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
 SPECS = [
+    QuerySpec("e21_incremental_agg_maintenance", e21_incremental_agg_maintenance,
+              E21_SQL, "events", "incremental materialized-view maintenance: "
+              "delta partial-agg merged into the base state (O(delta) refresh), "
+              "avg derived post-merge, gated vs the from-scratch oracle"),
     QuerySpec("e20_streaming_static_join", e20_streaming_static_join, E20_SQL,
               "events", "REAL stream-static broadcast join: readStream events "
               "enriched vs the static customer dim (stateless per-batch "

@@ -53,7 +53,61 @@ SELECT e.event_id, e.user_id, e.event_type, t.n_user_events
 FROM events e JOIN tot t USING (user_id)
 """
 
+ZO_BITS = 8
+ZO_BUCKET_BITS = 4
+
+
+def s08_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit over lineitem's
+    (l_partkey, l_suppkey): each of the 16 contiguous Z-ranges — the
+    stand-ins for files under a `zorder_write` layout — reports its
+    row count and min/max envelope in BOTH dimensions.  The envelopes
+    ARE the parquet file statistics a reader would prune with, so the
+    gate proves the bit-interleave arithmetic AND ships the locality
+    evidence: under Z-order every 1/16th-of-keyspace bucket spans only
+    a quarter of each dimension (vs. all of dimension 2 under a plain
+    sort on dimension 1)."""
+    from ..operators.layout import zorder_layout_audit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return zorder_layout_audit(
+        li, "l_partkey", "l_suppkey", bits=ZO_BITS, bucket_bits=ZO_BUCKET_BITS
+    )
+
+
+def _zo_sql_key(a: str, b: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+S08_SQL = f"""
+WITH d AS (
+  SELECT l_partkey & {2**ZO_BITS - 1} AS a, l_suppkey & {2**ZO_BITS - 1} AS b
+  FROM lineitem),
+z AS (
+  SELECT a, b, ({_zo_sql_key('a', 'b', ZO_BITS)}) >> {2 * ZO_BITS - ZO_BUCKET_BITS}
+           AS z_bucket
+  FROM d)
+SELECT z_bucket, count(*) AS n_rows,
+       min(a) AS a_min, max(a) AS a_max,
+       min(b) AS b_min, max(b) AS b_max
+FROM z GROUP BY z_bucket
+"""
+
+
 SPECS = [
+    QuerySpec(
+        name="s08_zorder_layout_audit",
+        fn=s08_zorder_layout_audit,
+        oracle=S08_SQL,
+        category="skew",
+        description="Z-order (Morton) clustering: JVM bit-interleave key + "
+        "per-Z-range min/max envelopes in both dimensions — the file-"
+        "statistics locality a ZORDER BY layout gives multi-dim pruning.",
+    ),
     QuerySpec(
         name="s01_salted_event_type_stats",
         fn=s01_salted_event_type_stats,

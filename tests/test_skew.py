@@ -43,3 +43,69 @@ def test_salted_join_matches_plain(spark):
     plain = sorted(map(tuple, big.join(small, "k").select("k", "v", "name").collect()))
     salted = sorted(map(tuple, salted_join(big, small, "k").select("k", "v", "name").collect()))
     assert salted == plain
+
+
+def test_zorder_key_known_interleave(spark):
+    """Morton bits: a's bit i lands at 2i, b's at 2i+1 — a=3 (011),
+    b=5 (101) under bits=3 interleave to 0b100111 = 39."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame([(3, 5)], "a long, b long")
+    got = df.select(zorder_key(F.col("a"), F.col("b"), bits=3).alias("z")).first()["z"]
+    assert got == 39
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        zorder_key(F.col("a"), F.col("b"), bits=0)
+
+
+def test_zorder_buckets_bound_both_dims_linear_sort_does_not(spark):
+    """The locality claim as numbers: over a full 16x16 grid split into
+    4 buckets, every Z-bucket's envelope spans half of EACH dimension,
+    while a-sorted quartiles leave b spanning its whole domain."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.layout import (
+        zorder_layout_audit,
+    )
+
+    grid = spark.createDataFrame(
+        [(a, b) for a in range(16) for b in range(16)], "a long, b long"
+    )
+    audit = zorder_layout_audit(grid, "a", "b", bits=4, bucket_bits=2).collect()
+    assert len(audit) == 4
+    for r in audit:
+        assert r["n_rows"] == 64
+        assert r["a_max"] - r["a_min"] == 7  # half of [0,15] each
+        assert r["b_max"] - r["b_min"] == 7
+    # linear sort on a: each quartile covers ALL of b
+    lin = (
+        grid.withColumn("bucket", (F.col("a") / 4).cast("int"))
+        .groupBy("bucket")
+        .agg((F.max("b") - F.min("b")).alias("b_spread"))
+        .collect()
+    )
+    assert all(r["b_spread"] == 15 for r in lin)
+
+
+def test_zorder_write_clusters_files_in_both_dims(spark, tmp_path):
+    """After zorder_write, every parquet file's min/max envelope (what
+    a reader prunes with) is a strict sub-range of BOTH dimensions."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.layout import zorder_write
+
+    grid = spark.createDataFrame(
+        [(a, b) for a in range(32) for b in range(32)], "a long, b long"
+    )
+    out = str(tmp_path / "zorded")
+    zorder_write(grid, "a", "b", out, n_files=4, bits=5)
+    back = spark.read.parquet(out)
+    assert back.count() == 32 * 32
+    envelopes = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            (F.max("a") - F.min("a")).alias("a_spread"),
+            (F.max("b") - F.min("b")).alias("b_spread"),
+        )
+        .collect()
+    )
+    assert len(envelopes) >= 4
+    assert all(r["a_spread"] <= 16 and r["b_spread"] <= 16 for r in envelopes)
