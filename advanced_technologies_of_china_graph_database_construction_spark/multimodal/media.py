@@ -30,6 +30,7 @@ offsets, not frames, so the blow-up is bounded by ``duration/step``.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -237,6 +238,51 @@ def audio_energy(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, ENERGY_SCHEMA)
 
 
+_PPM_HDR = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)[ \t\r\n]")
+_Y4M_HDR = re.compile(rb"^YUV4MPEG2 W(\d+) H(\d+) [^\n]*\n")
+
+
+def _parse_p6(raw: bytes):
+    """(w, h, plane_bytes, None) on success, (None, None, None, err)
+    on any dead-letter condition — ONE copy of the P6 header parse and
+    guards shared by ``image_stats`` and ``resized_image_stats``, so a
+    guard fix can't silently diverge between the two decode faces."""
+    m = _PPM_HDR.match(raw)
+    if not m:
+        return None, None, None, "decode_error: not a P6 ppm"
+    w, h, maxv = (int(x) for x in m.groups())
+    if maxv != 255:
+        return None, None, None, f"decode_error: unsupported maxval {maxv}"
+    if w * h == 0:
+        # a zero-dim header parses but has no pixels — dead-letter,
+        # never a ZeroDivision that kills the job
+        return None, None, None, "decode_error: zero-dimension image"
+    plane = raw[m.end() : m.end() + w * h * 3]
+    if len(plane) < w * h * 3:
+        return None, None, None, "decode_error: truncated pixel plane"
+    return w, h, plane, None
+
+
+def _parse_y4m(raw: bytes):
+    """(w, h, body_offset, None) or (None, None, None, err): the
+    YUV4MPEG2 header parse + guards shared by ``video_stats`` and
+    ``sampled_frame_stats``; frame-level walking stays per-operator
+    (full marker walk vs byte-offset seek).  The colourspace check is
+    an exact token match (param boundary = whitespace): a substring
+    test would let Cmono12/Cmono16 (multi-byte samples) slip through
+    and be misdecoded as 8-bit luma instead of dead-lettering."""
+    m = _Y4M_HDR.match(raw)
+    if not m:
+        return None, None, None, "decode_error: not a YUV4MPEG2 stream"
+    if not re.search(rb"\sCmono[\s\n]", raw[: m.end()]):
+        return None, None, None, "decode_error: unsupported colourspace"
+    w, h = int(m.group(1)), int(m.group(2))
+    if w * h == 0:
+        # same dead-letter guard as _parse_p6
+        return None, None, None, "decode_error: zero-dimension stream"
+    return w, h, m.end(), None
+
+
 def attach_ppm_images(docs: DataFrame) -> DataFrame:
     """Synthesize REAL image payloads: a binary PPM (P6) file per image
     document — `P6\\n{w} {h}\\n255\\n` header followed by w·h·3 raw RGB
@@ -291,50 +337,28 @@ def image_stats(media: DataFrame) -> DataFrame:
     Determinism: channel sums are int64 (exact), each mean is ONE
     float64 division — bit-identical to the SQL oracle's avg.
     Undecodable payloads (bad magic, truncated plane, non-255 maxval)
-    ride the dead-letter channel."""
-    import re as _re
-
+    ride the dead-letter channel (guards live in ``_parse_p6``)."""
     import numpy as np
-
-    hdr = _re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)[ \t\r\n]")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("w", "h", "r", "g", "b", "i", "err")}
             for payload in pdf["payload"]:
                 raw = bytes(payload) if payload is not None else b""
-                m = hdr.match(raw)
-                w = h = None
+                w, h, plane, err = _parse_p6(raw)
                 r = g = b = i = None
-                err = None
-                if not m:
-                    err = "decode_error: not a P6 ppm"
-                else:
-                    w, h, maxv = (int(x) for x in m.groups())
-                    plane = raw[m.end() : m.end() + w * h * 3]
-                    if maxv != 255:
-                        err = f"decode_error: unsupported maxval {maxv}"
-                        w = h = None
-                    elif w * h == 0:
-                        # a zero-dim header parses but has no pixels —
-                        # dead-letter, never a ZeroDivision that kills the job
-                        err = "decode_error: zero-dimension image"
-                        w = h = None
-                    elif len(plane) < w * h * 3:
-                        err = "decode_error: truncated pixel plane"
-                        w = h = None
-                    else:
-                        arr = (
-                            np.frombuffer(plane, dtype=np.uint8)
-                            .astype(np.int64)
-                            .reshape(h, w, 3)
-                        )
-                        n = w * h
-                        sums = arr.sum(axis=(0, 1))  # int64 per channel
-                        r = float(sums[0]) / n
-                        g = float(sums[1]) / n
-                        b = float(sums[2]) / n
-                        i = float(sums.sum()) / (3 * n)
+                if err is None:
+                    arr = (
+                        np.frombuffer(plane, dtype=np.uint8)
+                        .astype(np.int64)
+                        .reshape(h, w, 3)
+                    )
+                    n = w * h
+                    sums = arr.sum(axis=(0, 1))  # int64 per channel
+                    r = float(sums[0]) / n
+                    g = float(sums[1]) / n
+                    b = float(sums[2]) / n
+                    i = float(sums.sum()) / (3 * n)
                 for k, v in zip(("w", "h", "r", "g", "b", "i", "err"), (w, h, r, g, b, i, err)):
                     out[k].append(v)
             yield pd.DataFrame(
@@ -419,12 +443,8 @@ def video_stats(media: DataFrame) -> DataFrame:
     Determinism: int64 luma sums, one float64 division per stat —
     bit-identical to the SQL oracle's avg.  Undecodable payloads (bad
     magic, unsupported colourspace, truncated/absent frames) ride the
-    dead-letter channel."""
-    import re as _re
-
+    dead-letter channel (header guards live in ``_parse_y4m``)."""
     import numpy as np
-
-    hdr = _re.compile(rb"^YUV4MPEG2 W(\d+) H(\d+) [^\n]*\n")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -437,24 +457,12 @@ def video_stats(media: DataFrame) -> DataFrame:
 
             for payload in pdf["payload"]:
                 raw = bytes(payload) if payload is not None else b""
-                m = hdr.match(raw)
-                if not m:
-                    emit(err="decode_error: not a YUV4MPEG2 stream")
+                w, h, body, herr = _parse_y4m(raw)
+                if herr is not None:
+                    emit(err=herr)
                     continue
-                # exact colourspace token (param boundary = whitespace):
-                # a substring test would let Cmono12/Cmono16 (multi-byte
-                # samples) slip through and be misdecoded as 8-bit luma
-                # instead of riding the dead-letter channel
-                if not _re.search(rb"\sCmono[\s\n]", raw[: m.end()]):
-                    emit(err="decode_error: unsupported colourspace")
-                    continue
-                w, h = int(m.group(1)), int(m.group(2))
                 plane = w * h
-                if plane == 0:
-                    # same dead-letter guard as image_stats
-                    emit(err="decode_error: zero-dimension stream")
-                    continue
-                pos, planes = m.end(), []
+                pos, planes = body, []
                 bad = None
                 while pos < len(raw):
                     if raw[pos : pos + 6] != b"FRAME\n":
@@ -524,20 +532,17 @@ def resized_image_stats(media: DataFrame, target: int = 3) -> DataFrame:
     arithmetic, no interpolation, so the result is SQL-derivable and
     the gate proves the RESAMPLED pixels, not just metadata (both up-
     and down-sampling occur: source dims straddle ``target`` on both
-    sides).  Decode guards are ``image_stats``'s: bad magic, non-255
-    maxval, zero dims, truncated plane all dead-letter.
+    sides).  Decode guards are ``image_stats``'s — both faces share
+    ``_parse_p6``, so dead-letter behavior cannot diverge.
 
     Scale: the resample is numpy fancy-indexing inside the same
     narrow mapInPandas seam — payload bytes never shuffle, and the
     output is O(t²) per image regardless of source size, so the
     operator's output volume is decoupled from corpus byte volume."""
-    import re as _re
-
     import numpy as np
 
     if target < 1:
         raise ValueError(f"target={target}; must be >= 1")
-    hdr = _re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)[ \t\r\n]")
     idx = np.arange(target)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -551,20 +556,9 @@ def resized_image_stats(media: DataFrame, target: int = 3) -> DataFrame:
 
             for payload in pdf["payload"]:
                 raw = bytes(payload) if payload is not None else b""
-                m = hdr.match(raw)
-                if not m:
-                    emit(err="decode_error: not a P6 ppm")
-                    continue
-                w, h, maxv = (int(x) for x in m.groups())
-                if maxv != 255:
-                    emit(err=f"decode_error: unsupported maxval {maxv}")
-                    continue
-                if w * h == 0:
-                    emit(err="decode_error: zero-dimension image")
-                    continue
-                plane = raw[m.end() : m.end() + w * h * 3]
-                if len(plane) < w * h * 3:
-                    emit(err="decode_error: truncated pixel plane")
+                w, h, plane, perr = _parse_p6(raw)
+                if perr is not None:
+                    emit(err=perr)
                     continue
                 arr = (
                     np.frombuffer(plane, dtype=np.uint8)
@@ -634,13 +628,10 @@ def sampled_frame_stats(media: DataFrame, step: int = 2) -> DataFrame:
     corruption in sampled regions is still caught; corruption in
     skipped frames is by design invisible — the cost of not reading
     them)."""
-    import re as _re
-
     import numpy as np
 
     if step < 1:
         raise ValueError(f"step={step}; must be >= 1")
-    hdr = _re.compile(rb"^YUV4MPEG2 W(\d+) H(\d+) [^\n]*\n")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -653,19 +644,12 @@ def sampled_frame_stats(media: DataFrame, step: int = 2) -> DataFrame:
 
             for payload in pdf["payload"]:
                 raw = bytes(payload) if payload is not None else b""
-                m = hdr.match(raw)
-                if not m:
-                    emit(err="decode_error: not a YUV4MPEG2 stream")
+                w, h, hdr_end, herr = _parse_y4m(raw)
+                if herr is not None:
+                    emit(err=herr)
                     continue
-                if not _re.search(rb"\sCmono[\s\n]", raw[: m.end()]):
-                    emit(err="decode_error: unsupported colourspace")
-                    continue
-                w, h = int(m.group(1)), int(m.group(2))
                 plane = w * h
-                if plane == 0:
-                    emit(err="decode_error: zero-dimension stream")
-                    continue
-                body = len(raw) - m.end()
+                body = len(raw) - hdr_end
                 block = 6 + plane  # FRAME\n marker + luma plane
                 nf, rem = divmod(body, block)
                 if rem or nf == 0:
@@ -675,7 +659,7 @@ def sampled_frame_stats(media: DataFrame, step: int = 2) -> DataFrame:
                 n_sampled = 0
                 bad = None
                 for f in range(0, nf, step):  # the SEEK: skipped frames untouched
-                    pos = m.end() + f * block
+                    pos = hdr_end + f * block
                     if raw[pos : pos + 6] != b"FRAME\n":
                         bad = "decode_error: bad frame marker"
                         break

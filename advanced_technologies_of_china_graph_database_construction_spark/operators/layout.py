@@ -33,9 +33,17 @@ def zorder_key(a: Column, b: Column, bits: int = 8) -> Column:
     ``% 2**bits``); 8 bits per dimension — 256×256 cells — is plenty to
     steer file-level clustering, since files are far coarser than
     cells.  The fold emits 2·bits constant-shift terms OR-ed together:
-    pure JVM, whole-stage-codegen-friendly, no shuffle of its own."""
+    pure JVM, whole-stage-codegen-friendly, no shuffle of its own.
+
+    Operands are cast to long HERE, not left to callers: Spark's
+    ``shiftleft`` on an INT column wraps the shift amount mod 32
+    (measured on this build: ``shiftleft(intCol, 33) == intCol << 1``),
+    so an un-cast int input with bits > 16 would silently fold high
+    interleave bits onto low ones — wrong keys, wrong files, no
+    error."""
     if not 1 <= bits <= 31:
         raise ValueError(f"bits={bits}; must be in [1, 31]")
+    a, b = a.cast("long"), b.cast("long")
     terms = []
     for i in range(bits):
         terms.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
@@ -50,7 +58,7 @@ def zorder_write(df: DataFrame, a: str, b: str, path: str, n_files: int = 32,
     file a contiguous Z-range, hence a bounded min/max envelope in both
     dimensions; readers then prune files on either column's statistics.
     One shuffle — the same cost as any sorted write."""
-    z = zorder_key(F.col(a).cast("long"), F.col(b).cast("long"), bits)
+    z = zorder_key(F.col(a), F.col(b), bits)
     (
         df.withColumn("__z", z)
         .repartitionByRange(n_files, "__z")

@@ -49,11 +49,16 @@ def _sym_weighted_copub_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric weighted co-publication edges (src, dst, w) — ONE
     symmetrization for every weighted consumer (g32/g33/g34;
     ``symmetric_edges`` drops the weight column, so the weighted family
-    needs its own union)."""
+    needs its own union).  Materialized HERE (localCheckpoint), not at
+    call sites: every consumer reads the frame several times (node-set
+    build, degree fold, seed/source lookup, the iterate itself), and an
+    unmaterialized union re-runs the co-occurrence self-join for each —
+    g32 was paying it ~3× before the checkpoint moved into the
+    helper."""
     pairs = _copub_pairs(spark, sf_dir).withColumnRenamed("shared", "w")
     return pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    )
+    ).localCheckpoint(eager=True)
 
 
 def g21_copub_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,12 +457,12 @@ def g33_weighted_copub_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted personalized PageRank: proximity to the smallest org
     over the co-publication graph with shared-doc counts as tie
     strength — the strength-aware related-entity primitive (g25's
-    seeded restart × g32's weighted messages).  The edge set is
-    materialized once (the g25 pattern) so the seed lookup doesn't
-    re-run the co-occurrence join."""
+    seeded restart × g32's weighted messages).  The helper materializes
+    the edge set, so the seed lookup doesn't re-run the co-occurrence
+    join."""
     from ..operators.analytics import personalized_pagerank
 
-    edges = _sym_weighted_copub_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _sym_weighted_copub_edges(spark, sf_dir)
     seed = edges.agg(F.min("src")).first()[0]
     ranks = personalized_pagerank(edges, [seed], N_ITER, DAMPING, weight="w")
     return ranks.select(F.col("node").alias("org_id"), "ppr")
@@ -506,12 +511,12 @@ def g34_weighted_reach_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge weight — the weighted-traversal primitive completing the
     weighted family (g32 weighted PR, g33 weighted PPR).  dist is the
     cheapest total weight over paths of ≤4 edges; integer weights cast
-    to double keep the arithmetic exact on both engines.  The edge set
-    is materialized once (the g25/g33 pattern) so the source lookup
-    doesn't re-run the co-occurrence join."""
+    to double keep the arithmetic exact on both engines.  The helper
+    materializes the edge set, so the source lookup doesn't re-run the
+    co-occurrence join."""
     from ..operators.analytics import bfs_distances
 
-    edges = _sym_weighted_copub_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _sym_weighted_copub_edges(spark, sf_dir)
     source = edges.agg(F.min("src")).first()[0]
     d = bfs_distances(edges, source, MAX_HOPS, weight="w")
     return d.select(F.col("node").alias("org_id"), F.round("dist", 6).alias("dist"))

@@ -472,13 +472,15 @@ FROM counts
 
 # ------------------------------------- e15 streaming session face --------
 
-def _append_sentinels(ev: DataFrame, d: str, seen: set, max_ts, base_tick: int = 4):
+def _append_sentinels(ev: DataFrame, d: str, seen: set, max_ts, base_tick: int = 4) -> None:
     """Two far-future sentinel micro-batches (reserved user_id −1) on a
     slice directory: the first advances the watermark past every real
     window/join bound, the second triggers the flush (watermark state
     applies on the NEXT batch).  Shared by every append-mode face whose
     results only finalize under the watermark (e15 session windows, e19
-    outer join).  Returns the updated seen set."""
+    outer join).  ``seen`` is rebound only BETWEEN the two sentinel
+    writes (so the second bump skips the first sentinel's file); the
+    directory is complete after this call, so nothing is returned."""
     for i, days in enumerate((30, 31)):
         (
             ev.limit(1)
@@ -495,7 +497,6 @@ def _append_sentinels(ev: DataFrame, d: str, seen: set, max_ts, base_tick: int =
             .parquet(d)
         )
         seen = _bump_mtimes(d, seen, base_tick + i)
-    return seen
 
 
 def e15_streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -228,8 +228,11 @@ def natural_sort_key(col: Column) -> Column:
     neither the reference's iteration order nor any ingest order a
     human would call "first").  Pure JVM HOF: split into digit /
     non-digit runs (lookaround regex), left-pad the numeric runs to 20
-    digits, re-join.  Runs longer than 20 digits would tie — no real
-    filename carries a 20-digit counter.
+    digits, re-join.  Runs LONGER than 20 digits are compared by their
+    20-digit PREFIX (``lpad`` truncates) — not a tie: two such runs can
+    order by prefix against their numeric value.  Accepted bound: no
+    real filename carries a >20-digit counter (uint64 is 20 digits),
+    and any fixed pad width has the same cliff one digit later.
 
     Found the hard way (r6): at sf0.01 the synthetic corpus spans
     file_0..file_9 where string order HAPPENS to equal numeric order,
