@@ -860,6 +860,81 @@ GROUP BY 1, 2
 """
 
 
+# --------------------- e22 foreachBatch idempotent sink (exactly-once) --
+
+def e22_streaming_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SINK side of exactly-once streaming: ``foreachBatch`` writing
+    per-day partial aggregates with the canonical idempotence recipe —
+    each micro-batch OVERWRITES its own ``batch_id=N`` directory, so the
+    write is a pure function of (batch data, batch id) and re-delivery
+    is a no-op.  At 100 TB this is what makes micro-batch retries and
+    job restarts safe against non-transactional stores: Spark re-runs a
+    failed batch with the SAME id, and an append-mode sink would
+    double-count while the overwrite converges.
+
+    The gate PROVES the idempotence, not just asserts it: the same
+    4-slice source is streamed TWICE into the same store (a fresh query
+    with no checkpoint replays every batch with the same ids in the
+    same mtime order — the simulated at-least-once re-delivery).  The
+    second run rewrites each directory with identical content; with an
+    append sink every count would double and the hash against the
+    single-pass batch oracle would fail.  Final read merges the
+    batch partials (disjoint ts slices) into day totals."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="e22_events_")
+    store = tempfile.mkdtemp(prefix="e22_store_")
+    try:
+        _write_ts_slices(ev, d)
+
+        def upsert(bdf: DataFrame, bid: int) -> None:
+            (
+                bdf.groupBy(
+                    F.date_trunc("day", F.col("ts")).alias("window_start"),
+                    "event_type",
+                )
+                .agg(
+                    F.count("*").alias("n_events"),
+                    F.sum("value").alias("sum_value"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{store}/batch_id={bid}")
+            )
+
+        for _ in range(2):  # second pass = simulated duplicate delivery
+            stream = windows.streaming_source(spark, d, watermark=None)
+            q = stream.writeStream.foreachBatch(upsert).start()
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        # materialize BEFORE the finally rmtree (the s07 pattern): the
+        # returned frame must not lazily re-scan a deleted directory
+        return (
+            spark.read.parquet(store)
+            .groupBy("window_start", "event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.round(F.sum("sum_value"), 6).alias("sum_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)
+
+
+E22_SQL = """
+SELECT date_trunc('day', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # ------------------------- e21 incremental aggregate maintenance --------
 
 def e21_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -930,6 +1005,10 @@ FROM events GROUP BY 1, 2
 
 
 SPECS = [
+    QuerySpec("e22_streaming_idempotent_sink", e22_streaming_idempotent_sink,
+              E22_SQL, "events", "foreachBatch exactly-once sink: per-batch-id "
+              "directory overwrite proven idempotent by streaming the same "
+              "source twice into one store, gated vs the single-pass oracle"),
     QuerySpec("e21_incremental_agg_maintenance", e21_incremental_agg_maintenance,
               E21_SQL, "events", "incremental materialized-view maintenance: "
               "delta partial-agg merged into the base state (O(delta) refresh), "

@@ -355,3 +355,24 @@ def test_e20_stream_static_join_matches_batch(spark, event_dir):
         batch._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_e22_per_batch_overwrite_is_idempotent_append_is_not(spark, tmp_path):
+    """The e22 sink mechanism in isolation: re-delivering a batch into
+    its own batch_id directory converges under overwrite and
+    double-counts under append — the difference between a safe and an
+    unsafe foreachBatch sink under micro-batch retries."""
+    part = spark.createDataFrame(
+        [("2024-01-01", "click", 10, 1.5)],
+        "window_start string, event_type string, n_events long, sum_value double",
+    )
+    for mode, want in (("overwrite", 10), ("append", 20)):
+        store = str(tmp_path / mode)
+        for _ in range(2):  # duplicate delivery of the same batch
+            part.write.mode(mode).parquet(f"{store}/batch_id=0")
+        got = (
+            spark.read.parquet(store)
+            .agg(F.sum("n_events").alias("n"))
+            .first()["n"]
+        )
+        assert got == want, (mode, got)
