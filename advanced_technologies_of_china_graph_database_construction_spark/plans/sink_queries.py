@@ -214,7 +214,61 @@ SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'en'
 """
 
 
+def s09_bucketed_traversal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-storage round-trip through the gate: docs and edges
+    written ``bucketBy`` the doc-id join key (saveAsTable — bucket
+    metadata lives in the catalog), the 1-hop HAS_KEYWORD traversal
+    joined off the bucketed tables, aggregated to per-year citation
+    counts.  The join is asserted IN-SPEC to plan as a SortMergeJoin
+    with ZERO Exchange (broadcast disabled for the check: at 100 TB
+    neither side broadcasts, and that is the plan the layout exists
+    for — co-located bucket files replace the per-query shuffle).
+    Tables use a unique prefix and are dropped in ``finally``; the
+    result is materialized first (the s07/e22 pattern)."""
+    import uuid
+
+    from ..sources.bucketed import bucketed_traversal, write_bucketed_graph
+
+    g = build_graph(spark, sf_dir)
+    prefix = f"s09_{uuid.uuid4().hex[:8]}"
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs_tbl, edges_tbl = write_bucketed_graph(g, spark, n_buckets=8, prefix=prefix)
+        joined = bucketed_traversal(spark, docs_tbl, edges_tbl, "HAS_KEYWORD")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "simple"
+        )
+        assert "SortMergeJoin" in plan and "Exchange" not in plan, plan
+        return (
+            joined.groupBy("year")
+            .agg(F.count(F.lit(1)).alias("n_citations"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+        for tbl in (f"{prefix}_docs", f"{prefix}_edges"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+S09_SQL = """
+SELECT year(o_orderdate) AS year, count(*) AS n_citations
+FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) e
+JOIN orders ON e.l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 SPECS = [
+    QuerySpec(
+        name="s09_bucketed_traversal_roundtrip",
+        fn=s09_bucketed_traversal_roundtrip,
+        oracle=S09_SQL,
+        category="sink",
+        description="Bucketed (bucketBy doc-id) docs+edges tables: the 1-hop "
+        "traversal joins with a pinned zero-Exchange SortMergeJoin off the "
+        "co-located bucket files, aggregated and gated vs the raw-table oracle.",
+    ),
     QuerySpec(
         name="s07_orc_partitioned_roundtrip",
         fn=s07_orc_partitioned_roundtrip,
