@@ -517,34 +517,37 @@ def bfs_distances(
     silently.  A node whose every edge drops leaves the graph, exactly
     like pagerank's contract.
 
-    Each round relaxes the frontier with one edges⋈dist join and folds
-    it in with a min-aggregate — distances only ever decrease, so a
-    fixed round count yields exact ≤``max_hops``-edge distances.  Plan
-    per round: one join + one groupBy min (two shuffles), same
-    superstep budget as ``pagerank``; the fixed hop bound keeps the
-    operator deterministic and SQL-oracle-able as unrolled iterations
-    (g27 unweighted, g34 weighted).
+    Relaxation is FRONTIER-BASED (SPFA): each round scatters only from
+    nodes whose dist IMPROVED last round, not the whole reached set —
+    exact for min-plus, because any offer a settled node could make
+    was already made the round it last improved.  The full-reached
+    relax this replaced (r6) re-joined every reached node against the
+    |E| side every round — on long-diameter graphs that is the settled
+    interior re-scattering uselessly forever; on expanders the two are
+    near-equal cost (see `multi_source_bfs` for the honest numbers).
+    The bigger r6 win is the WITNESS (below).  Per round: one
+    edges⋈frontier
+    join + one groupBy min + one |V| least-fold, distances only ever
+    decrease, so a fixed round count yields exact ≤``max_hops``-edge
+    distances — deterministic and SQL-oracle-able as unrolled
+    full-relax iterations (g27 unweighted, g34 weighted; full and
+    frontier relax agree round-by-round on the dist vector).
 
     ``until_converged=True`` relaxes to EXACT whole-graph distances
-    (``max_hops`` is then ignored).  Witnesses differ by mode:
-
-    - unweighted: distances only DECREASE and the reached set only
-      GROWS, so the pair (reached count, total distance) — exact
-      integers — is an exact monotone witness: equal across a round ⇔
-      nothing changed.  Terminates in ≤ diameter+1 rounds.
-    - weighted: the same pair is monotone in exact arithmetic, but the
-      total is now a FLOAT SUM whose value depends on aggregation
-      order — two evaluations of identical data can differ in the last
-      ulp, so pair equality is not a sound fixpoint test.  The witness
-      is instead the exact count of nodes whose dist changed this
-      round (one |V| self-join; 0 ⇔ fixpoint).  With positive weights
-      Bellman-Ford converges in ≤ |V|−1 rounds.
+    (``max_hops`` is then ignored), and the frontier doubles as the
+    convergence witness for BOTH modes: the round's improved-set is
+    computed from an exact per-row comparison (cand < dist), so
+    "frontier empty ⇔ fixpoint" — integer-exact even with float
+    distances, replacing the old mode-split witnesses (a (reached,
+    Σdist) pair whose float sum was only sound unweighted, and a |V|
+    self-join changed-count for weighted).  Terminates in ≤ diameter+1
+    rounds unweighted, ≤ |V|−1 with positive weights.
     """
     if weight:
         edges = edges.filter(F.col(weight).isNotNull() & (F.col(weight) > 0))
     # Scatter-key cache, not checkpoint — see _hoisted_edge_frame: the
     # relax step joins on edges.src every round; the cached layout keeps
-    # the |E| side exchange-free so only the |V| dist vector shuffles.
+    # the |E| side exchange-free so only the frontier shuffles.
     step = F.col(weight).cast("double") if weight else F.lit(1)
     edges = (
         edges.select("src", "dst", step.alias("__step")).repartition("src").persist()
@@ -559,12 +562,15 @@ def bfs_distances(
             "node",
             F.when(F.col("node") == F.lit(source), zero).alias("dist"),
         )
+        .localCheckpoint(eager=True)
     )
+    frontier = dist.filter(F.col("dist").isNotNull())
 
-    def relax(d: DataFrame) -> DataFrame:
-        relaxed = (
-            edges.join(d, edges.src == d.node)
-            .filter(F.col("dist").isNotNull())
+    def relax(d: DataFrame, fr: DataFrame) -> DataFrame:
+        """One superstep; returns (node, dist, __improved) checkpointed —
+        the caller derives next state AND next frontier from it."""
+        cand = (
+            edges.join(fr, edges.src == fr.node)
             .select(
                 F.col("dst").alias("node"),
                 (F.col("dist") + F.col("__step")).alias("cand"),
@@ -572,46 +578,31 @@ def bfs_distances(
             .groupBy("node")
             .agg(F.min("cand").alias("cand"))
         )
+        improved = (
+            F.when(F.col("cand").isNull(), F.lit(False))
+            .when(F.col("dist").isNull(), F.lit(True))
+            .otherwise(F.col("cand") < F.col("dist"))
+        )
         return (
-            d.join(relaxed, "node", "left")
-            .select("node", F.least(F.col("dist"), F.col("cand")).alias("dist"))
+            d.join(cand, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("dist"), F.col("cand")).alias("dist"),
+                improved.alias("__improved"),
+            )
             .localCheckpoint(eager=True)
         )
 
-    def witness(d: DataFrame) -> tuple:
-        row = d.agg(
-            F.count("dist").alias("reached"), F.sum("dist").alias("total")
-        ).first()
-        return (row["reached"], row["total"])
-
-    def n_changed(prev: DataFrame, cur: DataFrame) -> int:
-        p = prev.select("node", F.col("dist").alias("__pd"))
-        return (
-            cur.join(p, "node")
-            .filter(~F.col("dist").eqNullSafe(F.col("__pd")))
-            .count()
-        )
-
-    if until_converged:
-        dist = dist.localCheckpoint(eager=True)
-        if weight:
-            while True:
-                nxt = relax(dist)
-                if n_changed(dist, nxt) == 0:
-                    dist = nxt
-                    break
-                dist = nxt
-        else:
-            prev = witness(dist)
-            while True:
-                dist = relax(dist)
-                cur = witness(dist)
-                if cur == prev:
-                    break
-                prev = cur
-    else:
-        for _ in range(max_hops):
-            dist = relax(dist)
+    rounds = range(10**9) if until_converged else range(max_hops)
+    for _ in rounds:
+        stepped = relax(dist, frontier)
+        frontier = stepped.filter("__improved").select("node", "dist")
+        dist = stepped.select("node", "dist")
+        # One tiny count on the checkpointed frame per round; in fixed
+        # mode it is also taken (empty frontier ⇒ remaining rounds are
+        # exact no-ops, so skipping them changes nothing the oracle sees)
+        if frontier.count() == 0:
+            break
     edges.unpersist()  # dist is checkpointed per relax; cache no longer needed
     return dist.filter(F.col("dist").isNotNull())
 
@@ -629,15 +620,26 @@ def multi_source_bfs(edges: DataFrame, sources: list, max_hops: int = 4) -> Data
     payload column, so ALL seeds' frontiers advance in the SAME
     relax round: state is the (seed, node, dist) vector — |S|·|V|
     rows, the deliberate trade for touching the |E| side once per
-    round instead of once per round per seed.  Each round is still one
-    edges⋈dist join + one (seed, dst) min-fold, the same two-shuffle
+    round instead of once per round per seed.  Each round is one
+    edges⋈frontier join + one (seed, dst) min-fold, the same
     superstep budget as ``bfs_distances`` regardless of seed count.
     The edge frame keeps the scatter-key cache layout (src-partitioned
-    persist), so only the dist vector moves per round; seeds enter via
+    persist), so only the frontier moves per round; seeds enter via
     a broadcast cross join (|S| rows — never a shuffle).
 
-    Fixed rounds keep it SQL-oracle-able (g35 unrolls the iterations);
+    Relaxation is frontier-based like ``bfs_distances`` — only
+    (seed, node) pairs that improved last round scatter, so message
+    volume tracks the union of the wavefronts instead of the full
+    reached set per round.  Honest measurement (g35 bench face,
+    sf0.1): NEUTRAL on that expander-shaped graph (~5.1 s steady
+    either way — the wavefront covers most nodes by round 3, so
+    frontier ≈ reached there); the win is on long-diameter graphs,
+    where the settled interior stops re-scattering every round.
+    Fixed rounds keep it SQL-oracle-able (g35 unrolls the FULL-relax
+    iterations, which agree with frontier relax round-by-round);
     distances only decrease, so round r yields exact ≤r-hop distances.
+    An empty frontier makes every remaining round an exact no-op, so
+    early exit never changes the result.
     """
     seed_rows = [(s,) for s in sources]
     if not seed_rows:
@@ -658,25 +660,38 @@ def multi_source_bfs(edges: DataFrame, sources: list, max_hops: int = 4) -> Data
             "node",
             F.when(F.col("node") == F.col("seed"), F.lit(0)).alias("dist"),
         )
+        .localCheckpoint(eager=True)
     )
+    frontier = dist.filter(F.col("dist").isNotNull())
 
-    def relax(d: DataFrame) -> DataFrame:
-        relaxed = (
-            edges.join(d, edges.src == d.node)
-            .filter(F.col("dist").isNotNull())
+    def relax(d: DataFrame, fr: DataFrame) -> DataFrame:
+        cand = (
+            edges.join(fr, edges.src == fr.node)
             .select("seed", F.col("dst").alias("node"), (F.col("dist") + 1).alias("cand"))
             .groupBy("seed", "node")
             .agg(F.min("cand").alias("cand"))
         )
+        improved = (
+            F.when(F.col("cand").isNull(), F.lit(False))
+            .when(F.col("dist").isNull(), F.lit(True))
+            .otherwise(F.col("cand") < F.col("dist"))
+        )
         return (
-            d.join(relaxed, ["seed", "node"], "left")
+            d.join(cand, ["seed", "node"], "left")
             .select(
-                "seed", "node", F.least(F.col("dist"), F.col("cand")).alias("dist")
+                "seed",
+                "node",
+                F.least(F.col("dist"), F.col("cand")).alias("dist"),
+                improved.alias("__improved"),
             )
             .localCheckpoint(eager=True)
         )
 
     for _ in range(max_hops):
-        dist = relax(dist)
+        stepped = relax(dist, frontier)
+        frontier = stepped.filter("__improved").select("seed", "node", "dist")
+        dist = stepped.select("seed", "node", "dist")
+        if frontier.count() == 0:
+            break
     edges.unpersist()
     return dist.filter(F.col("dist").isNotNull())
