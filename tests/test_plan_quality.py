@@ -531,3 +531,27 @@ def test_classifier_and_lm_plans_stay_jvm_side(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert "partial_count" in plan or "partial_sum" in plan, name
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
+
+
+def test_zorder_audit_is_jvm_single_aggregation(spark):
+    """s08: the Morton-key arithmetic is pure column expressions (no
+    Python eval), with map-side partial aggregation below the single
+    exchange — the shape that lets the audit run over 100 TB as one
+    combine-heavy pass."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.skew_queries import s08_zorder_layout_audit
+
+    plan = _plan(s08_zorder_layout_audit(spark, SF_CORRECT))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_count" in plan or "partial_min" in plan, plan
+
+
+def test_incremental_merge_uses_partial_aggregation(spark):
+    """e21: both the base and delta partial aggregates must map-side
+    combine before their exchanges — the merge's O(delta) claim rests
+    on the partials being small."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.events_queries import e21_incremental_agg_maintenance
+
+    plan = _plan(e21_incremental_agg_maintenance(spark, SF_CORRECT))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("partial_count") >= 2, plan  # base AND delta sides
