@@ -667,6 +667,88 @@ FROM corpus
 """
 
 
+# ------------------------------------------- a08 product quantization ----
+
+PQ_M = 2
+PQ_K = 4
+PQ_ITERS = 2
+PQ_TOP = 10
+PQ_QUERY = 0  # smallest vec_id; exists at every sf
+
+
+def a08_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN with ADC search: m=2 L2 codebooks trained
+    jointly in one distributed Lloyd loop, corpus encoded to m codes
+    per vector, and the query's broadcast lookup table summed over the
+    CODES table — the compressed-index path that serves 10⁹ vectors
+    without ever decoding a candidate.  The gate pins the full chain
+    (train → encode → LUT → sum → deterministic top-10) against the
+    same quantized math unrolled in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..operators.pq import pq_adc_topk
+
+    return pq_adc_topk(emb, PQ_QUERY, PQ_M, PQ_K, PQ_ITERS, PQ_TOP)
+
+
+def _pq_l2(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b}), 6)"
+    )
+
+
+def _pq_ctes(m: int, k: int, iters: int) -> list[str]:
+    """Unrolled joint-subspace Lloyd + encode, mirroring operators/pq.py
+    decision-for-decision (rounded squared L2 before argmin, ties to the
+    smallest centroid id, means rebuilt in dim order)."""
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"subs AS (SELECT unnest(range(0, {m})) AS sub)",
+        f"sv AS (SELECT vec_id, sub, list_slice(v, (sub * (len(v) // {m}) + 1)::INT,"
+        f" ((sub + 1) * (len(v) // {m}))::INT) AS v FROM e CROSS JOIN subs)",
+        f"pc0 AS (SELECT sub, vec_id AS centroid_id, v AS cv FROM sv WHERE vec_id < {k})",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"pa{i} AS (SELECT vec_id, sub, centroid_id FROM ("
+            f"  SELECT sv.vec_id, sv.sub, c.centroid_id,"
+            f"         row_number() OVER (PARTITION BY sv.vec_id, sv.sub"
+            f"                            ORDER BY {_pq_l2('sv.v', 'c.cv')}, c.centroid_id) AS rn"
+            f"  FROM sv JOIN pc{i} c ON sv.sub = c.sub) WHERE rn = 1)"
+        )
+        parts.append(
+            f"pc{i + 1} AS (SELECT sub, centroid_id, list(mu ORDER BY dim) AS cv FROM ("
+            f"  SELECT sub, centroid_id, dim, avg(x) AS mu FROM ("
+            f"    SELECT a.sub, a.centroid_id, generate_subscripts(sv.v, 1) AS dim,"
+            f"           unnest(sv.v) AS x"
+            f"    FROM pa{i} a JOIN sv ON sv.vec_id = a.vec_id AND sv.sub = a.sub)"
+            f"  GROUP BY 1, 2, 3) GROUP BY sub, centroid_id)"
+        )
+    parts.append(
+        f"codes AS (SELECT vec_id, sub, centroid_id AS code FROM ("
+        f"  SELECT sv.vec_id, sv.sub, c.centroid_id,"
+        f"         row_number() OVER (PARTITION BY sv.vec_id, sv.sub"
+        f"                            ORDER BY {_pq_l2('sv.v', 'c.cv')}, c.centroid_id) AS rn"
+        f"  FROM sv JOIN pc{iters} c ON sv.sub = c.sub) WHERE rn = 1)"
+    )
+    return parts
+
+
+A08_SQL = (
+    ",\n".join(_pq_ctes(PQ_M, PQ_K, PQ_ITERS))
+    + f""",
+qsv AS (SELECT sub, v AS qv FROM sv WHERE vec_id = {PQ_QUERY}),
+lut AS (SELECT c.sub, c.centroid_id AS code, {_pq_l2('q.qv', 'c.cv')} AS d
+        FROM pc{PQ_ITERS} c JOIN qsv q ON c.sub = q.sub)
+SELECT codes.vec_id, round(sum(lut.d), 6) AS adc_dist
+FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.code
+WHERE codes.vec_id != {PQ_QUERY}
+GROUP BY codes.vec_id
+ORDER BY adc_dist, vec_id LIMIT {PQ_TOP}
+"""
+)
+
+
 # ----------------------------------------------- a07 batch IVF search ----
 
 def a07_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1985,6 +2067,10 @@ SPECS = [
     QuerySpec("d32_chunked_documents", d32_chunked_documents, D32_SQL, "text",
               "context-window chunking: 64-token windows with 8-token overlap, "
               "one narrow JVM pass, content gated via md5"),
+    QuerySpec("a08_pq_adc_topk", a08_pq_adc_topk, A08_SQL, "similarity",
+              "product-quantized ANN: joint-subspace Lloyd codebooks, m-code "
+              "encoding, broadcast ADC lookup-table search — the compressed "
+              "billion-vector index path"),
     QuerySpec("a07_ann_ivf_batch", a07_ann_ivf_batch, A07_SQL, "similarity",
               "set-oriented batch ANN from the partitioned IVF store (broadcast "
               "probe routing + dynamic partition pruning, no driver isin)"),
