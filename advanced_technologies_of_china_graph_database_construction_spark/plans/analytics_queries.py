@@ -729,7 +729,61 @@ md0 AS (
 )
 
 
+# --------------------------------- g36 landmark harmonic centrality ----
+
+def g36_landmark_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality, landmark-approximated: Σ_s 1/d(s, v) over
+    the g35 seed set — THE practical centrality at 100 TB, where exact
+    all-pairs closeness is O(|V|·|E|) and the standard estimator is
+    exactly this: BFS from a seed sample, fold 1/dist.  Unreachable
+    (seed, node) pairs contribute 0 by construction (harmonic
+    centrality's defining advantage over closeness on disconnected
+    graphs); the seeds themselves are excluded (dist > 0).  One
+    aggregation over the multi-source BFS frame — the fold costs one
+    shuffle on top of g35's supersteps."""
+    from ..operators.analytics import multi_source_bfs, symmetric_edges
+
+    ce = _citation_edges(spark, sf_dir)
+    seeds = [
+        r[0]
+        for r in ce.select("src").distinct().orderBy("src").limit(N_SEEDS).collect()
+    ]
+    d = multi_source_bfs(symmetric_edges(ce), seeds, MAX_HOPS)
+    return (
+        d.filter(F.col("dist") > 0)
+        .groupBy(F.col("node").alias("node_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias("harmonic"),
+        )
+    )
+
+
+G36_SQL = (
+    _G24_CTES
+    + f""", sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+seeds AS (SELECT src AS seed FROM edges GROUP BY src ORDER BY src LIMIT {N_SEEDS}),
+md0 AS (
+  SELECT s.seed, n.node, CASE WHEN n.node = s.seed THEN 0 END AS dist
+  FROM seeds s CROSS JOIN nodes n),"""
+    + ",".join(_g35_iter_ctes(k) for k in range(1, MAX_HOPS + 1))
+    + f"""
+SELECT node AS node_id, count(*) AS n_reached,
+       round(sum(1.0 / dist), 6) AS harmonic
+FROM md{MAX_HOPS} WHERE dist IS NOT NULL AND dist > 0 GROUP BY node"""
+)
+
+
 SPECS = [
+    QuerySpec(
+        name="g36_landmark_harmonic",
+        fn=g36_landmark_harmonic,
+        oracle=G36_SQL,
+        category="analytics",
+        description="Landmark-approximated harmonic centrality: 1/dist folded "
+        "over the multi-source BFS frame (the scalable centrality estimator); "
+        "oracle reuses the unrolled per-seed relaxation.",
+    ),
     QuerySpec(
         name="g35_multi_source_bfs",
         fn=g35_multi_source_bfs,

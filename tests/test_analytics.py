@@ -570,3 +570,33 @@ def test_multi_source_bfs_dedups_and_validates_seeds(spark):
     }
     with _pytest.raises(ValueError):
         multi_source_bfs(df, [], max_hops=2)
+
+
+def test_landmark_harmonic_folds_reciprocal_distances(spark):
+    """On a path graph 0-1-2-3 with seeds {0, 3}: node 1 sees dists
+    (1, 2) → harmonic 1.5; seeds see each other (dist 3) → 1/3."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import (
+        multi_source_bfs,
+        symmetric_edges,
+    )
+
+    from pyspark.sql import functions as F
+
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    d = multi_source_bfs(symmetric_edges(path), [0, 3], max_hops=4)
+    got = {
+        r["node_id"]: (r["n_reached"], r["harmonic"])
+        for r in d.filter(F.col("dist") > 0)
+        .groupBy(F.col("node").alias("node_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias("harmonic"),
+        )
+        .collect()
+    }
+    assert got == {
+        0: (1, round(1 / 3, 6)),
+        1: (2, 1.5),
+        2: (2, 1.5),
+        3: (1, round(1 / 3, 6)),
+    }
