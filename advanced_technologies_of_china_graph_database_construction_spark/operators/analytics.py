@@ -517,37 +517,36 @@ def bfs_distances(
     silently.  A node whose every edge drops leaves the graph, exactly
     like pagerank's contract.
 
-    Relaxation is FRONTIER-BASED (SPFA): each round scatters only from
-    nodes whose dist IMPROVED last round, not the whole reached set —
-    exact for min-plus, because any offer a settled node could make
-    was already made the round it last improved.  The full-reached
-    relax this replaced (r6) re-joined every reached node against the
-    |E| side every round — on long-diameter graphs that is the settled
-    interior re-scattering uselessly forever; on expanders the two are
-    near-equal cost (see `multi_source_bfs` for the honest numbers).
-    The bigger r6 win is the WITNESS (below).  Per round: one
-    edges⋈frontier
-    join + one groupBy min + one |V| least-fold, distances only ever
-    decrease, so a fixed round count yields exact ≤``max_hops``-edge
-    distances — deterministic and SQL-oracle-able as unrolled
-    full-relax iterations (g27 unweighted, g34 weighted; full and
-    frontier relax agree round-by-round on the dist vector).
+    Fixed-hop mode relaxes from the FULL reached set each round — one
+    edges⋈dist join + one groupBy min + one |V| least-fold, exactly
+    what the unrolled SQL oracles replay (g27 unweighted, g34
+    weighted).  A frontier-only (SPFA) fixed-hop variant was measured
+    and REVERTED in r6: on the expander-shaped bench graphs the
+    wavefront covers most nodes by round 3, so the message savings
+    never materialize while the improved-flag bookkeeping and the
+    extra per-round reads of the checkpointed state cost real time
+    (g35 face at sf0.1: 5.1 s full relax vs 7.1 s frontier in the
+    bench harness).
 
     ``until_converged=True`` relaxes to EXACT whole-graph distances
-    (``max_hops`` is then ignored), and the frontier doubles as the
-    convergence witness for BOTH modes: the round's improved-set is
-    computed from an exact per-row comparison (cand < dist), so
-    "frontier empty ⇔ fixpoint" — integer-exact even with float
-    distances, replacing the old mode-split witnesses (a (reached,
+    (``max_hops`` is then ignored) and DOES use frontier relaxation —
+    there the improved-set is load-bearing twice over: (a) it IS the
+    convergence witness ("frontier empty ⇔ fixpoint", an exact
+    per-row cand < dist comparison — integer-exact even with float
+    distances, replacing the pre-r6 mode-split witnesses: a (reached,
     Σdist) pair whose float sum was only sound unweighted, and a |V|
-    self-join changed-count for weighted).  Terminates in ≤ diameter+1
-    rounds unweighted, ≤ |V|−1 with positive weights.
+    self-join changed-count for weighted); and (b) convergence runs
+    diameter-many rounds, the regime where the settled interior NOT
+    re-scattering actually pays.  Exact for min-plus: any offer a
+    settled node could make was already made the round it last
+    improved.  Terminates in ≤ diameter+1 rounds unweighted, ≤ |V|−1
+    with positive weights.
     """
     if weight:
         edges = edges.filter(F.col(weight).isNotNull() & (F.col(weight) > 0))
     # Scatter-key cache, not checkpoint — see _hoisted_edge_frame: the
     # relax step joins on edges.src every round; the cached layout keeps
-    # the |E| side exchange-free so only the frontier shuffles.
+    # the |E| side exchange-free so only the scatter side shuffles.
     step = F.col(weight).cast("double") if weight else F.lit(1)
     edges = (
         edges.select("src", "dst", step.alias("__step")).repartition("src").persist()
@@ -564,13 +563,11 @@ def bfs_distances(
         )
         .localCheckpoint(eager=True)
     )
-    frontier = dist.filter(F.col("dist").isNotNull())
 
-    def relax(d: DataFrame, fr: DataFrame) -> DataFrame:
-        """One superstep; returns (node, dist, __improved) checkpointed —
-        the caller derives next state AND next frontier from it."""
-        cand = (
+    def candidates(fr: DataFrame) -> DataFrame:
+        return (
             edges.join(fr, edges.src == fr.node)
+            .filter(F.col("dist").isNotNull())
             .select(
                 F.col("dst").alias("node"),
                 (F.col("dist") + F.col("__step")).alias("cand"),
@@ -578,31 +575,35 @@ def bfs_distances(
             .groupBy("node")
             .agg(F.min("cand").alias("cand"))
         )
+
+    if until_converged:
+        frontier = dist.filter(F.col("dist").isNotNull())
         improved = (
             F.when(F.col("cand").isNull(), F.lit(False))
             .when(F.col("dist").isNull(), F.lit(True))
             .otherwise(F.col("cand") < F.col("dist"))
         )
-        return (
-            d.join(cand, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("dist"), F.col("cand")).alias("dist"),
-                improved.alias("__improved"),
+        while True:
+            stepped = (
+                dist.join(candidates(frontier), "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("dist"), F.col("cand")).alias("dist"),
+                    improved.alias("__improved"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
-
-    rounds = range(10**9) if until_converged else range(max_hops)
-    for _ in rounds:
-        stepped = relax(dist, frontier)
-        frontier = stepped.filter("__improved").select("node", "dist")
-        dist = stepped.select("node", "dist")
-        # One tiny count on the checkpointed frame per round; in fixed
-        # mode it is also taken (empty frontier ⇒ remaining rounds are
-        # exact no-ops, so skipping them changes nothing the oracle sees)
-        if frontier.count() == 0:
-            break
+            frontier = stepped.filter("__improved").select("node", "dist")
+            dist = stepped.select("node", "dist")
+            if frontier.count() == 0:  # exact fixpoint witness
+                break
+    else:
+        for _ in range(max_hops):
+            dist = (
+                dist.join(candidates(dist), "node", "left")
+                .select("node", F.least(F.col("dist"), F.col("cand")).alias("dist"))
+                .localCheckpoint(eager=True)
+            )
     edges.unpersist()  # dist is checkpointed per relax; cache no longer needed
     return dist.filter(F.col("dist").isNotNull())
 
@@ -627,19 +628,11 @@ def multi_source_bfs(edges: DataFrame, sources: list, max_hops: int = 4) -> Data
     persist), so only the frontier moves per round; seeds enter via
     a broadcast cross join (|S| rows — never a shuffle).
 
-    Relaxation is frontier-based like ``bfs_distances`` — only
-    (seed, node) pairs that improved last round scatter, so message
-    volume tracks the union of the wavefronts instead of the full
-    reached set per round.  Honest measurement (g35 bench face,
-    sf0.1): NEUTRAL on that expander-shaped graph (~5.1 s steady
-    either way — the wavefront covers most nodes by round 3, so
-    frontier ≈ reached there); the win is on long-diameter graphs,
-    where the settled interior stops re-scattering every round.
-    Fixed rounds keep it SQL-oracle-able (g35 unrolls the FULL-relax
-    iterations, which agree with frontier relax round-by-round);
-    distances only decrease, so round r yields exact ≤r-hop distances.
-    An empty frontier makes every remaining round an exact no-op, so
-    early exit never changes the result.
+    Fixed-hop full relax, like ``bfs_distances``' fixed mode (a
+    frontier-only variant was measured slower here and reverted — see
+    that docstring for the numbers); fixed rounds keep it
+    SQL-oracle-able (g35 unrolls the iterations) and distances only
+    decrease, so round r yields exact ≤r-hop distances.
     """
     seed_rows = [(s,) for s in sources]
     if not seed_rows:
@@ -660,38 +653,25 @@ def multi_source_bfs(edges: DataFrame, sources: list, max_hops: int = 4) -> Data
             "node",
             F.when(F.col("node") == F.col("seed"), F.lit(0)).alias("dist"),
         )
-        .localCheckpoint(eager=True)
     )
-    frontier = dist.filter(F.col("dist").isNotNull())
 
-    def relax(d: DataFrame, fr: DataFrame) -> DataFrame:
-        cand = (
-            edges.join(fr, edges.src == fr.node)
+    def relax(d: DataFrame) -> DataFrame:
+        relaxed = (
+            edges.join(d, edges.src == d.node)
+            .filter(F.col("dist").isNotNull())
             .select("seed", F.col("dst").alias("node"), (F.col("dist") + 1).alias("cand"))
             .groupBy("seed", "node")
             .agg(F.min("cand").alias("cand"))
         )
-        improved = (
-            F.when(F.col("cand").isNull(), F.lit(False))
-            .when(F.col("dist").isNull(), F.lit(True))
-            .otherwise(F.col("cand") < F.col("dist"))
-        )
         return (
-            d.join(cand, ["seed", "node"], "left")
+            d.join(relaxed, ["seed", "node"], "left")
             .select(
-                "seed",
-                "node",
-                F.least(F.col("dist"), F.col("cand")).alias("dist"),
-                improved.alias("__improved"),
+                "seed", "node", F.least(F.col("dist"), F.col("cand")).alias("dist")
             )
             .localCheckpoint(eager=True)
         )
 
     for _ in range(max_hops):
-        stepped = relax(dist, frontier)
-        frontier = stepped.filter("__improved").select("seed", "node", "dist")
-        dist = stepped.select("seed", "node", "dist")
-        if frontier.count() == 0:
-            break
+        dist = relax(dist)
     edges.unpersist()
     return dist.filter(F.col("dist").isNotNull())
