@@ -675,3 +675,59 @@ def multi_source_bfs(edges: DataFrame, sources: list, max_hops: int = 4) -> Data
         dist = relax(dist)
     edges.unpersist()
     return dist.filter(F.col("dist").isNotNull())
+
+
+def k_truss(pairs: DataFrame, k: int = 4, n_rounds: int = 2) -> DataFrame:
+    """(src, dst, support): the n-round k-truss approximation of an
+    undirected pair list (one row per unordered pair, src < dst) —
+    every surviving edge sits in ≥ k−2 triangles of the surviving
+    subgraph, the edge-analogue of k-core and the standard
+    cohesive-community core (an edge between communities rarely closes
+    triangles even when both endpoints are high-degree, so truss
+    separates what core cannot).
+
+    Synchronous fixed rounds, like ``k_core``: each round computes
+    every edge's support (common-neighbor count) against the CURRENT
+    edge set via one wedge join + one aggregation, then drops edges
+    below k−2 — order-free, so rounds are deterministic and the g37
+    oracle unrolls them exactly.  When a round drops nothing the
+    remaining rounds are no-ops, so with enough rounds this IS the
+    exact k-truss.  The returned support is recomputed once on the
+    final surviving set (per-round supports are stale the moment the
+    round's filter runs).
+
+    The EDGE SET iterates, so each round materializes via
+    localCheckpoint (the k_core rationale: without it round r
+    re-derives the base graph through r levels of wedge joins).  The
+    wedge join's shuffle carries (edge, neighbor) ids only; supports
+    fold map-side.
+    """
+    e = (
+        pairs.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+
+    def support(cur: DataFrame) -> DataFrame:
+        sym = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        a = sym.select(F.col("u").alias("au"), F.col("v").alias("w"))
+        b = sym.select(F.col("u").alias("bu"), F.col("v").alias("w2"))
+        return (
+            cur.join(a, cur.u == a.au)
+            .join(b, (cur.v == b.bu) & (F.col("w") == F.col("w2")))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+
+    for _ in range(n_rounds):
+        e = (
+            support(e)
+            .filter(F.col("support") >= k - 2)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return support(e).select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "support"
+    )

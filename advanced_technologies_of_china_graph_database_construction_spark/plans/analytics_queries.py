@@ -774,7 +774,61 @@ FROM md{MAX_HOPS} WHERE dist IS NOT NULL AND dist > 0 GROUP BY node"""
 )
 
 
+# ------------------------------------------------ g37 k-truss ----------
+
+TRUSS_K = 4
+TRUSS_ROUNDS = 2
+
+
+def g37_copub_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss (k=4, 2 synchronous rounds) over the co-publication
+    graph: every surviving collaboration edge closes ≥2 triangles in
+    the surviving subgraph — the cohesive-community core that k-core
+    can't isolate (a between-community bridge has high degree but
+    closes few triangles).  Edge-support peeling with the surviving
+    supports shipped."""
+    from ..operators.analytics import k_truss
+
+    t = k_truss(_copub_pairs(spark, sf_dir), TRUSS_K, TRUSS_ROUNDS)
+    return t.select(
+        F.col("src").alias("org1"), F.col("dst").alias("org2"), "support"
+    )
+
+
+def _g37_round_ctes(r: int) -> str:
+    prev = f"t{r - 1}"
+    return f"""
+sym{r} AS (SELECT u, v FROM {prev} UNION ALL SELECT v AS u, u AS v FROM {prev}),
+sup{r} AS (
+  SELECT e.u, e.v, count(*) AS support
+  FROM {prev} e JOIN sym{r} a ON a.u = e.u JOIN sym{r} b ON b.u = e.v AND b.v = a.v
+  GROUP BY e.u, e.v),
+t{r} AS (SELECT u, v FROM sup{r} WHERE support >= {TRUSS_K - 2})
+"""
+
+
+G37_SQL = (
+    _GRAPH_CTES
+    + ", t0 AS (SELECT src AS u, dst AS v FROM pairs),"
+    + ",".join(_g37_round_ctes(r) for r in range(1, TRUSS_ROUNDS + 1))
+    + f""",
+symf AS (SELECT u, v FROM t{TRUSS_ROUNDS} UNION ALL SELECT v AS u, u AS v FROM t{TRUSS_ROUNDS})
+SELECT e.u AS org1, e.v AS org2, count(*) AS support
+FROM t{TRUSS_ROUNDS} e JOIN symf a ON a.u = e.u JOIN symf b ON b.u = e.v AND b.v = a.v
+GROUP BY e.u, e.v"""
+)
+
+
 SPECS = [
+    QuerySpec(
+        name="g37_copub_ktruss",
+        fn=g37_copub_ktruss,
+        oracle=G37_SQL,
+        category="analytics",
+        description="k-truss edge-support peeling over the co-publication "
+        "graph (synchronous fixed rounds, wedge-join support counting); "
+        "oracle unrolls the rounds in SQL.",
+    ),
     QuerySpec(
         name="g36_landmark_harmonic",
         fn=g36_landmark_harmonic,

@@ -600,3 +600,36 @@ def test_landmark_harmonic_folds_reciprocal_distances(spark):
         2: (2, 1.5),
         3: (1, round(1 / 3, 6)),
     }
+
+
+def test_ktruss_matches_python_reference(spark):
+    """Synchronous 4-truss peeling on a graph with a clique (K4) plus a
+    pendant bridge: the clique's edges survive (each in 2 triangles),
+    the bridge and a dangling triangle's edges peel off."""
+    import itertools
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import k_truss
+
+    # K4 on {0,1,2,3}; triangle {4,5,6}; bridge 3-4
+    pairs = sorted(itertools.combinations(range(4), 2)) + [(4, 5), (4, 6), (5, 6), (3, 4)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+
+    def ref(edges, k, rounds):
+        es = set(edges)
+        for _ in range(rounds):
+            adj = {}
+            for u, v in es:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+            sup = {(u, v): len(adj[u] & adj[v]) for u, v in es}
+            es = {e for e in es if sup[e] >= k - 2}
+        adj = {}
+        for u, v in es:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        return {(u, v): len(adj[u] & adj[v]) for u, v in es}
+
+    got = {(r["src"], r["dst"]): r["support"] for r in k_truss(df, 4, 2).collect()}
+    assert got == ref(pairs, 4, 2)
+    assert set(got) == set(itertools.combinations(range(4), 2))  # K4 only
+    assert all(s == 2 for s in got.values())
