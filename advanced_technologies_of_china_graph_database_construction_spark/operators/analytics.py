@@ -714,11 +714,17 @@ def k_truss(pairs: DataFrame, k: int = 4, n_rounds: int = 2) -> DataFrame:
         )
         a = sym.select(F.col("u").alias("au"), F.col("v").alias("w"))
         b = sym.select(F.col("u").alias("bu"), F.col("v").alias("w2"))
-        return (
+        counted = (
             cur.join(a, cur.u == a.au)
             .join(b, (cur.v == b.bu) & (F.col("w") == F.col("w2")))
             .groupBy("u", "v")
             .agg(F.count(F.lit(1)).alias("support"))
+        )
+        # triangle-free edges get no wedge row — LEFT join them back as
+        # support 0 so they peel (or survive, k ≤ 2) explicitly instead
+        # of silently vanishing from the output
+        return cur.join(counted, ["u", "v"], "left").select(
+            "u", "v", F.coalesce(F.col("support"), F.lit(0)).alias("support")
         )
 
     for _ in range(n_rounds):

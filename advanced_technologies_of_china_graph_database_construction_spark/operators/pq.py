@@ -53,6 +53,19 @@ def subvectors(emb: DataFrame, m: int, id_col: str = "vec_id",
     if m < 1:
         raise ValueError(f"m={m}; must be >= 1")
     dlen = (F.size("__v") / m).cast("int")
+    # The divisibility check rides the slice-start expression so Catalyst
+    # cannot prune it away: a D % m != 0 row raises at execution instead
+    # of silently truncating its tail dims out of every codebook.
+    start = F.when(
+        F.size("__v") % m == 0, F.col("sub") * dlen + 1
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"subvectors: vector length not divisible by m={m}: "),
+                F.size("__v").cast("string"),
+            )
+        )
+    )
     out = (
         emb.select(
             F.col(id_col),
@@ -62,7 +75,7 @@ def subvectors(emb: DataFrame, m: int, id_col: str = "vec_id",
         .select(
             id_col,
             "sub",
-            F.slice("__v", F.col("sub") * dlen + 1, dlen).alias("v"),
+            F.slice("__v", start, dlen).alias("v"),
         )
     )
     return out
@@ -89,6 +102,7 @@ def pq_train(emb: DataFrame, m: int = 2, k: int = 4, iters: int = 2,
                     "transform(array_sort(collect_list(struct(dim, mu))), s -> s.mu)"
                 ).alias("cv")
             )
+            .localCheckpoint(eager=True)  # m·k rows; pins the iterated lineage
         )
     return cent
 
@@ -134,7 +148,13 @@ def pq_adc_topk(emb: DataFrame, query_id, m: int = 2, k: int = 4,
     id asc); the query row itself is excluded.  PQ distances are
     approximations BY DESIGN (quantization error), so the gate pins
     engine-agreement on the exact same quantized math, not recall."""
-    codebooks = pq_train(emb, m, k, iters, id_col, vec_col)
+    # Materialize the m·k-row codebooks once: both the encode join and
+    # the LUT read them, and an unmaterialized frame would re-run the
+    # whole Lloyd training lineage for each consumer (the iterated-frame
+    # convention from operators/analytics.py).
+    codebooks = pq_train(emb, m, k, iters, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     codes = pq_encode(emb, codebooks, m, id_col, vec_col)
     qsv = subvectors(emb.filter(F.col(id_col) == query_id), m, id_col, vec_col)
     lut = (

@@ -800,9 +800,11 @@ def _g37_round_ctes(r: int) -> str:
     return f"""
 sym{r} AS (SELECT u, v FROM {prev} UNION ALL SELECT v AS u, u AS v FROM {prev}),
 sup{r} AS (
-  SELECT e.u, e.v, count(*) AS support
-  FROM {prev} e JOIN sym{r} a ON a.u = e.u JOIN sym{r} b ON b.u = e.v AND b.v = a.v
-  GROUP BY e.u, e.v),
+  SELECT e.u, e.v, coalesce(w.c, 0) AS support
+  FROM {prev} e LEFT JOIN (
+    SELECT e2.u, e2.v, count(*) AS c
+    FROM {prev} e2 JOIN sym{r} a ON a.u = e2.u JOIN sym{r} b ON b.u = e2.v AND b.v = a.v
+    GROUP BY e2.u, e2.v) w ON w.u = e.u AND w.v = e.v),
 t{r} AS (SELECT u, v FROM sup{r} WHERE support >= {TRUSS_K - 2})
 """
 
@@ -813,9 +815,11 @@ G37_SQL = (
     + ",".join(_g37_round_ctes(r) for r in range(1, TRUSS_ROUNDS + 1))
     + f""",
 symf AS (SELECT u, v FROM t{TRUSS_ROUNDS} UNION ALL SELECT v AS u, u AS v FROM t{TRUSS_ROUNDS})
-SELECT e.u AS org1, e.v AS org2, count(*) AS support
-FROM t{TRUSS_ROUNDS} e JOIN symf a ON a.u = e.u JOIN symf b ON b.u = e.v AND b.v = a.v
-GROUP BY e.u, e.v"""
+SELECT e.u AS org1, e.v AS org2, coalesce(w.c, 0) AS support
+FROM t{TRUSS_ROUNDS} e LEFT JOIN (
+  SELECT e2.u, e2.v, count(*) AS c
+  FROM t{TRUSS_ROUNDS} e2 JOIN symf a ON a.u = e2.u JOIN symf b ON b.u = e2.v AND b.v = a.v
+  GROUP BY e2.u, e2.v) w ON w.u = e.u AND w.v = e.v"""
 )
 
 

@@ -633,3 +633,14 @@ def test_ktruss_matches_python_reference(spark):
     assert got == ref(pairs, 4, 2)
     assert set(got) == set(itertools.combinations(range(4), 2))  # K4 only
     assert all(s == 2 for s in got.values())
+
+
+def test_ktruss_keeps_zero_support_edges_when_threshold_allows(spark):
+    """k=2 means threshold support >= 0: a triangle-free path graph IS
+    its own 2-truss, so every edge must survive with support 0 instead
+    of silently vanishing through the wedge join."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import k_truss
+
+    path = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {(r["src"], r["dst"]): r["support"] for r in k_truss(path, 2, 2).collect()}
+    assert got == {(0, 1): 0, (1, 2): 0}
