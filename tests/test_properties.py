@@ -543,3 +543,35 @@ def test_bpe_incremental_matches_reference_on_adversarial_corpora(
         for r in bpe_merges(df, n_merges=n_merges).orderBy("rank").collect()
     ]
     assert got == _py_bpe([text], n_merges)[0], (words, n_merges)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 2**31 - 1), st.integers(0, 2**31 - 1)),
+        min_size=1,
+        max_size=20,
+    ),
+    bits=st.integers(1, 20),
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zorder_key_property_matches_python_interleave(spark, pairs, bits):
+    """JVM bit-interleave == the obvious python reference over random
+    31-bit inputs and bit widths past the int-shift-wrap cliff (the
+    long cast is what keeps bits > 16 correct on int inputs)."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.layout import zorder_key
+
+    def ref(a, b):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pairs, "a int, b int")  # INT on purpose
+    got = [
+        r["z"]
+        for r in df.select(zorder_key(F.col("a"), F.col("b"), bits).alias("z"))
+        .orderBy("z")
+        .collect()
+    ]
+    assert got == sorted(ref(a, b) for a, b in pairs)
