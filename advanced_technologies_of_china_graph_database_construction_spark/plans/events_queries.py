@@ -860,6 +860,68 @@ GROUP BY 1, 2
 """
 
 
+# ----------------------- e23 calendar gap-fill + LOCF (hypertable op) ---
+
+def e23_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hypertable gap-fill: each user's daily mean value re-gridded
+    onto a dense calendar (every day between that user's first and last
+    event) with gaps filled by last-observation-carried-forward — the
+    time-series normalization every downstream join/window assumes
+    ("one row per entity per bucket").  Two pieces, both
+    shuffle-minimal: the calendar is a per-user ``sequence`` explode
+    (the m03 metadata-explode pattern — the blow-up is bounded by the
+    span, never |events|), and LOCF is one ``last(ignorenulls)``
+    running window per user — no self-join against prior days, which
+    is the O(gap²) trap.  The daily mean is rounded BEFORE the fill,
+    so carried values are bit-identical on both engines and the only
+    float op the fill copies is already pinned."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    cal = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cal.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("v").isNull().alias("was_gap"),
+        )
+    )
+
+
+E23_SQL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, round(avg(value), 6) AS v
+  FROM events GROUP BY 1, 2),
+cal AS (
+  SELECT user_id,
+         unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+  FROM daily GROUP BY user_id)
+SELECT c.user_id, c.day,
+       last_value(d.v IGNORE NULLS) OVER (
+         PARTITION BY c.user_id ORDER BY c.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       d.v IS NULL AS was_gap
+FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+"""
+
+
 # --------------------- e22 foreachBatch idempotent sink (exactly-once) --
 
 def e22_streaming_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1005,6 +1067,10 @@ FROM events GROUP BY 1, 2
 
 
 SPECS = [
+    QuerySpec("e23_gap_fill_locf", e23_gap_fill_locf, E23_SQL, "events",
+              "hypertable gap-fill: per-user dense calendar via sequence "
+              "explode + last-observation-carried-forward running window "
+              "(no O(gap^2) self-join)"),
     QuerySpec("e22_streaming_idempotent_sink", e22_streaming_idempotent_sink,
               E22_SQL, "events", "foreachBatch exactly-once sink: per-batch-id "
               "directory overwrite proven idempotent by streaming the same "
