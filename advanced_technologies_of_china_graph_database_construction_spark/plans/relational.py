@@ -475,6 +475,50 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q18_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of brand/quantity/size
+    conjunctions — the classic disjunctive-predicate join.  The load-
+    bearing plan property: Catalyst extracts the COMMON parts of the
+    disjunction and pushes them below the join (the brand IN-list onto
+    the part scan, the quantity range onto the lineitem scan), so the
+    join builds on pre-filtered inputs instead of evaluating the full
+    OR against the raw cross product — at 100 TB the difference
+    between scanning three brands and scanning the corpus.  Per-brand
+    grouping keeps the result multi-row and hash-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    arm = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 15)
+         & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 25)
+           & F.col("p_size").between(1, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 35)
+           & F.col("p_size").between(1, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(arm)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+Q18_SQL = """
+SELECT p_brand, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 25 AND p_size BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 35 AND p_size BETWEEN 1 AND 30)
+GROUP BY p_brand
+"""
+
+
 SPECS = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "relational",
               "TPC-H Q1-style wide aggregate (map-side partial agg)", bench=True),
@@ -508,6 +552,10 @@ SPECS = [
               "CUBE grouping sets (complements q11 ROLLUP)"),
     QuerySpec("q16_status_revenue_pivot", q16_status_revenue_pivot, Q16_SQL, "relational",
               "PIVOT with explicit values (single-pass wide aggregate)"),
+    QuerySpec("q18_disjunctive_predicate_revenue", q18_disjunctive_predicate_revenue,
+              Q18_SQL, "relational",
+              "TPC-H Q19 shape: OR-of-conjunctions join predicate with "
+              "common-term pushdown onto both scans"),
     QuerySpec("q17_approx_distinct_contract", q17_approx_distinct_contract, Q17_SQL, "relational",
               "HLL++ approx distinct pinned to an exact accuracy contract"),
 ]

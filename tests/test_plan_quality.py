@@ -555,3 +555,23 @@ def test_incremental_merge_uses_partial_aggregation(spark):
     plan = _plan(e21_incremental_agg_maintenance(spark, SF_CORRECT))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert plan.count("partial_count") >= 2, plan  # base AND delta sides
+
+
+def test_q18_disjunction_pushes_common_terms_to_both_scans(spark):
+    """The OR-of-conjunctions predicate must not stay entirely above the
+    join: Catalyst's common-term extraction pushes the quantity-range
+    union onto the lineitem scan and the brand/size union onto the part
+    scan, so both sides pre-filter before joining."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.relational import (
+        q18_disjunctive_predicate_revenue,
+    )
+
+    plan = _plan(q18_disjunctive_predicate_revenue(spark, SF_CORRECT))
+    li_scan = next(
+        l for l in plan.splitlines() if "FileScan parquet" in l and "l_quantity" in l
+    )
+    part_scan = next(
+        l for l in plan.splitlines() if "FileScan parquet" in l and "p_brand" in l
+    )
+    assert "l_quantity" in li_scan.split("DataFilters:")[1], li_scan
+    assert "p_brand" in part_scan.split("DataFilters:")[1], part_scan
