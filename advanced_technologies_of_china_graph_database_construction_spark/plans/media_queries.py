@@ -281,7 +281,78 @@ FROM px GROUP BY doc_id, w, h
 """
 
 
+def m09_binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media INGEST path every real pipeline starts with: a
+    directory of actual image FILES read through Spark's built-in
+    ``binaryFile`` source (one row per file: path, length, content)
+    and decoded by the same ``image_stats`` seam the in-plan payloads
+    use — proving the decoder is source-agnostic and that the identity
+    key can be recovered from the file path JVM-side.  At 100 TB this
+    is an object-store listing + streamed binary reads with the decode
+    fanned out per file; ``pathGlobFilter`` stands in for the
+    prefix/suffix filters used to scope a bucket scan.
+
+    The fixture files are materialized from the deterministic PPM
+    payloads by a driver-side loop — test scaffolding for the gate
+    (one tiny toLocalIterator pass, NOT the operator under test; a
+    real corpus's files already exist).  Stats equal m05's oracle
+    because the bytes are identical."""
+    import os
+    import shutil
+    import tempfile
+
+    imgs = mm.attach_ppm_images(load_table(spark, sf_dir, "documents"))
+    d = tempfile.mkdtemp(prefix="m09_imgs_")
+    try:
+        for row in imgs.select("media_id", "payload").toLocalIterator():
+            with open(os.path.join(d, f"{row['media_id']}.ppm"), "wb") as f:
+                f.write(bytes(row["payload"]))
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.ppm")
+            .load(d)
+            .select(
+                F.regexp_extract(F.col("path"), r"(\d+)\.ppm$", 1)
+                .cast("long")
+                .alias("media_id"),
+                F.col("content").alias("payload"),
+            )
+        )
+        stats = mm.image_stats(files)
+        return (
+            stats.filter(F.col("error").isNull())
+            .select(
+                "media_id",
+                "width",
+                "height",
+                F.round("mean_intensity", 6).alias("mean_intensity"),
+            )
+            .localCheckpoint(eager=True)  # materialize before rmtree
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+M09_SQL = """
+WITH px AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, (doc_id % 5 + 2) * (doc_id % 7 + 2) * 3),
+           u -> ascii(substr(text, ((u % length(text)) + 1)::INT, 1)))) AS b
+  FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0)
+SELECT doc_id + 5000000 AS media_id,
+       (doc_id % 5 + 2)::INT AS width,
+       (doc_id % 7 + 2)::INT AS height,
+       round(avg(b), 6) AS mean_intensity
+FROM px GROUP BY doc_id
+"""
+
+
 SPECS = [
+    QuerySpec("m09_binary_file_ingest", m09_binary_file_ingest, M09_SQL,
+              "multimodal", "REAL file ingest: a directory of .ppm files read "
+              "through the built-in binaryFile source, identity recovered from "
+              "the path, decoded by the same image_stats seam"),
     QuerySpec("m08_resized_image_stats", m08_resized_image_stats, M08_SQL,
               "multimodal", "REAL nearest-neighbor resize to a fixed thumbnail "
               "shape: resampled-pixel means gated vs an oracle replaying the "
