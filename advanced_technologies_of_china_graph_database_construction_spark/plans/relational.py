@@ -495,8 +495,11 @@ def q18_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataF
         | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 35)
            & F.col("p_size").between(1, 30))
     )
+    # NO broadcast hint: part scales with SF (unlike the nation/region
+    # dims q03 broadcasts), so the join strategy belongs to AQE, which
+    # sees the brand/size-filtered build side's actual post-pushdown size
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(arm)
         .groupBy("p_brand")
         .agg(
