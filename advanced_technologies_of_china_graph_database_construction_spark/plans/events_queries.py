@@ -801,10 +801,14 @@ def e20_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash join, which is exactly the 100 TB topology for enriching an
     event firehose with a small dimension: the dim broadcasts to every
     executor once per batch and the stream side never shuffles for the
-    join.  The explicit ``F.broadcast`` pins that plan (an AQE size
-    estimate can't see the dim is small relative to the unbounded
-    stream).  Gated end-to-end: 4 ts-ranged micro-batches through the
-    join + complete-mode windowed aggregation into the memory sink,
+    join.  The broadcast decision is left SIZE-BASED (no hint):
+    per-micro-batch planning reads the static side's real statistics,
+    so a dim that outgrows executor memory degrades to a shuffled join
+    instead of OOMing — customer SCALES with SF, unlike the fixed
+    nation/region dims the relational family hints; the batch/stream
+    agreement test still witnesses BroadcastHashJoin at test scale.
+    Gated end-to-end: 4 ts-ranged micro-batches through the join +
+    complete-mode windowed aggregation into the memory sink,
     hash-compared to the batch join oracle."""
     import shutil
     import tempfile
@@ -818,9 +822,7 @@ def e20_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         _write_ts_slices(ev, d)
         stream = windows.streaming_source(spark, d, watermark="1 hour")
-        joined = stream.join(
-            F.broadcast(cust), stream.user_id == cust.c_custkey
-        )
+        joined = stream.join(cust, stream.user_id == cust.c_custkey)
         agg = (
             joined.groupBy(F.window("ts", "1 day").alias("w"), "c_mktsegment")
             .agg(

@@ -341,8 +341,11 @@ def q13_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part, li = _t(spark, sf_dir, "part", "lineitem")
     brand = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
     avg_qty = li.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.2).alias("qty_limit"))
+    # no broadcast hint: the brand slice is 1/|brands| of part, which
+    # SCALES with SF (at sf100k it is hundreds of millions of keys) —
+    # AQE sees the filtered size and broadcasts only while it fits
     return (
-        li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+        li.join(brand, li.l_partkey == brand.p_partkey)
         .join(avg_qty, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))

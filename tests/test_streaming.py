@@ -327,15 +327,17 @@ def test_e19_left_outer_join_matches_batch(spark):
 def test_e20_stream_static_join_matches_batch(spark, event_dir):
     """Stream-static join: the streamed join+agg must equal the same
     plan run batch-side on identical input — and the static side must
-    ride a broadcast join (stateless per-batch enrichment), which the
-    batch face's physical plan witnesses."""
+    ride a broadcast join at this scale WITHOUT a hint (the production
+    e20 leaves the decision size-based so an SF-scaling dim can degrade
+    to a shuffled join instead of OOMing), which the batch face's
+    physical plan witnesses."""
     cust = load_table(spark, SF_CORRECT, "customer").select(
         "c_custkey", "c_mktsegment"
     )
 
     def enriched_daily(ev):
         return (
-            ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+            ev.join(cust, ev.user_id == cust.c_custkey)
             .groupBy(F.window("ts", "1 day").alias("w"), "c_mktsegment")
             .agg(F.count("*").alias("n_events"))
             .select(
