@@ -182,6 +182,7 @@ def chunk_documents(
     overlap: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, chunk_id, n_tokens, chunk_text): split each document's
     whitespace tokens into fixed-budget windows with ``overlap`` shared
@@ -199,6 +200,8 @@ def chunk_documents(
     and slices are all JVM array expressions; `posexplode` multiplies
     rows by ceil(n/stride) with no shuffle.  Everything downstream
     (dedup, packing, embedding) sees chunks as ordinary documents.
+    ``keep_cols`` carries extra document columns (e.g. the source) onto
+    every chunk row without a join back.
     """
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
@@ -212,13 +215,79 @@ def chunk_documents(
     return (
         docs.withColumn("__toks", toks)
         .filter(F.size("__toks") > 0)
-        .select(id_col, F.posexplode(starts).alias("chunk_id", "start"), "__toks")
         .select(
             id_col,
+            *keep_cols,
+            F.posexplode(starts).alias("chunk_id", "start"),
+            "__toks",
+        )
+        .select(
+            id_col,
+            *keep_cols,
             "chunk_id",
             F.size(chunk).alias("n_tokens"),
             F.array_join(chunk, " ").alias("chunk_text"),
         )
+    )
+
+
+def remove_boilerplate_lines(
+    lines: DataFrame,
+    max_doc_frac: float = 0.5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    pos_col: str = "pos",
+    line_col: str = "line",
+) -> DataFrame:
+    """(doc_id, clean_text, n_kept, n_dropped): C4/RefinedWeb-style
+    boilerplate removal — a line that appears in ≥ ``max_doc_frac`` of a
+    source's documents (and in ≥ ``min_docs`` of them) is site furniture
+    (nav bars, cookie banners, footers), not content, and is dropped
+    from every document of that source; survivors are reassembled in
+    ``pos`` order, newline-joined.  Input is line-long format
+    (doc_id, source, pos, line), e.g. from `chunk_documents` or a real
+    newline split.  ``min_docs`` keeps single-document sources intact
+    (one doc trivially makes every one of its lines 100%-frequent).
+
+    Scale shape: the frequency pass shuffles only 8-byte
+    `xxhash64(source, line)` keys, never line payloads; the per-source
+    doc-count dim and the surviving boilerplate set are both tiny
+    (boilerplate is by definition few distinct lines), so the flagging
+    join broadcasts under AQE.  The only payload shuffle is the final
+    per-document reassembly — inherent to emitting documents.  A
+    same-source hash collision could mis-drop a line; at 64 bits that
+    needs ~2^32 distinct lines per source before a 50% birthday chance,
+    the same budget `dedup.duplicated_span_stats` (d29) documents.
+    """
+    if not 0.0 < max_doc_frac <= 1.0:
+        raise ValueError(f"max_doc_frac={max_doc_frac}; need 0 < frac <= 1")
+    tagged = lines.withColumn("__h", F.xxhash64(source_col, line_col))
+    src_docs = tagged.groupBy(source_col).agg(
+        F.countDistinct(id_col).alias("__n_docs")
+    )
+    boiler = (
+        tagged.groupBy(source_col, "__h")
+        .agg(F.countDistinct(id_col).alias("__n"))
+        .join(src_docs, source_col)
+        .filter(
+            (F.col("__n") >= F.lit(min_docs))
+            & (F.col("__n") >= F.lit(max_doc_frac) * F.col("__n_docs"))
+        )
+        .select(source_col, "__h", F.lit(True).alias("__boiler"))
+    )
+    flagged = tagged.join(boiler, [source_col, "__h"], "left")
+    kept = F.when(
+        F.col("__boiler").isNull(),
+        F.struct(F.col(pos_col).alias("pos"), F.col(line_col).alias("line")),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["line"]),
+            "\n",
+        ).alias("clean_text"),
+        F.sum(F.col("__boiler").isNull().cast("long")).alias("n_kept"),
+        F.sum(F.col("__boiler").isNotNull().cast("long")).alias("n_dropped"),
     )
 
 

@@ -1636,6 +1636,98 @@ def d31_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------- d38 boilerplate line removal (C4-style) ------
+
+BOILER_LINE_TOKENS = 10
+
+
+def d38_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style boilerplate removal: a line appearing in
+    ≥50% of a source's documents is site furniture and is stripped from
+    every document of that source before the corpus enters training.
+    The fixture text has no line structure, so the corpus constructs it
+    deterministically on both sides (the d27/d33 pattern): natural
+    lines = the document's 10-token chunks (`chunk_documents`, zero
+    overlap), plus an injected per-source nav line on EVERY document
+    (100% frequent → must drop) and a per-source subscribe line on
+    every 3rd document (~33% → under the 50% threshold, must keep).
+    Ships (doc_id, md5(reassembled text), n_kept, n_dropped)."""
+    from ..operators.textops import chunk_documents, remove_boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    nat = chunk_documents(
+        docs, BOILER_LINE_TOKENS, 0, keep_cols=("source",)
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("chunk_id") + 1).alias("pos"),
+        F.col("chunk_text").alias("line"),
+    )
+    nav = docs.select(
+        "doc_id",
+        "source",
+        F.lit(0).alias("pos"),
+        F.concat(F.lit("home about contact "), "source").alias("line"),
+    )
+    subscribe = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        "source",
+        F.lit(1_000_000).alias("pos"),
+        F.concat(F.lit("subscribe to "), "source").alias("line"),
+    )
+    cleaned = remove_boilerplate_lines(
+        nat.unionByName(nav).unionByName(subscribe)
+    )
+    return cleaned.select(
+        "doc_id", F.md5("clean_text").alias("clean_md5"), "n_kept", "n_dropped"
+    )
+
+
+D38_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS ts
+  FROM documents),
+nat AS (
+  SELECT doc_id, source,
+         unnest(list_transform(
+           range(0, (greatest(length(ts), 1) + {BOILER_LINE_TOKENS - 1})
+                      // {BOILER_LINE_TOKENS}),
+           c -> struct_pack(
+             pos := c + 1,
+             line := array_to_string(
+               list_slice(ts, c*{BOILER_LINE_TOKENS} + 1,
+                          c*{BOILER_LINE_TOKENS} + {BOILER_LINE_TOKENS}),
+               ' ')))) AS p
+  FROM toks WHERE length(ts) > 0),
+lines AS (
+  SELECT doc_id, source, p.pos AS pos, p.line AS line FROM nat
+  UNION ALL
+  SELECT doc_id, source, 0, 'home about contact ' || source FROM documents
+  UNION ALL
+  SELECT doc_id, source, 1000000, 'subscribe to ' || source
+  FROM documents WHERE doc_id % 3 = 0),
+srcdocs AS (
+  SELECT source, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY source),
+boiler AS (
+  SELECT f.source, f.line
+  FROM (SELECT source, line, count(DISTINCT doc_id) AS n
+        FROM lines GROUP BY source, line) f
+  JOIN srcdocs s ON f.source = s.source
+  WHERE f.n >= 2 AND f.n >= 0.5 * s.n_docs),
+flagged AS (
+  SELECT l.doc_id, l.pos, l.line, (b.line IS NOT NULL) AS is_boiler
+  FROM lines l
+  LEFT JOIN boiler b ON l.source = b.source AND l.line = b.line)
+SELECT doc_id,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                      FILTER (WHERE NOT is_boiler), '')) AS clean_md5,
+       count(*) FILTER (WHERE NOT is_boiler) AS n_kept,
+       count(*) FILTER (WHERE is_boiler) AS n_dropped
+FROM flagged GROUP BY doc_id
+"""
+
+
 def _bpe_rule_ctes(k: int, left: str, right: str) -> str:
     # One rule = one recursive CTE replacing the LEFTMOST separator-
     # guarded occurrence until none remains.  Leftmost-repeat equals the
@@ -2040,6 +2132,9 @@ SPECS = [
     QuerySpec("d28_bpe_merges", d28_bpe_merges, None, "text",
               "BPE merge-table induction, incremental pair counts (rows-only "
               "gate; python-reference pytest; encode face hash-gated as d31)"),
+    QuerySpec("d38_boilerplate_removal", d38_boilerplate_removal, D38_SQL, "text",
+              "C4-style boilerplate removal: ≥50%-of-source lines dropped, "
+              "docs reassembled; hash-only frequency shuffle"),
     QuerySpec("d31_bpe_encode_vocab", d31_bpe_encode_vocab, D31_SQL, "text",
               "BPE encode face over the corpus vocabulary, hash-gated vs a "
               "chained leftmost-replace recursive-CTE oracle"),

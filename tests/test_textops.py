@@ -205,6 +205,98 @@ def test_chunk_documents_rejects_bad_overlap(spark):
         chunk_documents(df, chunk_tokens=4, overlap=4)
 
 
+def _boiler_rows(rows):
+    """rows: (doc_id, source, pos, line)."""
+    return [
+        {"doc_id": d, "source": s, "pos": p, "line": ln} for d, s, p, ln in rows
+    ]
+
+
+def test_remove_boilerplate_threshold_and_order(spark):
+    """srcA has 4 docs: 'NAV' in all 4 (100% → dropped), 'SUB' in 2
+    (exactly 50% → dropped, the threshold is ≥), 'rare' in 1 (kept);
+    reassembly is pos-ordered with newline joins."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.textops import (
+        remove_boilerplate_lines,
+    )
+
+    rows = []
+    for d in range(4):
+        rows.append((d, "srcA", 0, "NAV"))
+        rows.append((d, "srcA", 5, f"body {d}"))
+    rows += [(0, "srcA", 9, "SUB"), (1, "srcA", 1, "SUB"), (2, "srcA", 2, "rare")]
+    df = spark.createDataFrame(
+        _boiler_rows(rows), "doc_id long, source string, pos long, line string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+        for r in remove_boilerplate_lines(df).collect()
+    }
+    assert got == {
+        0: ("body 0", 1, 2),
+        1: ("body 1", 1, 2),
+        2: ("rare\nbody 2", 2, 1),
+        3: ("body 3", 1, 1),
+    }
+
+
+def test_remove_boilerplate_min_docs_protects_small_sources(spark):
+    """A single-document source makes every line 100%-frequent; the
+    min_docs floor must keep it intact.  A doc whose every line drops
+    still ships (empty text, n_kept=0)."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.textops import (
+        remove_boilerplate_lines,
+    )
+
+    rows = [(1, "solo", 0, "only line"), (1, "solo", 1, "second line")]
+    rows += [(d, "srcB", 0, "NAV") for d in (10, 11)]
+    rows += [(10, "srcB", 1, "content")]
+    df = spark.createDataFrame(
+        _boiler_rows(rows), "doc_id long, source string, pos long, line string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+        for r in remove_boilerplate_lines(df).collect()
+    }
+    assert got[1] == ("only line\nsecond line", 2, 0)
+    assert got[10] == ("content", 1, 1)
+    assert got[11] == ("", 0, 1)  # every line dropped: row survives, empty
+
+
+def test_remove_boilerplate_frequency_is_per_source(spark):
+    """The same line text in different sources is counted separately —
+    50% of srcC must not pull srcD's single occurrence over threshold."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.textops import (
+        remove_boilerplate_lines,
+    )
+
+    rows = [(d, "srcC", 0, "shared") for d in (1, 2)]
+    rows += [(d, "srcC", 1, f"c{d}") for d in (1, 2)]
+    rows += [(d, "srcD", 0, f"d{d}") for d in (20, 21, 22)]
+    rows += [(20, "srcD", 1, "shared")]
+    df = spark.createDataFrame(
+        _boiler_rows(rows), "doc_id long, source string, pos long, line string"
+    )
+    got = {
+        r["doc_id"]: r["clean_text"] for r in remove_boilerplate_lines(df).collect()
+    }
+    assert got[1] == "c1" and got[2] == "c2"  # dropped in srcC
+    assert got[20] == "d20\nshared"  # kept in srcD (1/3 < 50%)
+
+
+def test_remove_boilerplate_rejects_bad_frac(spark):
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.textops import (
+        remove_boilerplate_lines,
+    )
+
+    df = spark.createDataFrame(
+        _boiler_rows([(1, "s", 0, "x")]),
+        "doc_id long, source string, pos long, line string",
+    )
+    with pytest.raises(ValueError, match="max_doc_frac"):
+        remove_boilerplate_lines(df, max_doc_frac=0.0)
+
+
 def test_nfc_audit_fuses_decomposed_sequences(spark):
     from advanced_technologies_of_china_graph_database_construction_spark.operators.textops import nfc_audit
 
