@@ -1,0 +1,78 @@
+"""CDC change-log application — the MERGE half of incremental corpus
+maintenance (the diff half is the d27 snapshot comparison in
+plans/docs_queries.py).
+
+A continuously-refreshed corpus is rebuilt as base snapshot + change
+log, not re-crawled: upstream emits (key, seq, op, payload) records and
+the engine folds them into the base with upsert/delete semantics.  On a
+lakehouse this is `MERGE INTO`; here it is expressed as the exact
+relational decomposition Spark executes it as — per-key log compaction,
+one anti-join, one union — so the plan is inspectable and the pieces
+reusable.
+
+Reference parity: the reference rebuilds its Neo4j store from scratch on
+every ingest (Hype.py drops and re-creates; SURVEY §3.2) — incremental
+maintenance is beyond-reference surface, same family as d27.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+UPSERT = "upsert"
+DELETE = "delete"
+
+
+def compact_changes(
+    changes: DataFrame,
+    key_col: str = "doc_id",
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Latest-wins log compaction: keep only the highest-``seq`` change
+    per key.  ``seq`` must be unique per key (a log offset / LSN — the
+    uniqueness every real CDC source provides); with duplicate seqs the
+    survivor would be tie-broken arbitrarily, so don't.
+
+    Scale shape: one window per key — the same shuffle the downstream
+    anti-join needs, so at scale pre-partition (or bucket) both the log
+    and the base by key and the whole apply is co-located.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(seq_col).desc())
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_col: str = "doc_id",
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Fold a CDC change set into a base snapshot (MERGE semantics):
+    every changed key's base row is dropped, then ``upsert`` payloads
+    are appended — an upsert of an existing key replaces it, an upsert
+    of a new key inserts it, a ``delete`` removes it.  ``changes``
+    carries the base's payload columns (NULL-irrelevant on deletes)
+    plus ``op``; pass ``seq_col`` to compact a multi-entry log first
+    (without it the change set must already be one row per key).  Ops
+    other than 'upsert'/'delete' never match either branch and are
+    ignored — corrupt-op auditing is the caller's dead-letter concern,
+    not a hidden action inside the fold.
+
+    Scale shape: one anti-join on the key (bucket base and log by key
+    and it is shuffle-free) plus a union with the delta — O(|delta|)
+    maintenance instead of the O(|corpus|) rebuild, exactly the e21
+    argument applied to row-level changes.
+    """
+    if seq_col is not None:
+        changes = compact_changes(changes, key_col, op_col, seq_col)
+        changes = changes.drop(seq_col)
+    upserts = changes.filter(F.col(op_col) == UPSERT).select(*base.columns)
+    touched = changes.filter(F.col(op_col).isin(UPSERT, DELETE)).select(key_col)
+    return base.join(touched, key_col, "left_anti").unionByName(upserts)

@@ -1728,6 +1728,63 @@ FROM flagged GROUP BY doc_id
 """
 
 
+# ------------------------------- d39 CDC change-log apply (MERGE) --------
+
+def d39_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC change log to the corpus snapshot (the MERGE half of
+    d27's diff): a two-seq log exercises every compaction path — seq 1
+    upserts ' v2' onto every 5th doc; seq 2 then deletes every 10th
+    (late delete beats the earlier upsert) and re-upserts ' v3' onto
+    every 15th-but-not-10th (late upsert beats the earlier one); new
+    keys (+3000000, every 50th) insert.  The oracle is the CLOSED-FORM
+    final state, independent of the merge mechanics, so a compaction
+    ordering bug or a lost/phantom row fails the hash.  Ships
+    (doc_id, md5(text))."""
+    from ..operators.cdc import apply_changes
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    ups1 = base.filter(d % 5 == 0).select(
+        "doc_id",
+        F.concat("text", F.lit(" v2")).alias("text"),
+        F.lit(1).alias("seq"),
+        F.lit("upsert").alias("op"),
+    )
+    dels2 = base.filter(d % 10 == 0).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(2).alias("seq"),
+        F.lit("delete").alias("op"),
+    )
+    ups2 = base.filter((d % 15 == 0) & (d % 10 != 0)).select(
+        "doc_id",
+        F.concat("text", F.lit(" v3")).alias("text"),
+        F.lit(2).alias("seq"),
+        F.lit("upsert").alias("op"),
+    )
+    inserts = base.filter(d % 50 == 0).select(
+        (d + 3_000_000).alias("doc_id"),
+        "text",
+        F.lit(1).alias("seq"),
+        F.lit("upsert").alias("op"),
+    )
+    log = ups1.unionByName(dels2).unionByName(ups2).unionByName(inserts)
+    merged = apply_changes(base, log, seq_col="seq")
+    return merged.select("doc_id", F.md5("text").alias("text_md5"))
+
+
+D39_SQL = """
+SELECT doc_id,
+       md5(CASE WHEN doc_id % 15 = 0 AND doc_id % 10 <> 0 THEN text || ' v3'
+                WHEN doc_id % 5 = 0 THEN text || ' v2'
+                ELSE text END) AS text_md5
+FROM documents WHERE doc_id % 10 <> 0
+UNION ALL
+SELECT doc_id + 3000000 AS doc_id, md5(text) AS text_md5
+FROM documents WHERE doc_id % 50 = 0
+"""
+
+
 def _bpe_rule_ctes(k: int, left: str, right: str) -> str:
     # One rule = one recursive CTE replacing the LEFTMOST separator-
     # guarded occurrence until none remains.  Leftmost-repeat equals the
@@ -2127,6 +2184,9 @@ SPECS = [
               "per-document distinctive terms by tf-idf (wordcount + window top-k)"),
     QuerySpec("a05_knn_graph", a05_knn_graph, A05_SQL, "similarity",
               "exact all-pairs kNN graph via blocked GEMM with in-kernel top-k"),
+    QuerySpec("d39_cdc_apply", d39_cdc_apply, D39_SQL, "dedup",
+              "CDC change-log apply (MERGE): latest-wins compaction, "
+              "anti-join + delta union vs a closed-form final-state oracle"),
     QuerySpec("d27_snapshot_diff", d27_snapshot_diff, D27_SQL, "dedup",
               "incremental snapshot diff (added/removed/changed via hash CDC)"),
     QuerySpec("d28_bpe_merges", d28_bpe_merges, None, "text",

@@ -1,0 +1,76 @@
+"""Unit coverage for operators/cdc — MERGE semantics and latest-wins
+log compaction, checked against hand-computed final states (the gated
+d39 spec covers the oracle face; these pin the operator contract on
+adversarial little logs).
+"""
+
+from __future__ import annotations
+
+from advanced_technologies_of_china_graph_database_construction_spark.operators.cdc import (
+    apply_changes,
+    compact_changes,
+)
+
+BASE_SCHEMA = "doc_id long, text string"
+LOG_SCHEMA = "doc_id long, text string, seq long, op string"
+
+
+def _state(df):
+    return {r["doc_id"]: r["text"] for r in df.collect()}
+
+
+def test_apply_changes_upsert_delete_insert(spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], BASE_SCHEMA)
+    log = spark.createDataFrame(
+        [
+            (1, "a2", 1, "upsert"),   # replace existing
+            (2, None, 1, "delete"),   # remove existing
+            (9, "new", 1, "upsert"),  # insert new key
+        ],
+        LOG_SCHEMA,
+    )
+    got = _state(apply_changes(base, log, seq_col="seq"))
+    assert got == {1: "a2", 3: "c", 9: "new"}
+
+
+def test_compaction_late_delete_beats_early_upsert(spark):
+    base = spark.createDataFrame([(1, "a")], BASE_SCHEMA)
+    log = spark.createDataFrame(
+        [(1, "a2", 1, "upsert"), (1, None, 2, "delete")], LOG_SCHEMA
+    )
+    assert _state(apply_changes(base, log, seq_col="seq")) == {}
+
+
+def test_compaction_late_upsert_beats_early_delete(spark):
+    base = spark.createDataFrame([(1, "a")], BASE_SCHEMA)
+    log = spark.createDataFrame(
+        [(1, None, 1, "delete"), (1, "back", 2, "upsert")], LOG_SCHEMA
+    )
+    assert _state(apply_changes(base, log, seq_col="seq")) == {1: "back"}
+
+
+def test_compact_changes_keeps_max_seq_row(spark):
+    log = spark.createDataFrame(
+        [(1, "v1", 1, "upsert"), (1, "v3", 3, "upsert"), (1, "v2", 2, "upsert")],
+        LOG_SCHEMA,
+    )
+    rows = compact_changes(log).collect()
+    assert len(rows) == 1 and rows[0]["text"] == "v3" and rows[0]["seq"] == 3
+
+
+def test_apply_changes_without_seq_expects_compacted_log(spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], BASE_SCHEMA)
+    log = spark.createDataFrame(
+        [(1, "a2", "upsert")], "doc_id long, text string, op string"
+    )
+    assert _state(apply_changes(base, log)) == {1: "a2", 2: "b"}
+
+
+def test_unknown_ops_are_ignored_not_applied(spark):
+    """A corrupt op neither deletes nor upserts — the base row survives
+    untouched (auditing corrupt ops is the caller's dead-letter path)."""
+    base = spark.createDataFrame([(1, "a")], BASE_SCHEMA)
+    log = spark.createDataFrame(
+        [(1, "x", 1, "truncate")], LOG_SCHEMA
+    )
+    assert _state(apply_changes(base, log, seq_col="seq")) == {1: "a"}
