@@ -525,6 +525,53 @@ GROUP BY p_brand
 """
 
 
+# --- q19: TPC-H Q22 shape through the literal SQL API ------------------
+def q19_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — above-average-balance customers with no
+    URGENT orders — stated as LITERAL SQL with both subquery forms
+    Catalyst must rewrite: an uncorrelated scalar subquery (the global
+    average, executed once and reused as a literal — never per row) and
+    a correlated NOT EXISTS (compiled to a left-anti join on o_custkey
+    — never a per-row probe).  The subquery carries its own priority
+    predicate because every customer HAS orders at every fixture sf (a
+    bare NOT EXISTS is provably empty — the g31 vacuity trap); the
+    filter also has to be pushed below the anti-join's right side.
+    q13 already pins the hand-decorrelated DataFrame form; this is the
+    SQL-API face of the same optimizer obligation, pinned in
+    test_plan_quality.  Tables bind as DataFrame references
+    (`spark.sql(..., c=df)`), so the driver's shared session is never
+    polluted with temp views."""
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment AS c_mktsegment,
+               count(*) AS n_customers,
+               round(sum(c.c_acctbal), 2) AS total_acctbal
+        FROM {c} c
+        WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM {c} c2)
+          AND NOT EXISTS (SELECT 1 FROM {o} o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c.c_mktsegment
+        """,
+        c=cust,
+        o=orders,
+    )
+
+
+Q19_SQL = """
+SELECT c.c_mktsegment AS c_mktsegment,
+       count(*) AS n_customers,
+       round(sum(c.c_acctbal), 2) AS total_acctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_mktsegment
+"""
+
+
 SPECS = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "relational",
               "TPC-H Q1-style wide aggregate (map-side partial agg)", bench=True),
@@ -564,4 +611,8 @@ SPECS = [
               "common-term pushdown onto both scans"),
     QuerySpec("q17_approx_distinct_contract", q17_approx_distinct_contract, Q17_SQL, "relational",
               "HLL++ approx distinct pinned to an exact accuracy contract"),
+    QuerySpec("q19_rich_inactive_customers", q19_rich_inactive_customers, Q19_SQL,
+              "relational",
+              "TPC-H Q22 shape via literal SQL: uncorrelated scalar subquery "
+              "+ NOT EXISTS, both Catalyst-rewritten (pinned)"),
 ]

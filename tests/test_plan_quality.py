@@ -575,3 +575,25 @@ def test_q18_disjunction_pushes_common_terms_to_both_scans(spark):
     )
     assert "l_quantity" in li_scan.split("DataFilters:")[1], li_scan
     assert "p_brand" in part_scan.split("DataFilters:")[1], part_scan
+
+
+def test_q19_sql_subqueries_compile_to_joins_not_probes(spark):
+    """The literal-SQL subquery forms must land as set operations: the
+    correlated NOT EXISTS as ONE left-anti join (never a per-row
+    probe), with its priority predicate pushed into the orders scan
+    below the anti-join; the uncorrelated average as a scalar subquery
+    node that executes once (it may appear only inside a pushed filter
+    — never as a join the anti-join rebuilds per partition)."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.relational import (
+        q19_rich_inactive_customers,
+    )
+
+    plan = _plan(q19_rich_inactive_customers(spark, SF_CORRECT))
+    assert "LeftAnti" in plan, plan
+    assert "scalar-subquery" in plan or "Subquery" in plan, plan
+    orders_scan = next(
+        l
+        for l in plan.splitlines()
+        if "FileScan parquet" in l and "o_orderpriority" in l
+    )
+    assert "1-URGENT" in orders_scan.split("DataFilters:")[1], orders_scan
