@@ -27,11 +27,12 @@ DELETE = "delete"
 def compact_changes(
     changes: DataFrame,
     key_col: str = "doc_id",
-    op_col: str = "op",
     seq_col: str = "seq",
 ) -> DataFrame:
     """Latest-wins log compaction: keep only the highest-``seq`` change
-    per key.  ``seq`` must be unique per key (a log offset / LSN — the
+    per key — the op never participates (a delete superseded by an
+    upsert vanishes the same way an upsert does), so no op column is
+    taken.  ``seq`` must be unique per key (a log offset / LSN — the
     uniqueness every real CDC source provides); with duplicate seqs the
     survivor would be tie-broken arbitrarily, so don't.
 
@@ -71,7 +72,7 @@ def apply_changes(
     argument applied to row-level changes.
     """
     if seq_col is not None:
-        changes = compact_changes(changes, key_col, op_col, seq_col)
+        changes = compact_changes(changes, key_col, seq_col)
         changes = changes.drop(seq_col)
     upserts = changes.filter(F.col(op_col) == UPSERT).select(*base.columns)
     touched = changes.filter(F.col(op_col).isin(UPSERT, DELETE)).select(key_col)

@@ -1553,7 +1553,11 @@ def d27_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")).alias("text"),
     )
     added = old.filter(F.col("doc_id") % 50 == 0).select(
-        (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+        # re-added ids live in the NEGATIVE domain: collision-free with
+        # the real non-negative doc_ids at ANY sf (a fixed +K offset
+        # collides once the fixture reaches K rows)
+        (-F.col("doc_id") - 1).alias("doc_id"),
+        "text",
     )
     new = kept.unionByName(added)
     o = old.select("doc_id", F.md5("text").alias("h_old"))
@@ -1577,7 +1581,7 @@ newsnap AS (
          CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
   FROM old WHERE doc_id % 11 <> 0
   UNION ALL
-  SELECT doc_id + 3000000, text FROM old WHERE doc_id % 50 = 0),
+  SELECT -doc_id - 1, text FROM old WHERE doc_id % 50 = 0),
 o AS (SELECT doc_id, md5(text) AS h_old FROM old),
 n AS (SELECT doc_id, md5(text) AS h_new FROM newsnap)
 SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
@@ -1736,7 +1740,7 @@ def d39_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     upserts ' v2' onto every 5th doc; seq 2 then deletes every 10th
     (late delete beats the earlier upsert) and re-upserts ' v3' onto
     every 15th-but-not-10th (late upsert beats the earlier one); new
-    keys (+3000000, every 50th) insert.  The oracle is the CLOSED-FORM
+    keys (-doc_id-1, every 50th) insert.  The oracle is the CLOSED-FORM
     final state, independent of the merge mechanics, so a compaction
     ordering bug or a lost/phantom row fails the hash.  Ships
     (doc_id, md5(text))."""
@@ -1763,7 +1767,8 @@ def d39_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("upsert").alias("op"),
     )
     inserts = base.filter(d % 50 == 0).select(
-        (d + 3_000_000).alias("doc_id"),
+        # negative-domain insert keys: collision-free at any sf (d27 note)
+        (-d - 1).alias("doc_id"),
         "text",
         F.lit(1).alias("seq"),
         F.lit("upsert").alias("op"),
@@ -1780,7 +1785,7 @@ SELECT doc_id,
                 ELSE text END) AS text_md5
 FROM documents WHERE doc_id % 10 <> 0
 UNION ALL
-SELECT doc_id + 3000000 AS doc_id, md5(text) AS text_md5
+SELECT -doc_id - 1 AS doc_id, md5(text) AS text_md5
 FROM documents WHERE doc_id % 50 = 0
 """
 
