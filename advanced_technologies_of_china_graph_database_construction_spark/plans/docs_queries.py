@@ -1790,6 +1790,48 @@ FROM documents WHERE doc_id % 50 = 0
 """
 
 
+# ------------------------------- d40 order-independent table checksum ---
+
+def d40_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source table checksum for replica / migration verification —
+    the audit primitive that pairs with d27 (diff) and d39 (apply): two
+    copies of a 100 TB corpus compare by exchanging three numbers per
+    source instead of any rows.
+
+    Two independent folds over 60-bit md5 row slices, because each is
+    blind to a failure mode the other catches: ``bit_xor`` is
+    order-independent but CANCELS on even-multiplicity rows (a row
+    duplicated twice XORs to zero — invisible), while ``sum`` keeps
+    multiplicity but could in principle collide on crafted offsets; a
+    corruption would have to fool both plus the row count.  All three
+    aggregates are one map-side-combined shuffle of (source, 3×8 bytes)
+    — the payload never moves.
+
+    60-bit slices (15 hex chars) keep the sum far from bigint overflow:
+    2^63 / 2^60 = 8 — too tight for sum, so the SUM fold uses 32-bit
+    slices (safe to ~2^31 rows per source) while XOR uses the full 60.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    row_md5 = "md5(concat_ws('|', doc_id, source, lang, text))"
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.expr(
+            f"bit_xor(cast(conv(substr({row_md5}, 1, 15), 16, 10) as bigint))"
+        ).alias("xor_cks"),
+        F.expr(
+            f"sum(cast(conv(substr({row_md5}, 1, 8), 16, 10) as bigint))"
+        ).alias("sum_cks"),
+    )
+
+
+D40_SQL = """
+SELECT source, count(*) AS n_rows,
+       bit_xor(('0x' || substr(md5(doc_id || '|' || source || '|' || lang || '|' || text), 1, 15))::BIGINT) AS xor_cks,
+       sum(('0x' || substr(md5(doc_id || '|' || source || '|' || lang || '|' || text), 1, 8))::BIGINT)::BIGINT AS sum_cks
+FROM documents GROUP BY source
+"""
+
+
 def _bpe_rule_ctes(k: int, left: str, right: str) -> str:
     # One rule = one recursive CTE replacing the LEFTMOST separator-
     # guarded occurrence until none remains.  Leftmost-repeat equals the
@@ -2192,6 +2234,9 @@ SPECS = [
     QuerySpec("d39_cdc_apply", d39_cdc_apply, D39_SQL, "dedup",
               "CDC change-log apply (MERGE): latest-wins compaction, "
               "anti-join + delta union vs a closed-form final-state oracle"),
+    QuerySpec("d40_table_checksum", d40_table_checksum, D40_SQL, "dedup",
+              "order-independent per-source table checksum (xor + sum md5 "
+              "slices + count): replica verification without moving rows"),
     QuerySpec("d27_snapshot_diff", d27_snapshot_diff, D27_SQL, "dedup",
               "incremental snapshot diff (added/removed/changed via hash CDC)"),
     QuerySpec("d28_bpe_merges", d28_bpe_merges, None, "text",

@@ -220,6 +220,84 @@ FROM expected GROUP BY file
 """
 
 
+# ------------------------------------- i05 malformed-JSON dead-letter --
+
+def i05_malformed_json_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant JSON ingest with a dead-letter channel — the
+    shape every 100 TB feed needs: parse what parses, quarantine what
+    doesn't, NEVER fail the job on one bad record (the reference's
+    ingest assumes clean EndNote exports; a crawl feed doesn't get to).
+
+    Construction: each document renders to a JSON payload via
+    ``to_json``; every 7th payload is truncated by one byte (drops the
+    closing ``}``), which is unambiguously malformed.  ``from_json`` in
+    PERMISSIVE mode with ``columnNameOfCorruptRecord`` splits the feed:
+    valid rows are counted WHERE the corrupt column is NULL — not where
+    a payload field is non-NULL, because Spark keeps PARTIAL results
+    for corrupt records (fields parsed before the failure point stay
+    set), so field-presence is not a validity test.  Recovered snippets
+    fold into an order-independent bit_xor checksum of 60-bit md5
+    slices, proving the JSON escape/unescape round-trip is lossless —
+    the oracle computes the same checksum straight from ``documents``
+    without ever touching JSON.
+
+    Scale shape: parse + corrupt-split are narrow (no shuffle until the
+    per-source aggregate, which carries three numbers per group);
+    malformed payloads ride the SAME rows as a quarantine count, so no
+    second pass over the feed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.to_json(
+        F.struct(
+            F.col("doc_id"), F.col("source"),
+            F.substring("text", 1, 40).alias("snippet"),
+        )
+    )
+    # two selects so the truncation expression can reference the
+    # rendered payload by name
+    feed = (
+        docs.select("source", payload.alias("js"), "doc_id")
+        .select(
+            "source",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.expr("substring(js, 1, length(js) - 1)"),
+            )
+            .otherwise(F.col("js"))
+            .alias("js"),
+        )
+    )
+    parsed = feed.select(
+        "source",
+        F.from_json(
+            "js",
+            "doc_id bigint, source string, snippet string, _corrupt string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("p"),
+    )
+    ok = F.col("p._corrupt").isNull()
+    slice60 = F.expr(
+        "cast(conv(substr(md5(concat_ws('|', p.doc_id, p.snippet)), 1, 15), 16, 10)"
+        " as bigint)"
+    )
+    return parsed.groupBy("source").agg(
+        F.sum(ok.cast("long")).alias("n_valid"),
+        F.sum((~ok).cast("long")).alias("n_dead"),
+        F.bit_xor(F.when(ok, slice60)).alias("valid_cks"),
+    )
+
+
+I05_SQL = """
+SELECT source,
+       sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+       sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_dead,
+       bit_xor(CASE WHEN doc_id % 7 <> 0 THEN
+         ('0x' || substr(md5(doc_id || '|' || substr(text, 1, 40)), 1, 15))::BIGINT
+       END) AS valid_cks
+FROM documents GROUP BY source
+"""
+
+
 SPECS = [
     QuerySpec("i01_parse_clean_records", i01_parse_clean_records, I01_SQL, "ingest",
               "S1 TXT block parse + F1-F5 cleaning round-trip", bench=True),
@@ -229,4 +307,8 @@ SPECS = [
               "F5 lenient int cast aggregates per label"),
     QuerySpec("i04_provenance_stats", i04_provenance_stats, I04_SQL, "ingest",
               "S2 file provenance through the parse pipeline"),
+    QuerySpec("i05_malformed_json_deadletter", i05_malformed_json_deadletter, I05_SQL,
+              "ingest",
+              "corrupt-tolerant JSON ingest: PERMISSIVE from_json dead-letter "
+              "split, valid-rows checksum proves lossless escape round-trip"),
 ]

@@ -327,6 +327,35 @@ SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
 """
 
 
+# --- q20: EXCEPT set op (the q12 INTERSECT complement) ---
+def q20_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXCEPT DISTINCT face, completing the set-op family (q12
+    INTERSECT, U1/U2 unions): ordering customers missing from a
+    residue-filtered replica of the same feed.  Natural predicates
+    (ordered-in-1994-not-1995, urgent-only) are all EMPTY on the
+    fixtures at every sf — the g31/q19 vacuity trap — so the second
+    input drops a deterministic residue class (custkey ≡ 0 mod 5),
+    which guarantees a difference that scales with the data while
+    duplicate custkeys on both sides still exercise the DISTINCT
+    collapse.  ``subtract`` compiles to the same left-anti join +
+    aggregate Catalyst would build for a hand-written anti-join (q09),
+    so the declarative set-op costs nothing over the explicit form;
+    both inputs prune to the single join column before any exchange."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    everyone = orders.select(F.col("o_custkey").alias("custkey"))
+    replica = orders.filter(F.col("o_custkey") % 5 != 0).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return everyone.subtract(replica)
+
+
+Q20_SQL = """
+SELECT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_custkey % 5 <> 0
+"""
+
+
 # --- q13: correlated scalar subquery (TPC-H Q17-style) ---
 def q13_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average yearly revenue lost if small-quantity orders stopped:
@@ -615,4 +644,6 @@ SPECS = [
               "relational",
               "TPC-H Q22 shape via literal SQL: uncorrelated scalar subquery "
               "+ NOT EXISTS, both Catalyst-rewritten (pinned)"),
+    QuerySpec("q20_lapsed_customers", q20_lapsed_customers, Q20_SQL, "relational",
+              "EXCEPT DISTINCT set op (completes the set-op family with q12)"),
 ]

@@ -597,3 +597,35 @@ def test_q19_sql_subqueries_compile_to_joins_not_probes(spark):
         if "FileScan parquet" in l and "o_orderpriority" in l
     )
     assert "1-URGENT" in orders_scan.split("DataFilters:")[1], orders_scan
+
+
+def test_ingest_and_checksum_audits_stay_jvm_single_exchange(spark):
+    """i05/d40: the JSON parse + corrupt split (JsonToStructs) and the
+    md5-slice checksum folds are pure JVM column expressions — no
+    Python eval anywhere — and each plan's only exchange is the final
+    per-source aggregate, map-side combined, carrying a handful of
+    numbers per group (the payload never shuffles)."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.docs_queries import d40_table_checksum
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.ingest_queries import (
+        i05_malformed_json_deadletter,
+    )
+
+    for fn in (i05_malformed_json_deadletter, d40_table_checksum):
+        plan = _plan(fn(spark, SF_CORRECT))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+        assert plan.count("Exchange") == 1, plan
+        assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_q20_except_compiles_to_anti_join_on_pruned_columns(spark):
+    """q20: the EXCEPT DISTINCT set op must land as one left-anti join
+    over single-column scans (column pruning reached the parquet
+    reader) with the residue filter pushed below the join."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.relational import q20_lapsed_customers
+
+    plan = _plan(q20_lapsed_customers(spark, SF_CORRECT))
+    assert "LeftAnti" in plan, plan
+    for line in plan.splitlines():
+        if "FileScan parquet" in line:
+            assert "ReadSchema: struct<o_custkey:bigint>" in line, line
+    assert "% 5" in plan, plan
