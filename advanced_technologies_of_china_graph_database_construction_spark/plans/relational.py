@@ -327,6 +327,33 @@ SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
 """
 
 
+# --- q21: UNPIVOT (the q16 PIVOT inverse) ---
+def q21_status_revenue_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q16's wide pivot melted back to long form through the native
+    ``unpivot`` (Catalyst Expand — one pass, rows × |value columns|,
+    no join or union of self-scans).  Round-tripping pivot→unpivot
+    proves the two faces are inverses up to the NULL cells pivot
+    manufactures for absent (year, status) combos; unpivot RETAINS
+    those nulls by design, so the round-trip filters them — exactly
+    the rows the plain GROUP BY oracle never had."""
+    wide = q16_status_revenue_pivot(spark, sf_dir)
+    return wide.unpivot(
+        "order_year",
+        ["rev_f", "rev_o", "rev_p"],
+        "status_col",
+        "revenue",
+    ).filter(F.col("revenue").isNotNull())
+
+
+Q21_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       'rev_' || lower(o_orderstatus) AS status_col,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders WHERE o_orderstatus IN ('F', 'O', 'P')
+GROUP BY order_year, o_orderstatus
+"""
+
+
 # --- q20: EXCEPT set op (the q12 INTERSECT complement) ---
 def q20_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The EXCEPT DISTINCT face, completing the set-op family (q12
@@ -646,4 +673,8 @@ SPECS = [
               "+ NOT EXISTS, both Catalyst-rewritten (pinned)"),
     QuerySpec("q20_lapsed_customers", q20_lapsed_customers, Q20_SQL, "relational",
               "EXCEPT DISTINCT set op (completes the set-op family with q12)"),
+    QuerySpec("q21_status_revenue_unpivot", q21_status_revenue_unpivot, Q21_SQL,
+              "relational",
+              "UNPIVOT via native melt (Expand node): the q16 pivot inverse, "
+              "round-trip proves the faces invert up to manufactured nulls"),
 ]

@@ -259,7 +259,64 @@ GROUP BY 1
 """
 
 
+def s10_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the lakehouse incremental-write
+    face: refresh ONE partition of a partitioned table without
+    touching (or even listing) the others.  At 100 TB this is the
+    difference between rewriting a day and rewriting the lake; the
+    reference's store rebuilds wholesale (Hype.py drop-and-recreate —
+    the d39 contrast), this is the write-side half of that argument.
+
+    The spec proves the semantics, not just the API: documents land
+    partitioned by ``lang``, then a delta containing ONLY the ``en``
+    rows (n_chars bumped +1000) is written with ``mode("overwrite")``
+    + ``partitionOverwriteMode=dynamic`` as a per-write OPTION (no
+    session conf — the driver's bare session must not matter).  Under
+    STATIC overwrite the delta would wipe every other lang's
+    partition; without replacement ``en`` would keep stale values —
+    the per-lang read-back aggregate fails the gate either way.
+    """
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "lang"
+    )
+    out = tempfile.mkdtemp(prefix="sink_dpo_")
+    try:
+        docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+        delta = docs.filter(F.col("lang") == "en").withColumn(
+            "n_chars", F.col("n_chars") + F.lit(1000)
+        )
+        delta.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("lang").parquet(out)
+        back = spark.read.parquet(out).groupBy("lang").agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        return spark.createDataFrame(back.collect(), back.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+S10_SQL = """
+SELECT lang, count(*) AS n_rows,
+       sum(n_chars + CASE WHEN lang = 'en' THEN 1000 ELSE 0 END) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
 SPECS = [
+    QuerySpec(
+        name="s10_dynamic_partition_overwrite",
+        fn=s10_dynamic_partition_overwrite,
+        oracle=S10_SQL,
+        category="sink",
+        description="dynamic partition overwrite: one lang partition refreshed "
+        "in place via a per-write option; static-wipe and stale-partition "
+        "failure modes both break the read-back aggregate",
+    ),
     QuerySpec(
         name="s09_bucketed_traversal_roundtrip",
         fn=s09_bucketed_traversal_roundtrip,
