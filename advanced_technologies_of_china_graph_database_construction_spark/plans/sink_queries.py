@@ -307,7 +307,67 @@ FROM documents GROUP BY lang
 """
 
 
+def s11_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read — the other lakehouse inevitability: a
+    long-lived table's early files predate columns its later files
+    carry, and the reader must reconcile per-file footers instead of
+    trusting the first one.  Batch 1 lands WITHOUT ``lang`` (the
+    pre-evolution era), batch 2 appends WITH it; ``mergeSchema=true``
+    unions the footers so era-1 rows surface with NULL lang — which
+    the aggregate relabels ``(pre-evolution)`` so the gate proves BOTH
+    that era-1 rows kept their payload and that era-2 rows kept their
+    lang (a first-footer-wins reader would drop the column entirely;
+    a last-footer reader would fail era-1 files).
+
+    Scale note: mergeSchema footer reconciliation is a one-time
+    planning cost per query, not a per-row cost — but on a million-file
+    table it is a real listing job, which is why production tables
+    graduate to catalog-tracked schemas (the s09 saveAsTable face);
+    this spec covers the schema-on-read era before that graduation.
+    """
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="sink_evo_")
+    try:
+        era1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "source", "n_chars"
+        )
+        era2 = docs.filter(F.col("doc_id") % 2 != 0).select(
+            "doc_id", "source", "n_chars", "lang"
+        )
+        era1.write.mode("overwrite").parquet(out)
+        era2.write.mode("append").parquet(out)
+        merged = spark.read.option("mergeSchema", "true").parquet(out)
+        back = merged.groupBy(
+            F.coalesce("lang", F.lit("(pre-evolution)")).alias("lang")
+        ).agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        return spark.createDataFrame(back.collect(), back.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+S11_SQL = """
+SELECT CASE WHEN doc_id % 2 = 0 THEN '(pre-evolution)' ELSE lang END AS lang,
+       count(*) AS n_rows, sum(n_chars) AS sum_chars
+FROM documents GROUP BY 1
+"""
+
+
 SPECS = [
+    QuerySpec(
+        name="s11_schema_evolution_read",
+        fn=s11_schema_evolution_read,
+        oracle=S11_SQL,
+        category="sink",
+        description="schema-evolution read: mergeSchema reconciles an era "
+        "without the lang column against appended files that carry it; "
+        "pre-evolution rows surface with NULL lang, gated closed-form",
+    ),
     QuerySpec(
         name="s10_dynamic_partition_overwrite",
         fn=s10_dynamic_partition_overwrite,
