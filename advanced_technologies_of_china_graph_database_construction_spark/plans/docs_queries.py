@@ -1810,26 +1810,37 @@ def d40_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     60-bit slices (15 hex chars) keep the sum far from bigint overflow:
     2^63 / 2^60 = 8 — too tight for sum, so the SUM fold uses 32-bit
     slices (safe to ~2^31 rows per source) while XOR uses the full 60.
+
+    Both dialects' fragments come from ``functions.integrity`` — one
+    source for the slice arithmetic AND the NULL-sentinel row string
+    (a bare concat_ws would skip NULL fields, hashing a value that
+    slid between columns identically — invisible to the very audit
+    this provides; see the module docstring there).
     """
+    from ..functions.integrity import spark_md5_slice, spark_row_key
+
     docs = load_table(spark, sf_dir, "documents")
-    row_md5 = "md5(concat_ws('|', doc_id, source, lang, text))"
+    row = spark_row_key("doc_id", "source", "lang", "text")
     return docs.groupBy("source").agg(
         F.count("*").alias("n_rows"),
-        F.expr(
-            f"bit_xor(cast(conv(substr({row_md5}, 1, 15), 16, 10) as bigint))"
-        ).alias("xor_cks"),
-        F.expr(
-            f"sum(cast(conv(substr({row_md5}, 1, 8), 16, 10) as bigint))"
-        ).alias("sum_cks"),
+        F.expr(f"bit_xor({spark_md5_slice(row, 15)})").alias("xor_cks"),
+        F.expr(f"sum({spark_md5_slice(row, 8)})").alias("sum_cks"),
     )
 
 
-D40_SQL = """
+def _d40_sql() -> str:
+    from ..functions.integrity import duck_md5_slice, duck_row_key
+
+    row = duck_row_key("doc_id", "source", "lang", "text")
+    return f"""
 SELECT source, count(*) AS n_rows,
-       bit_xor(('0x' || substr(md5(doc_id || '|' || source || '|' || lang || '|' || text), 1, 15))::BIGINT) AS xor_cks,
-       sum(('0x' || substr(md5(doc_id || '|' || source || '|' || lang || '|' || text), 1, 8))::BIGINT)::BIGINT AS sum_cks
+       bit_xor({duck_md5_slice(row, 15)}) AS xor_cks,
+       sum({duck_md5_slice(row, 8)})::BIGINT AS sum_cks
 FROM documents GROUP BY source
 """
+
+
+D40_SQL = _d40_sql()
 
 
 def _bpe_rule_ctes(k: int, left: str, right: str) -> str:

@@ -276,10 +276,13 @@ def i05_malformed_json_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("p"),
     )
     ok = F.col("p._corrupt").isNull()
-    slice60 = F.expr(
-        "cast(conv(substr(md5(concat_ws('|', p.doc_id, p.snippet)), 1, 15), 16, 10)"
-        " as bigint)"
-    )
+    # checksum fragments single-sourced from functions.integrity: the
+    # NULL-sentinel row key keeps both engines aligned when a snippet
+    # is NULL (to_json drops null fields, so the parse recovers NULL —
+    # a bare concat_ws would skip it while the oracle's || nullifies)
+    from ..functions.integrity import spark_md5_slice, spark_row_key
+
+    slice60 = F.expr(spark_md5_slice(spark_row_key("p.doc_id", "p.snippet")))
     return parsed.groupBy("source").agg(
         F.sum(ok.cast("long")).alias("n_valid"),
         F.sum((~ok).cast("long")).alias("n_dead"),
@@ -287,15 +290,20 @@ def i05_malformed_json_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-I05_SQL = """
+def _i05_sql() -> str:
+    from ..functions.integrity import duck_md5_slice, duck_row_key
+
+    row = duck_row_key("doc_id", "substr(text, 1, 40)")
+    return f"""
 SELECT source,
        sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_valid,
        sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_dead,
-       bit_xor(CASE WHEN doc_id % 7 <> 0 THEN
-         ('0x' || substr(md5(doc_id || '|' || substr(text, 1, 40)), 1, 15))::BIGINT
-       END) AS valid_cks
+       bit_xor(CASE WHEN doc_id % 7 <> 0 THEN {duck_md5_slice(row)} END) AS valid_cks
 FROM documents GROUP BY source
 """
+
+
+I05_SQL = _i05_sql()
 
 
 SPECS = [

@@ -302,7 +302,7 @@ def s10_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
 
 S10_SQL = """
 SELECT lang, count(*) AS n_rows,
-       sum(n_chars + CASE WHEN lang = 'en' THEN 1000 ELSE 0 END) AS sum_chars
+       sum(n_chars + CASE WHEN lang = 'en' THEN 1000 ELSE 0 END)::BIGINT AS sum_chars
 FROM documents GROUP BY lang
 """
 
@@ -353,7 +353,7 @@ def s11_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 S11_SQL = """
 SELECT CASE WHEN doc_id % 2 = 0 THEN '(pre-evolution)' ELSE lang END AS lang,
-       count(*) AS n_rows, sum(n_chars) AS sum_chars
+       count(*) AS n_rows, sum(n_chars)::BIGINT AS sum_chars
 FROM documents GROUP BY 1
 """
 

@@ -1,0 +1,105 @@
+"""Cross-engine contracts for the functions.integrity fragments.
+
+These are the properties the i05/d40 gates CANNOT prove on the NULL-free
+fixtures: dialect agreement in the presence of NULL fields, and the
+field-shift sensitivity the NULL sentinel exists to provide (a bare
+null-skipping concat_ws hashes lang=NULL,text='en' identically to
+lang='en',text=NULL — invisible to the very replica audit d40 claims).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_technologies_of_china_graph_database_construction_spark.functions.integrity import (
+    duck_md5_slice,
+    duck_row_key,
+    spark_md5_slice,
+    spark_row_key,
+)
+
+ROWS = [
+    (1, "src1", "en", "hello"),
+    (2, "src1", None, "wörld"),        # NULL mid-field
+    (3, "src1", "en", None),           # NULL last field
+    (4, "src2", None, None),           # two NULLs
+    (5, "src2", "a|b", "pipe|in|data"),  # separator collisions
+]
+SCHEMA = "doc_id long, source string, lang string, text string"
+
+
+def _duck(rows):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, source VARCHAR, lang VARCHAR, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    return con
+
+
+@pytest.mark.parametrize("width", [8, 15])
+def test_md5_slice_dialects_agree_with_nulls(spark, width):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    row = spark_row_key("doc_id", "source", "lang", "text")
+    got = {
+        r.doc_id: r.cks
+        for r in df.selectExpr(
+            "doc_id", f"{spark_md5_slice(row, width)} AS cks"
+        ).collect()
+    }
+    con = _duck(ROWS)
+    drow = duck_row_key("doc_id", "source", "lang", "text")
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {duck_md5_slice(drow, width)} FROM t"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_null_sentinel_detects_field_shift(spark):
+    """The corruption class the sentinel exists for: a value sliding
+    from one field into an adjacent one must change the row key (a
+    null-skipping join maps both layouts to the same string)."""
+    shifted = [(2, "src1", "wörld", None)]  # row 2's text slid into lang
+    df = spark.createDataFrame(ROWS[1:2] + shifted, SCHEMA)
+    row = spark_row_key("doc_id", "source", "lang", "text")
+    keys = [r.k for r in df.selectExpr(f"{row} AS k").collect()]
+    assert keys[0] != keys[1], keys
+
+
+def test_xor_and_sum_folds_agree_on_null_bearing_groups(spark):
+    """The d40 aggregate shape end-to-end over NULL-bearing rows: both
+    engines must fold every row (the sentinel keeps md5 non-NULL, so
+    nothing silently drops out of bit_xor/sum while count still sees
+    the row)."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    row = spark_row_key("doc_id", "source", "lang", "text")
+    got = {
+        r.source: (r.n, r.x, r.s)
+        for r in df.selectExpr(
+            "source",
+            f"{spark_md5_slice(row, 15)} AS h15",
+            f"{spark_md5_slice(row, 8)} AS h8",
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(h15)").alias("x"),
+            F.expr("sum(h8)").alias("s"),
+        )
+        .collect()
+    }
+    con = _duck(ROWS)
+    drow = duck_row_key("doc_id", "source", "lang", "text")
+    want = {
+        src: (n, x, s)
+        for src, n, x, s in con.execute(
+            f"""SELECT source, count(*), bit_xor({duck_md5_slice(drow, 15)}),
+                       sum({duck_md5_slice(drow, 8)})::BIGINT
+                FROM t GROUP BY source"""
+        ).fetchall()
+    }
+    assert got == want
