@@ -175,13 +175,6 @@ def minhash_signature_array(shingles: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(shingles: DataFrame, spark=None) -> DataFrame:
-    """(doc_id, k, minhash): min over shingles of (a_k*h + b_k) mod P."""
-    return minhash_signature_array(shingles).select(
-        "doc_id", F.posexplode("sig").alias("k", "minhash")
-    )
-
-
 def minhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
