@@ -1843,6 +1843,59 @@ FROM documents GROUP BY source
 D40_SQL = _d40_sql()
 
 
+# --------------------------- d41 observed metrics (one-pass audit) ------
+
+def d41_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit counters piggybacked on the curation scan via the
+    ``Observation`` API — the operational primitive that makes 100 TB
+    pipelines monitorable: the SAME action that materializes the
+    curated output also reports what the filter saw and dropped, with
+    NO second pass over the input (a separate count-query audit doubles
+    the scan cost and can disagree with what the job actually read).
+
+    The observe node sits ABOVE the scan and BELOW the filter, so the
+    counters describe the full input while the action materializes only
+    the survivors; the returned row carries both (``n_curated`` from
+    the action, the rest from the observation), and the closed-form
+    oracle recomputes every number independently — a counter placed on
+    the wrong side of the filter fails the gate.
+    """
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation("d41")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.length("text") < 200).cast("long")).alias("n_short"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    n_curated = observed.filter(F.length("text") >= 200).count()  # THE action
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_short"],
+                m["min_chars"],
+                m["max_chars"],
+                n_curated,
+            )
+        ],
+        "n_rows long, n_short long, min_chars long, max_chars long, n_curated long",
+    )
+
+
+D41_SQL = """
+SELECT count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN length(text) < 200 THEN 1 ELSE 0 END)::BIGINT AS n_short,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       sum(CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END)::BIGINT AS n_curated
+FROM documents
+"""
+
+
 def _bpe_rule_ctes(k: int, left: str, right: str) -> str:
     # One rule = one recursive CTE replacing the LEFTMOST separator-
     # guarded occurrence until none remains.  Leftmost-repeat equals the
@@ -2248,6 +2301,9 @@ SPECS = [
     QuerySpec("d40_table_checksum", d40_table_checksum, D40_SQL, "dedup",
               "order-independent per-source table checksum (xor + sum md5 "
               "slices + count): replica verification without moving rows"),
+    QuerySpec("d41_observed_metrics", d41_observed_metrics, D41_SQL, "text",
+              "Observation-API audit counters on the curation scan: full-"
+              "input metrics + curated count from ONE action, no second pass"),
     QuerySpec("d27_snapshot_diff", d27_snapshot_diff, D27_SQL, "dedup",
               "incremental snapshot diff (added/removed/changed via hash CDC)"),
     QuerySpec("d28_bpe_merges", d28_bpe_merges, None, "text",
