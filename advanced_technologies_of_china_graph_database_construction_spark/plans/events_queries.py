@@ -1068,7 +1068,83 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --------------------------- e24 streaming observed metrics (REAL run) --
+
+E24_SLICES = 4
+
+
+def e24_streaming_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming half of d41's one-pass audit: ``observe`` metrics
+    on a REAL readStream run, collected per micro-batch from the
+    query's progress events — how a 24/7 ingest pipeline watches its
+    own feed (row counts, out-of-range counters, value envelopes)
+    without a second subscription to the source.
+
+    The events table replays as 4 ts-ranged slices (one micro-batch
+    each); every batch's ``observedMetrics`` row is summed/folded on
+    the driver (counts add, min/max fold exactly — no float sums, so
+    the result is order-independent), and ``n_batches`` counts the
+    non-empty batches, pinning that delivery really was incremental
+    (a single-batch run would report 1).  The closed-form oracle
+    recomputes the totals from the table; the 4 is the construction's
+    slice count."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="e24_events_")
+    try:
+        _write_ts_slices(ev, d, E24_SLICES)
+        stream = windows.streaming_source(spark, d, watermark=None)
+        observed = stream.observe(
+            "audit",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("value") < 1.0).cast("long")).alias("n_sub_unit"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        q = observed.writeStream.format("noop").start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = [
+            p["observedMetrics"]["audit"]
+            for p in q.recentProgress
+            if p.get("observedMetrics", {}).get("audit") is not None
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    nonempty = [m for m in rows if m["n_rows"] > 0]
+    return spark.createDataFrame(
+        [
+            (
+                len(nonempty),
+                sum(m["n_rows"] for m in nonempty),
+                sum(m["n_sub_unit"] for m in nonempty),
+                min(m["min_value"] for m in nonempty),
+                max(m["max_value"] for m in nonempty),
+            )
+        ],
+        "n_batches long, n_rows long, n_sub_unit long, min_value double, max_value double",
+    )
+
+
+E24_SQL = f"""
+SELECT {E24_SLICES}::BIGINT AS n_batches,
+       count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN value < 1.0 THEN 1 ELSE 0 END)::BIGINT AS n_sub_unit,
+       min(value) AS min_value, max(value) AS max_value
+FROM events
+"""
+
+
 SPECS = [
+    QuerySpec("e24_streaming_observed_metrics", e24_streaming_observed_metrics,
+              E24_SQL, "events",
+              "REAL streaming observe run: per-micro-batch audit metrics from "
+              "progress events, folded exactly; n_batches pins incremental "
+              "delivery (8th driver-gated streaming face)"),
     QuerySpec("e23_gap_fill_locf", e23_gap_fill_locf, E23_SQL, "events",
               "hypertable gap-fill: per-user dense calendar via sequence "
               "explode + last-observation-carried-forward running window "
