@@ -1068,6 +1068,46 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ------------------------------ e25 VARIANT semi-structured props -------
+
+def e25_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e04's JSON-props analysis re-expressed on the VARIANT type —
+    parse ONCE into the binary semi-structured encoding, then every
+    field access is a cheap typed path step instead of a re-parse
+    (``get_json_object`` re-tokenizes the string per extraction; at
+    100 TB with several extractions per row that multiplies scan CPU
+    by the extraction count, which is the entire reason the open
+    formats grew a variant encoding).
+
+    The aggregate ships a schema-drift audit alongside the numbers:
+    min/max of ``schema_of_variant`` over the feed — the oracle pins
+    the expected uniform shape as a literal, so a producer silently
+    adding or retyping a field fails the gate rather than a downstream
+    extraction going NULL."""
+    ev = _events(spark, sf_dir)
+    v = ev.select(F.parse_json("props").alias("v"), "value")
+    typed = v.select(
+        F.variant_get("v", "$.k", "int").alias("k"),
+        F.schema_of_variant(F.col("v")).alias("sch"),
+        "value",
+    )
+    return typed.groupBy((F.col("k") % 10).alias("k_bucket")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.min("sch").alias("schema_lo"),
+        F.max("sch").alias("schema_hi"),
+    )
+
+
+E25_SQL = """
+WITH ex AS (SELECT CAST(props->>'$.k' AS INT) AS k, value FROM events)
+SELECT k % 10 AS k_bucket, count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       'OBJECT<k: BIGINT>' AS schema_lo, 'OBJECT<k: BIGINT>' AS schema_hi
+FROM ex GROUP BY 1
+"""
+
+
 # --------------------------- e24 streaming observed metrics (REAL run) --
 
 E24_SLICES = 4
@@ -1145,6 +1185,10 @@ SPECS = [
               "REAL streaming observe run: per-micro-batch audit metrics from "
               "progress events, folded exactly; n_batches pins incremental "
               "delivery (8th driver-gated streaming face)"),
+    QuerySpec("e25_props_variant_stats", e25_props_variant_stats, E25_SQL,
+              "events",
+              "VARIANT semi-structured props: parse once, typed path access, "
+              "schema_of_variant drift audit pinned to the expected shape"),
     QuerySpec("e23_gap_fill_locf", e23_gap_fill_locf, E23_SQL, "events",
               "hypertable gap-fill: per-user dense calendar via sequence "
               "explode + last-observation-carried-forward running window "
