@@ -71,6 +71,7 @@ def all_specs() -> list[QuerySpec]:
         "analytics_queries",
         "sink_queries",
         "pipeline_queries",
+        "spatial_queries",
     ):
         try:
             modules.append(__import__(f"{__package__}.{optional}", fromlist=["SPECS"]))

@@ -1,0 +1,119 @@
+"""Spatial workload: radius join via grid-cell blocking.
+
+The one join shape none of the other families cover: "all pairs of
+points within R km".  At 100 TB the naive form is a cross join; the
+scale pattern is the same banding philosophy as MinHash/LSH applied to
+geometry — bucket points into grid cells of side ≥ R, explode each
+point into its 3×3 cell neighborhood on ONE side only, equi-join on the
+cell key, then verify the exact distance.  Every true pair lands in
+exactly one (cell, neighbor-cell) combination (the right side keeps its
+single home cell), so no dedup pass is needed, and the shuffle carries
+(cell, id, lat, lon) — never a quadratic candidate set.
+
+Coordinates are derived from ``c_custkey`` by pure integer arithmetic
+(multiplicative hash mod 10^5 → a 2°×2° box), so both engines compute
+bit-identical doubles; the distance is the planar equirectangular
+approximation with FIXED km-per-degree constants (pure *,+,- in IEEE
+double — deterministic cross-engine, unlike libm trig; adequate at
+city-scale radii, which is what a 10 km join is).  The oracle is the
+brute-force O(n²) self-join over the same points — at the gate sf that
+is ~2.25 M candidate pairs for DuckDB, trivially exact — so a grid bug
+that DROPS a boundary-straddling pair fails the hash, not just a unit
+test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .spec import QuerySpec
+
+R_KM = 10.0
+CELL_DEG = 0.11  # ≥ R in both axes: 0.11° lat = 12.2 km, 0.11° lon = 10.5 km
+LAT_KM = 111.32  # km per degree latitude
+LON_KM = 95.4    # km per degree longitude at the box's ~31° reference latitude
+
+# identical expression TEXT on both engines — evaluation order fixed, so
+# the doubles are bit-identical
+_LAT = "30.0 + ((c_custkey * 2654435761) % 100000) / 100000.0 * 2.0"
+_LON = "100.0 + ((c_custkey * 40503) % 100000) / 100000.0 * 2.0"
+_D2 = (
+    f"((lat_a - lat_b) * {LAT_KM}) * ((lat_a - lat_b) * {LAT_KM})"
+    f" + ((lon_a - lon_b) * {LON_KM}) * ((lon_a - lon_b) * {LON_KM})"
+)
+
+
+def radius_pairs(
+    pts: DataFrame, r_km: float = R_KM, cell_deg: float = CELL_DEG
+) -> DataFrame:
+    """(src, dst, dist_km): all unordered pairs of ``pts`` (id, lat,
+    lon) within ``r_km``, grid-blocked (module docstring).  Requires
+    ``cell_deg`` ≥ r_km in BOTH axes' degree equivalents, or the 3×3
+    neighborhood misses true pairs.
+
+    Scale shape: one narrow projection to (id, lat, lon, cell), a 9×
+    explode of the LEFT side's neighborhood keys (constant fan-out —
+    not data-dependent), one equi-join shuffle on the cell key, exact
+    verify as a pure-JVM filter.  Cell population is bounded by point
+    density × cell area, so no single key explodes; the quadratic work
+    is confined within cells exactly like SemDeDup confines it within
+    centroids."""
+    if cell_deg * LAT_KM < r_km or cell_deg * LON_KM < r_km:
+        raise ValueError("cell_deg must cover r_km in both axes")
+    cells = pts.selectExpr(
+        "id", "lat", "lon",
+        f"cast(floor(lat / {cell_deg!r}) as bigint) AS cx",
+        f"cast(floor(lon / {cell_deg!r}) as bigint) AS cy",
+    )
+    neighborhood = cells.selectExpr(
+        "id AS id_a", "lat AS lat_a", "lon AS lon_a",
+        "explode(array(-1, 0, 1)) AS dx", "cx", "cy",
+    ).selectExpr(
+        "id_a", "lat_a", "lon_a",
+        "cx + dx AS cx", "explode(array(cy - 1, cy, cy + 1)) AS cy",
+    )
+    right = cells.selectExpr("id AS id_b", "lat AS lat_b", "lon AS lon_b", "cx", "cy")
+    return (
+        neighborhood.join(right, ["cx", "cy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.expr(f"{_D2} <= {r_km * r_km!r}"))
+        .selectExpr(
+            "id_a AS src", "id_b AS dst",
+            f"round(sqrt({_D2}), 6) AS dist_km",
+        )
+    )
+
+
+def x01_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer pairs within R_KM over the hash-derived coordinate
+    box (module docstring), through :func:`radius_pairs`."""
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.selectExpr("c_custkey AS id", f"{_LAT} AS lat", f"{_LON} AS lon")
+    return radius_pairs(pts)
+
+
+X01_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey AS id, {_LAT} AS lat, {_LON} AS lon FROM customer)
+SELECT a.id AS src, b.id AS dst,
+       round(sqrt({_D2.replace('lat_a', 'a.lat').replace('lat_b', 'b.lat')
+                      .replace('lon_a', 'a.lon').replace('lon_b', 'b.lon')}), 6) AS dist_km
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE {_D2.replace('lat_a', 'a.lat').replace('lat_b', 'b.lat')
+          .replace('lon_a', 'a.lon').replace('lon_b', 'b.lon')} <= {R_KM * R_KM}
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "x01_spatial_radius_join",
+        x01_spatial_radius_join,
+        X01_SQL,
+        "spatial",
+        "all point pairs within 10 km via grid-cell blocking (3×3 "
+        "neighborhood explode + cell equi-join + exact verify) vs the "
+        "brute-force oracle — LSH banding applied to geometry",
+    ),
+]
