@@ -1156,16 +1156,22 @@ def e24_streaming_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         shutil.rmtree(d, ignore_errors=True)
     nonempty = [m for m in rows if m["n_rows"] > 0]
+    # an all-empty replay degrades to a zero row with NULL envelopes,
+    # matching what d41's batch observe reports on an empty input
+    # (min()/max() over an empty list would raise instead)
+    fold = (
+        (
+            len(nonempty),
+            sum(m["n_rows"] for m in nonempty),
+            sum(m["n_sub_unit"] for m in nonempty),
+            min(m["min_value"] for m in nonempty),
+            max(m["max_value"] for m in nonempty),
+        )
+        if nonempty
+        else (0, 0, 0, None, None)
+    )
     return spark.createDataFrame(
-        [
-            (
-                len(nonempty),
-                sum(m["n_rows"] for m in nonempty),
-                sum(m["n_sub_unit"] for m in nonempty),
-                min(m["min_value"] for m in nonempty),
-                max(m["max_value"] for m in nonempty),
-            )
-        ],
+        [fold],
         "n_batches long, n_rows long, n_sub_unit long, min_value double, max_value double",
     )
 
