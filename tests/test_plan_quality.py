@@ -629,3 +629,30 @@ def test_q20_except_compiles_to_anti_join_on_pruned_columns(spark):
         if "FileScan parquet" in line:
             assert "ReadSchema: struct<o_custkey:bigint>" in line, line
     assert "% 5" in plan, plan
+
+
+def test_q21_unpivot_is_one_expand_pass(spark):
+    """q21: the melt must land as ONE Expand over a single scan of the
+    pivoted aggregate — not a union of per-column self-scans (the
+    pre-Expand way to write unpivot, which re-reads the input once per
+    value column)."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.relational import (
+        q21_status_revenue_unpivot,
+    )
+
+    plan = _plan(q21_status_revenue_unpivot(spark, SF_CORRECT))
+    assert "Expand" in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_e25_variant_path_stays_jvm_single_exchange(spark):
+    """e25: parse_json/variant_get/schema_of_variant are JVM
+    expressions — no Python eval — and the only exchange is the final
+    bucket aggregate, map-side combined."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.events_queries import (
+        e25_props_variant_stats,
+    )
+
+    plan = _plan(e25_props_variant_stats(spark, SF_CORRECT))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
