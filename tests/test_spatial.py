@@ -5,6 +5,8 @@ radius (the gate's fixture can't guarantee either case exists)."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from advanced_technologies_of_china_graph_database_construction_spark.plans.spatial_queries import (
     CELL_DEG,
@@ -82,3 +84,24 @@ def test_x01_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+# random point clouds dense enough that pairs exist and sparse enough
+# that brute force stays tiny; coordinates quantized to 1e-4° so no
+# pair sits within float-noise of the radius boundary (0.0001° ≈ 11 m)
+_POINT = st.tuples(
+    st.integers(0, 10_000),  # lat offset in 1e-4 degrees (0..1°)
+    st.integers(0, 10_000),  # lon offset
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_POINT, min_size=2, max_size=40, unique=True))
+def test_radius_pairs_matches_brute_force_on_random_clouds(spark, offsets):
+    pts = [
+        (i, 30.0 + dlat / 10_000.0, 100.0 + dlon / 10_000.0)
+        for i, (dlat, dlon) in enumerate(offsets)
+    ]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    got = {(r.src, r.dst) for r in radius_pairs(df).collect()}
+    assert got == _brute(pts)
