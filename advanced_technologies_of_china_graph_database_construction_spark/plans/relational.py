@@ -327,6 +327,35 @@ SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
 """
 
 
+# --- q22: statistical aggregates (corr / covariance / stddev) ---
+def q22_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per group — corr, sample covariance,
+    sample stddev — the data-profiling aggregates a feature pipeline
+    runs before normalizing anything.  All three are single-pass
+    map-side-combinable aggregates (Welford-style merge states), so at
+    100 TB the shuffle carries one small state per group exactly like
+    a sum; covariance rounds at 4 decimals and the unit-free ratios at
+    6, absorbing partial-aggregation order noise (the repo's standard
+    float-agg discipline)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+    )
+
+
+Q22_SQL = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(stddev_samp(l_extendedprice), 4) AS sd_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --- q21: UNPIVOT (the q16 PIVOT inverse) ---
 def q21_status_revenue_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q16's wide pivot melted back to long form through the native
@@ -677,4 +706,7 @@ SPECS = [
               "relational",
               "UNPIVOT via native melt (Expand node): the q16 pivot inverse, "
               "round-trip proves the faces invert up to manufactured nulls"),
+    QuerySpec("q22_stat_aggregates", q22_stat_aggregates, Q22_SQL, "relational",
+              "second-moment profiling aggregates (corr/covar_samp/stddev) — "
+              "single-pass mergeable states, shuffled like a sum"),
 ]
