@@ -15,6 +15,7 @@ rounded rationals of integer counts, and ties break lexicographically.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -664,6 +665,70 @@ SELECT doc_id,
        length(nfc_normalize(text))::INT AS n_chars,
        md5(nfc_normalize(text)) AS norm_md5
 FROM corpus
+"""
+
+
+# ------------------------------------------- a09 distributed PCA ---------
+
+def a09_pca_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding corpus, gated with the
+    d30/d34 contract pattern: exact SQL-checkable covariance facts
+    ship as numbers (row count, covariance trace, max per-dimension
+    variance — DuckDB recomputes them via generate_subscripts), and
+    the non-SQL eigensolve ships as three booleans each backed by a
+    theorem the ORACLE pins to literal TRUE:
+
+    - ``pc1_captures_top_dim``: λ1 ≥ max diagonal entry of C (the top
+      eigenvalue dominates every coordinate variance — Rayleigh
+      quotient at a basis vector);
+    - ``explained_ratio_valid``: 0 < λ1/trace ≤ 1;
+    - ``projection_realizes_lambda1``: the JVM-side score column x·v
+      has population variance λ1 (shift-invariance makes centering
+      unnecessary) within 1e-9·trace — the end-to-end check that the
+      Gram fold, the eigensolve, AND the projection agree.
+
+    Scale: one mapInPandas pass emits a d×d partial PER PARTITION
+    (independent of row count); the driver folds ≤ num-partitions
+    partials and eigensolves d×d (`operators/pca.py`)."""
+    from ..operators.pca import pca_top_component, project_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n, cov, lam, v = pca_top_component(emb)
+    trace = float(np.trace(cov))
+    top_dim = float(np.max(np.diag(cov)))
+    proj_var = (
+        project_scores(emb, v)
+        .agg(F.var_pop("score").alias("v"))
+        .first()["v"]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                round(trace, 4),
+                round(top_dim, 4),
+                bool(lam >= top_dim - 1e-12),
+                bool(0.0 < lam / trace <= 1.0),
+                bool(abs(proj_var - lam) <= 1e-9 * trace),
+            )
+        ],
+        "n long, trace double, top_dim_var double, pc1_captures_top_dim boolean,"
+        " explained_ratio_valid boolean, projection_realizes_lambda1 boolean",
+    )
+
+
+A09_SQL = """
+WITH dims AS (
+  SELECT generate_subscripts(embedding, 1) AS ord, unnest(embedding) AS val
+  FROM embeddings),
+dimvar AS (SELECT ord, var_pop(val) AS v FROM dims GROUP BY ord)
+SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n,
+       round(sum(v), 4) AS trace,
+       round(max(v), 4) AS top_dim_var,
+       TRUE AS pc1_captures_top_dim,
+       TRUE AS explained_ratio_valid,
+       TRUE AS projection_realizes_lambda1
+FROM dimvar
 """
 
 
@@ -2343,6 +2408,10 @@ SPECS = [
               "product-quantized ANN: joint-subspace Lloyd codebooks, m-code "
               "encoding, broadcast ADC lookup-table search — the compressed "
               "billion-vector index path"),
+    QuerySpec("a09_pca_contract", a09_pca_contract, A09_SQL, "similarity",
+              "distributed PCA: per-partition Gram partials + driver "
+              "eigensolve; SQL-exact covariance facts + theorem-backed "
+              "booleans (d30 contract pattern)"),
     QuerySpec("a07_ann_ivf_batch", a07_ann_ivf_batch, A07_SQL, "similarity",
               "set-oriented batch ANN from the partitioned IVF store (broadcast "
               "probe routing + dynamic partition pruning, no driver isin)"),
