@@ -28,7 +28,10 @@ def gram_stats(vecs: DataFrame, vec_col: str = "embedding"):
     an array column, via per-partition numpy partials (module
     docstring).  The ``collect`` is bounded by the partition count —
     one (1 + d + d²)-double row each — not by |rows|."""
-    d = len(vecs.select(vec_col).first()[0])
+    head = vecs.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("gram_stats needs at least one vector")
+    d = len(head[0])
 
     def part(batches):
         import pandas as pd
@@ -51,9 +54,7 @@ def gram_stats(vecs: DataFrame, vec_col: str = "embedding"):
     rows = vecs.select(vec_col).mapInPandas(
         part, "n long, s array<double>, g array<double>"
     ).collect()
-    n = sum(r["n"] for r in rows)
-    if n == 0:
-        raise ValueError("gram_stats needs at least one vector")
+    n = sum(r["n"] for r in rows)  # ≥ 1: the head probe above proved a row exists
     s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
     g = np.sum([np.asarray(r["g"]).reshape(d, d) for r in rows], axis=0)
     mean = s / n

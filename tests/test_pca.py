@@ -57,5 +57,5 @@ def test_projection_variance_is_lambda1(spark):
 
 def test_gram_stats_rejects_empty(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
-    with pytest.raises((ValueError, TypeError)):
+    with pytest.raises(ValueError, match="at least one vector"):
         gram_stats(empty)
