@@ -6,6 +6,9 @@ adversarial little logs).
 
 from __future__ import annotations
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
 from advanced_technologies_of_china_graph_database_construction_spark.operators.cdc import (
     apply_changes,
     compact_changes,
@@ -74,3 +77,48 @@ def test_unknown_ops_are_ignored_not_applied(spark):
         [(1, "x", 1, "truncate")], LOG_SCHEMA
     )
     assert _state(apply_changes(base, log, seq_col="seq")) == {1: "a"}
+
+
+# random logs: small key space forces collisions (multi-entry compaction),
+# unique (key, seq) pairs per the operator's LSN-uniqueness contract
+_ENTRY = st.tuples(
+    st.integers(0, 5),                       # key
+    st.integers(0, 9),                       # seq
+    st.sampled_from(["upsert", "delete"]),
+)
+
+
+def _python_merge(base, log):
+    """Reference MERGE: latest-wins per key, then upsert/delete fold."""
+    state = dict(base)
+    latest = {}
+    for k, seq, op in log:
+        if k not in latest or seq > latest[k][0]:
+            latest[k] = (seq, op)
+    for k, (seq, op) in latest.items():
+        if op == "upsert":
+            state[k] = f"v{k}s{seq}"
+        elif k in state:
+            del state[k]
+    return state
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 5), max_size=4, unique=True),
+    st.lists(_ENTRY, max_size=12, unique_by=lambda e: (e[0], e[1])),
+)
+def test_apply_changes_matches_python_reference(spark, base_keys, log):
+    base = spark.createDataFrame(
+        [(k, f"base{k}") for k in base_keys], BASE_SCHEMA
+    )
+    log_df = spark.createDataFrame(
+        [
+            (k, f"v{k}s{seq}" if op == "upsert" else None, seq, op)
+            for k, seq, op in log
+        ],
+        LOG_SCHEMA,
+    )
+    got = _state(apply_changes(base, log_df, seq_col="seq"))
+    want = _python_merge({k: f"base{k}" for k in base_keys}, log)
+    assert got == want
