@@ -643,9 +643,13 @@ def multi_source_bfs(edges: DataFrame, sources: list, max_hops: int = 4) -> Data
     seeds = F.broadcast(
         spark.createDataFrame(seed_rows, ["seed"]).distinct()
     )
+    # Seed ids union into the node set (|S| rows) so a seed absent from
+    # the edge list still reports (seed, seed, 0) — per-seed
+    # bfs_distances semantics — instead of silently emitting no rows.
     dist = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
+        .unionByName(spark.createDataFrame(seed_rows, ["node"]))
         .distinct()
         .crossJoin(seeds)
         .select(
@@ -705,6 +709,11 @@ def k_truss(pairs: DataFrame, k: int = 4, n_rounds: int = 2) -> DataFrame:
     e = (
         pairs.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .filter(F.col("u") < F.col("v"))
+        # enforce the one-row-per-unordered-pair precondition: duplicate
+        # input pairs would multiply wedge-join support counts and
+        # silently over-retain edges; distinct here is one shuffle of
+        # id pairs, trivial next to the wedge join it protects
+        .distinct()
         .localCheckpoint(eager=True)
     )
 

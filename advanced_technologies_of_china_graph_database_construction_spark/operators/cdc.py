@@ -62,18 +62,20 @@ def apply_changes(
     carries the base's payload columns (NULL-irrelevant on deletes)
     plus ``op``; pass ``seq_col`` to compact a multi-entry log first
     (without it the change set must already be one row per key).  Ops
-    other than 'upsert'/'delete' never match either branch and are
-    ignored — corrupt-op auditing is the caller's dead-letter concern,
-    not a hidden action inside the fold.
+    other than 'upsert'/'delete' are dropped BEFORE compaction — so a
+    corrupt high-seq entry can never supersede (and silently void) an
+    earlier valid change for the same key; corrupt-op auditing is the
+    caller's dead-letter concern, not a hidden action inside the fold.
 
     Scale shape: one anti-join on the key (bucket base and log by key
     and it is shuffle-free) plus a union with the delta — O(|delta|)
     maintenance instead of the O(|corpus|) rebuild, exactly the e21
     argument applied to row-level changes.
     """
+    changes = changes.filter(F.col(op_col).isin(UPSERT, DELETE))
     if seq_col is not None:
         changes = compact_changes(changes, key_col, seq_col)
         changes = changes.drop(seq_col)
     upserts = changes.filter(F.col(op_col) == UPSERT).select(*base.columns)
-    touched = changes.filter(F.col(op_col).isin(UPSERT, DELETE)).select(key_col)
+    touched = changes.select(key_col)
     return base.join(touched, key_col, "left_anti").unionByName(upserts)

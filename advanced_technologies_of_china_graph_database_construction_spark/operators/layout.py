@@ -80,6 +80,13 @@ def zorder_layout_audit(df: DataFrame, a: str, b: str, bits: int = 8,
     are the file-statistics envelopes pruning would use, so shipping
     them makes the locality claim checkable numbers instead of prose.
     One aggregation; the key arithmetic is pure JVM expression."""
+    # shiftright(z, 2*bits - bucket_bits) needs a non-negative shift:
+    # Spark wraps negative shift amounts silently (same hazard as the
+    # zorder_key bits guard), which would misbucket every row.
+    if not 0 < bucket_bits <= 2 * bits:
+        raise ValueError(
+            f"bucket_bits={bucket_bits}; must be in [1, 2*bits={2 * bits}]"
+        )
     mask = F.lit(2**bits - 1)
     av = F.col(a).cast("long").bitwiseAND(mask)
     bv = F.col(b).cast("long").bitwiseAND(mask)

@@ -84,10 +84,31 @@ def subvectors(emb: DataFrame, m: int, id_col: str = "vec_id",
 def pq_train(emb: DataFrame, m: int = 2, k: int = 4, iters: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """(sub, centroid_id, cv): ``m`` L2 codebooks after ``iters`` Lloyd
-    steps, trained jointly in one loop (sub rides as a key column)."""
+    steps, trained jointly in one loop (sub rides as a key column).
+
+    Init honours the module contract literally: the k SMALLEST distinct
+    vec_ids seed the codebooks (one tiny sort-limit job, |ids| rows),
+    re-labelled 0..k-1 by rank so downstream code/LUT ids are dense even
+    on a sparse or non-contiguous id space; fewer than k vectors raises
+    instead of silently training a short codebook with empty ADC output.
+    """
     sv = subvectors(emb, m, id_col, vec_col)
-    cent = sv.filter(F.col(id_col) < k).select(
-        "sub", F.col(id_col).alias("centroid_id"), F.col("v").alias("cv")
+    seed_ids = [
+        r[0]
+        for r in emb.select(id_col).distinct().orderBy(id_col).limit(k).collect()
+    ]
+    if len(seed_ids) < k:
+        raise ValueError(
+            f"pq_train: k={k} codewords need >= k distinct {id_col}s, "
+            f"got {len(seed_ids)}"
+        )
+    rank = F.array_position(
+        F.array(*[F.lit(i) for i in seed_ids]), F.col(id_col)
+    )
+    cent = (
+        sv.filter(F.col(id_col).isin(seed_ids))
+        .select("sub", (rank - 1).cast("int").alias("centroid_id"),
+                F.col("v").alias("cv"))
     )
     for _ in range(iters):
         assign = _pq_assign(sv, cent, id_col)

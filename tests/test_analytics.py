@@ -572,6 +572,22 @@ def test_multi_source_bfs_dedups_and_validates_seeds(spark):
         multi_source_bfs(df, [], max_hops=2)
 
 
+def test_multi_source_bfs_isolated_seed_reports_itself(spark):
+    """A seed absent from the edge list still yields (seed, seed, 0) —
+    per-seed bfs_distances semantics — instead of silently emitting no
+    rows for that seed (r6 review finding)."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import (
+        multi_source_bfs,
+    )
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {
+        (r["seed"], r["node"]): r["dist"]
+        for r in multi_source_bfs(df, [1, 99], max_hops=2).collect()
+    }
+    assert got == {(1, 1): 0, (1, 2): 1, (1, 3): 2, (99, 99): 0}
+
+
 def test_landmark_harmonic_folds_reciprocal_distances(spark):
     """On a path graph 0-1-2-3 with seeds {0, 3}: node 1 sees dists
     (1, 2) → harmonic 1.5; seeds see each other (dist 3) → 1/3."""
@@ -633,6 +649,18 @@ def test_ktruss_matches_python_reference(spark):
     assert got == ref(pairs, 4, 2)
     assert set(got) == set(itertools.combinations(range(4), 2))  # K4 only
     assert all(s == 2 for s in got.values())
+
+
+def test_ktruss_dedups_duplicate_input_pairs(spark):
+    """Duplicate (src,dst) rows must not multiply wedge-join support
+    counts: a duplicated triangle edge would otherwise report inflated
+    support and over-retain edges (r6 review finding)."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import k_truss
+
+    tri = [(0, 1), (0, 2), (1, 2)]
+    dup = spark.createDataFrame(tri + tri + [(0, 1)], "src long, dst long")
+    got = {(r["src"], r["dst"]): r["support"] for r in k_truss(dup, 3, 2).collect()}
+    assert got == {(0, 1): 1, (0, 2): 1, (1, 2): 1}
 
 
 def test_ktruss_keeps_zero_support_edges_when_threshold_allows(spark):

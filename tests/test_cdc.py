@@ -79,6 +79,24 @@ def test_unknown_ops_are_ignored_not_applied(spark):
     assert _state(apply_changes(base, log, seq_col="seq")) == {1: "a"}
 
 
+def test_unknown_op_never_supersedes_valid_change_in_compaction(spark):
+    """A corrupt op with the HIGHEST seq must not win latest-wins
+    compaction and void the earlier valid change for its key: unknown
+    ops are filtered before compaction, so the upsert/delete still
+    applies (r6 review finding)."""
+    base = spark.createDataFrame([(1, "a"), (2, "b")], BASE_SCHEMA)
+    log = spark.createDataFrame(
+        [
+            (1, "a2", 1, "upsert"),    # valid change...
+            (1, "x", 2, "truncate"),   # ...shadowed by a later corrupt op
+            (2, None, 1, "delete"),
+            (2, "y", 2, "garbage"),
+        ],
+        LOG_SCHEMA,
+    )
+    assert _state(apply_changes(base, log, seq_col="seq")) == {1: "a2"}
+
+
 # random logs: small key space forces collisions (multi-entry compaction),
 # unique (key, seq) pairs per the operator's LSN-uniqueness contract
 _ENTRY = st.tuples(

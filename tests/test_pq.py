@@ -45,6 +45,40 @@ def test_pq_codes_are_valid_and_deterministic(spark):
     assert len(codes1) == 40 * 2  # one code per (vector, subspace)
 
 
+def test_pq_train_seeds_from_k_smallest_ids_on_sparse_id_space(spark):
+    """The init contract is the k SMALLEST vec_ids, not ids < k: a
+    non-contiguous id space (here 100, 107, ...) must still yield k full
+    codebooks per subspace — and identical codebooks to the same data
+    relabelled 0..n-1 — instead of silently training zero codewords
+    (r6 review finding)."""
+    rng = np.random.RandomState(7)
+    vecs = [[float(x) for x in rng.rand(8)] for _ in range(20)]
+    dense = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    sparse = spark.createDataFrame(
+        [(100 + 7 * i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    books_d = sorted(
+        (r["sub"], r["centroid_id"], tuple(r["cv"]))
+        for r in pq.pq_train(dense, m=2, k=4, iters=2).collect()
+    )
+    books_s = sorted(
+        (r["sub"], r["centroid_id"], tuple(r["cv"]))
+        for r in pq.pq_train(sparse, m=2, k=4, iters=2).collect()
+    )
+    assert books_s == books_d
+    assert len({(s, c) for s, c, _ in books_s}) == 2 * 4  # m*k full codebooks
+
+
+def test_pq_train_raises_on_fewer_than_k_vectors(spark):
+    emb = _toy(spark, n=3, d=8)
+    with pytest.raises(ValueError, match="distinct"):
+        pq.pq_train(emb, m=2, k=4, iters=1)
+
+
 def test_adc_distance_equals_distance_to_reconstruction(spark):
     """The ADC identity: summed per-subspace lookup distances equal the
     exact squared L2 between the query and each candidate's RECONSTRUCTED

@@ -76,6 +76,14 @@ def test_zorder_buckets_bound_both_dims_linear_sort_does_not(spark):
         assert r["n_rows"] == 64
         assert r["a_max"] - r["a_min"] == 7  # half of [0,15] each
         assert r["b_max"] - r["b_min"] == 7
+    # bucket_bits beyond the 2*bits key width would make the shiftright
+    # amount negative — Spark wraps it silently, misbucketing every row —
+    # so the audit must refuse loudly (r6 review finding)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        zorder_layout_audit(grid, "a", "b", bits=4, bucket_bits=9)
+    with _pytest.raises(ValueError):
+        zorder_layout_audit(grid, "a", "b", bits=4, bucket_bits=0)
     # linear sort on a: each quartile covers ALL of b
     lin = (
         grid.withColumn("bucket", (F.col("a") / 4).cast("int"))
