@@ -43,6 +43,41 @@ MIN_RUNS = 4  # 2 warm-ups + min-of-2, the r4/r5 baseline scheme
 MAX_RUNS = 8  # JIT-tail budget; no observed decay curve needs more
 
 
+def _env_fingerprint() -> dict:
+    """Machine-state snapshot recorded alongside the timings, so a
+    round-over-round level shift is attributable at a glance.  Added
+    after r6 moved +12–47% vs r5 UNIFORMLY across 17 unrelated plans —
+    an environment change, but proving that took spot re-measures; with
+    loadavg/cpu/mem in the json it's one diff instead."""
+    env: dict = {"cpus_conf": os.environ.get("SPARK_GRAFT_CPUS", "")}
+    try:
+        env["loadavg_1m_5m_15m"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    try:
+        with open("/proc/cpuinfo") as f:
+            models = [
+                line.split(":", 1)[1].strip()
+                for line in f
+                if line.startswith("model name")
+            ]
+        env["cpu_model"] = models[0] if models else ""
+        env["cpu_count"] = len(models)
+    except OSError:
+        pass
+    try:
+        with open("/proc/meminfo") as f:
+            mem = {
+                k: v.strip()
+                for k, v in (line.split(":", 1) for line in f if ":" in line)
+            }
+        env["mem_total"] = mem.get("MemTotal", "")
+        env["mem_available"] = mem.get("MemAvailable", "")
+    except OSError:
+        pass
+    return env
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for entry in os.scandir(sf_dir):  # page-cache pre-warm (see docstring)
@@ -99,6 +134,7 @@ def main() -> None:
                 "queries": timings,
                 "runs": all_runs,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                "env": _env_fingerprint(),
             }
         )
     )
