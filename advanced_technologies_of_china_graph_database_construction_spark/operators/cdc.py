@@ -79,3 +79,44 @@ def apply_changes(
     upserts = changes.filter(F.col(op_col) == UPSERT).select(*base.columns)
     touched = changes.select(key_col)
     return base.join(touched, key_col, "left_anti").unionByName(upserts)
+
+
+def merge_versioned(
+    state: DataFrame,
+    changes: DataFrame,
+    key_col: str = "doc_id",
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Seq-guarded MERGE into a VERSIONED store — the streaming-upsert
+    face of :func:`apply_changes`.  Every store row (live or tombstone)
+    carries the ``seq`` of the change that produced it and its ``op``;
+    folding a batch is latest-wins BY SEQ over store ∪ batch, so a
+    change only lands if its seq exceeds the stored one.  That makes
+    the merge IDEMPOTENT under at-least-once re-delivery: re-applying
+    any already-applied batch — even out of order — is a no-op, which
+    is what lets a foreachBatch sink replay micro-batches safely
+    (proven by the e26 double-replay gate).  Deletes persist as
+    tombstones so an isolated old-batch replay cannot resurrect a
+    deleted key; :func:`live_view` drops them at read time (a real
+    store compacts tombstones out once the log's retention window has
+    passed — a maintenance job, not part of the merge).
+
+    ``seq`` must be unique per key ACROSS the log (an offset/LSN);
+    re-delivered duplicates are byte-identical rows, so the tie an
+    exact re-delivery creates resolves to identical content.  Base
+    snapshot rows enter the store as op='upsert' with a seq below the
+    log's range (e.g. 0).
+
+    Scale shape: one window shuffle on the key over |store| + |batch|
+    rows — with store and log bucketed by key, co-located.  At 100 TB
+    the store write beneath this is a partition overwrite of touched
+    partitions only, not a full rewrite.
+    """
+    changes = changes.filter(F.col(op_col).isin(UPSERT, DELETE))
+    return compact_changes(state.unionByName(changes), key_col, seq_col)
+
+
+def live_view(state: DataFrame, op_col: str = "op") -> DataFrame:
+    """The queryable face of a versioned store: tombstones drop out."""
+    return state.filter(F.col(op_col) == UPSERT).drop(op_col)

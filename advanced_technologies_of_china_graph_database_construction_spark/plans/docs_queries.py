@@ -1812,6 +1812,13 @@ def d39_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cdc import apply_changes
 
     base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merged = apply_changes(base, _cdc_change_log(base), seq_col="seq")
+    return merged.select("doc_id", F.md5("text").alias("text_md5"))
+
+
+def _cdc_change_log(base: DataFrame) -> DataFrame:
+    """The shared d39/e26 fixture log (see d39's docstring for why each
+    branch exists): (doc_id, text, seq, op) with unique (key, seq)."""
     d = F.col("doc_id")
     ups1 = base.filter(d % 5 == 0).select(
         "doc_id",
@@ -1838,9 +1845,7 @@ def d39_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("seq"),
         F.lit("upsert").alias("op"),
     )
-    log = ups1.unionByName(dels2).unionByName(ups2).unionByName(inserts)
-    merged = apply_changes(base, log, seq_col="seq")
-    return merged.select("doc_id", F.md5("text").alias("text_md5"))
+    return ups1.unionByName(dels2).unionByName(ups2).unionByName(inserts)
 
 
 D39_SQL = """
@@ -1853,6 +1858,84 @@ UNION ALL
 SELECT -doc_id - 1 AS doc_id, md5(text) AS text_md5
 FROM documents WHERE doc_id % 50 = 0
 """
+
+
+# ------------------------- e26 streaming CDC upsert (foreachBatch MERGE) --
+
+def e26_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse streaming-upsert topology, composed from two gated
+    halves (d39's MERGE + e22's foreachBatch sink): a keyed CDC change
+    log streamed with ``readStream`` → ``foreachBatch`` folding each
+    micro-batch into a VERSIONED base store via ``merge_versioned`` —
+    the seq-guarded latest-wins MERGE whose re-application is a no-op.
+
+    The gate PROVES idempotence the e22 way, but for MERGE: the same
+    2-slice log (one parquet file per seq, mtimes in offset order) is
+    streamed TWICE into the same store — a fresh query with no
+    checkpoint replays every batch, the simulated at-least-once
+    re-delivery.  An unguarded merge would regress ' v3' rows back to
+    ' v2' and resurrect deleted keys on the replayed seq-1 batch; the
+    seq guard makes every replayed change lose to the stored seq, so
+    the final state still matches the SAME closed-form oracle as d39.
+    Deletes persist as tombstones until read (`live_view`).
+
+    At 100 TB: the store write is a partition overwrite of touched
+    partitions (here: whole-store versions, the sandbox stand-in); the
+    merge itself shuffles (key, seq, md5-sized payload) once per batch.
+    Reference parity: the reference re-crawls and rebuilds its store
+    from scratch per ingest (Hype.py:64-86); this is the incremental
+    streaming face of that flow."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.cdc import UPSERT, live_view, merge_versioned
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    log = _cdc_change_log(base)
+    logd = tempfile.mkdtemp(prefix="e26_log_")
+    store = tempfile.mkdtemp(prefix="e26_store_")
+    try:
+        # one parquet file per seq slice, mtimes in seq order → the file
+        # source replays the log in offset order, one micro-batch per
+        # slice (the _write_ts_slices trick keyed on seq)
+        log.repartitionByRange(2, "seq").write.mode("append").parquet(logd)
+        files = sorted(f for f in os.listdir(logd) if not f.startswith(("_", ".")))
+        for i, f in enumerate(files):
+            os.utime(os.path.join(logd, f), (1_000_000 + i, 1_000_000 + i))
+
+        state = {"v": 0}
+        base.select(
+            "doc_id", "text", F.lit(0).alias("seq"), F.lit(UPSERT).alias("op")
+        ).write.mode("overwrite").parquet(f"{store}/v0")
+
+        def merge_batch(bdf: DataFrame, bid: int) -> None:
+            cur = spark.read.parquet(f"{store}/v{state['v']}")
+            merged = merge_versioned(cur, bdf)
+            state["v"] += 1
+            merged.write.mode("overwrite").parquet(f"{store}/v{state['v']}")
+
+        for _ in range(2):  # second pass = simulated duplicate delivery
+            q = (
+                spark.readStream.schema("doc_id long, text string, seq int, op string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(logd)
+                .writeStream.foreachBatch(merge_batch)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        # materialize BEFORE the finally rmtree (the s07/e22 pattern)
+        return (
+            live_view(spark.read.parquet(f"{store}/v{state['v']}"))
+            .select("doc_id", F.md5("text").alias("text_md5"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(logd, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)
 
 
 # ------------------------------- d40 order-independent table checksum ---
@@ -2363,6 +2446,10 @@ SPECS = [
     QuerySpec("d39_cdc_apply", d39_cdc_apply, D39_SQL, "dedup",
               "CDC change-log apply (MERGE): latest-wins compaction, "
               "anti-join + delta union vs a closed-form final-state oracle"),
+    QuerySpec("e26_streaming_cdc_upsert", e26_streaming_cdc_upsert, D39_SQL,
+              "streaming", "streaming CDC upsert: readStream change-log -> "
+              "foreachBatch seq-guarded MERGE into a versioned store, "
+              "idempotence proven by double replay vs the d39 oracle"),
     QuerySpec("d40_table_checksum", d40_table_checksum, D40_SQL, "dedup",
               "order-independent per-source table checksum (xor + sum md5 "
               "slices + count): replica verification without moving rows"),

@@ -359,6 +359,70 @@ def test_e20_stream_static_join_matches_batch(spark, event_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_e26_streaming_cdc_upsert_matches_batch_merge(spark):
+    """Batch/stream agreement for the CDC upsert composition: the e26
+    streaming foreachBatch MERGE (double-replayed) must land on exactly
+    the state the one-shot batch apply_changes produces from the same
+    change log."""
+    from advanced_technologies_of_china_graph_database_construction_spark.catalog import load_table as _lt
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.cdc import apply_changes
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.docs_queries import (
+        _cdc_change_log,
+        e26_streaming_cdc_upsert,
+    )
+
+    base = _lt(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    want = sorted(
+        map(
+            tuple,
+            apply_changes(base, _cdc_change_log(base), seq_col="seq")
+            .select("doc_id", F.md5("text").alias("text_md5"))
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, e26_streaming_cdc_upsert(spark, SF_CORRECT).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_merge_versioned_replayed_batch_is_noop_unguarded_is_not(spark):
+    """The seq guard in isolation: re-applying an already-applied batch
+    onto the versioned store changes nothing, while the same replay
+    through the UNGUARDED apply_changes regresses the state — the exact
+    failure mode the guard exists for."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.cdc import (
+        apply_changes,
+        live_view,
+        merge_versioned,
+    )
+
+    store0 = spark.createDataFrame(
+        [(1, "a", 0, "upsert"), (2, "b", 0, "upsert")],
+        "doc_id long, text string, seq int, op string",
+    )
+    b1 = spark.createDataFrame(
+        [(1, "a2", 1, "upsert")], "doc_id long, text string, seq int, op string"
+    )
+    b2 = spark.createDataFrame(
+        [(1, None, 2, "delete"), (2, "b3", 2, "upsert")],
+        "doc_id long, text string, seq int, op string",
+    )
+
+    def live(state):
+        return {r["doc_id"]: r["text"] for r in live_view(state).collect()}
+
+    applied = merge_versioned(merge_versioned(store0, b1), b2)
+    assert live(applied) == {2: "b3"}
+    replayed = merge_versioned(applied, b1)  # duplicate delivery of b1
+    assert live(replayed) == {2: "b3"}  # no resurrection, no regression
+    # the unguarded merge re-applies b1 and resurrects the deleted key
+    unguarded = apply_changes(
+        live_view(applied).drop("seq"), b1.drop("seq")
+    )
+    assert {r["doc_id"]: r["text"] for r in unguarded.collect()} == {
+        1: "a2", 2: "b3"
+    }
+
+
 def test_e22_per_batch_overwrite_is_idempotent_append_is_not(spark, tmp_path):
     """The e22 sink mechanism in isolation: re-delivering a batch into
     its own batch_id directory converges under overwrite and
