@@ -181,6 +181,88 @@ SELECT keyword, year, count(*) AS n_docs FROM edges GROUP BY 1, 2
 """
 
 
+def p02_enrichment_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §3.3's enrichment lifecycle as ONE spec — classify →
+    dead-letter split → topic-rel CSV extraction → g04-class
+    topics-of-author answer off the fresh store — pinning the stage
+    HAND-OFFS that t01–t03 (classify/split), s05 (sink round-trip) and
+    g04 (serve) gate only piecewise.  Reference flow:
+    `TopicClassfication.py:206-322` → `TopicTocsv.py:28-80` →
+    HAS_TOPIC load.
+
+    Stages (each the real operator):
+
+    1. classify — `enrich.classify_topics` with the t03 partial-failure
+       classifier (doc_id % 17 == 3 errors out), so the split has real
+       work: a failed doc leaking into the store fails the hash.
+    2. split — `enrich.split_dead_letter`; only the valid channel
+       proceeds (the oracle excludes the failing residue in closed
+       form — a dropped-or-leaked row on either channel mismatches).
+    3. extract — `write_topic_rels_csv` (S10) with a parenthetical
+       gloss on every topic name so the F12 strip runs inside the
+       composition; the store is the READ-BACK CSV, not the in-memory
+       frame, so the sink's quoting/header contract is in the gated
+       path end-to-end.
+    4. serve — the g04-class join (author → doc → HAS_TOPIC → topic)
+       off the read-back store: per-(author, topic) doc counts.
+
+    Scale notes (100 TB): classification is the narrow Arrow seam (no
+    shuffle), validation broadcasts the 22-row taxonomy, the sink's
+    distinct is one (title, topic) shuffle, and the serve join keys on
+    title — in production the store is the partitioned graph store
+    (s03–s07) rather than CSV, same plan shape.  The gate's CSV
+    round-trip is the fidelity check, not the scale path.
+    """
+    import shutil
+    import tempfile
+
+    from ..operators import enrich
+    from ..sources.csv_export import write_topic_rels_csv
+    from .enrich_queries import FAIL_MOD, FAIL_REM
+
+    docs = load_table(spark, sf_dir, "documents")
+    classified = enrich.classify_topics(
+        docs, enrich.taxonomy_df(spark), enrich.failing_classifier(FAIL_MOD, FAIL_REM)
+    )
+    valid, _errors = enrich.split_dead_letter(classified)
+    titled = valid.select(
+        F.concat(F.lit("P-"), F.col("doc_id").cast("string")).alias("title"),
+        F.lit("Journal_Article").alias("label"),
+        F.concat(
+            F.col("topic_name"), F.lit(" ("), F.col("category"), F.lit(" gloss)")
+        ).alias("topic_name"),
+    )
+    authors = docs.select(
+        F.concat(F.lit("P-"), F.col("doc_id").cast("string")).alias("title"),
+        F.concat(F.lit("A "), F.col("source")).alias("author"),
+    )
+    out = tempfile.mkdtemp(prefix="p02_topics_")
+    try:
+        path = write_topic_rels_csv(titled, out)
+        store = spark.read.option("header", True).csv(path)
+        return (
+            store.join(authors, store.paperTitle == authors.title)
+            .groupBy("author", F.col("topicName").alias("topic"))
+            .agg(F.count("*").alias("n_docs"))
+            .localCheckpoint(eager=True)  # materialize before the rmtree
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _p02_sql() -> str:
+    from .enrich_queries import _N_TOPICS, _TAXONOMY_CTE, FAIL_MOD, FAIL_REM
+
+    return f"""
+WITH {_TAXONOMY_CTE}
+SELECT 'A ' || d.source AS author, t.topic_name AS topic, count(*) AS n_docs
+FROM documents d
+JOIN taxonomy t ON t.topic_id = (length(d.text) % {_N_TOPICS} + 1)::INT
+WHERE d.doc_id % {FAIL_MOD} <> {FAIL_REM}
+GROUP BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec(
         "p01_end_to_end_build_path",
@@ -191,5 +273,14 @@ SPECS = [
         "dedup → SymSpell ER → graph extraction → Q10-class answer off "
         "the fresh store, oracled in closed form from documents",
         bench=True,  # the end-to-end build-path number: every stage in one plan
+    ),
+    QuerySpec(
+        "p02_enrichment_path",
+        p02_enrichment_path,
+        _p02_sql(),
+        "pipeline",
+        "composed SURVEY §3.3 enrichment lifecycle: classify → dead-"
+        "letter split → topic-rel CSV extraction (F12 strip in-path) → "
+        "g04-class topics-of-author answer off the read-back store",
     ),
 ]

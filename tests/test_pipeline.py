@@ -9,6 +9,7 @@ from advanced_technologies_of_china_graph_database_construction_spark.plans.pipe
     P01_VOCAB,
     keyword_er_mapping,
     p01_end_to_end_build_path,
+    p02_enrichment_path,
 )
 
 from .conftest import SF_SMOKE
@@ -36,3 +37,24 @@ def test_p01_full_run_produces_only_canonical_surfaces(spark):
     kws = {r["keyword"] for r in out}
     assert kws == {n[:-1] for n in P01_VOCAB}
     assert all(r["n_docs"] > 0 for r in out)
+
+
+def test_p02_dead_letter_absent_and_gloss_stripped(spark):
+    """The two hand-offs the composed enrichment path exists to pin:
+    (1) dead-lettered docs (doc_id % 17 == 3) never reach the store —
+    their doc count is missing from the per-author totals; (2) the F12
+    parenthetical strip ran inside the sink, so every served topic is
+    a bare taxonomy name, no ' (... gloss)' survivor."""
+    from advanced_technologies_of_china_graph_database_construction_spark.catalog import load_table
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.enrich import TAXONOMY
+
+    out = p02_enrichment_path(spark, SF_SMOKE).collect()
+    assert len(out) > 0
+    names = {name for _, _, name, _ in TAXONOMY}
+    assert {r["topic"] for r in out} <= names  # gloss stripped
+    served = sum(r["n_docs"] for r in out)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_total = docs.count()
+    n_failed = docs.filter(F.col("doc_id") % 17 == 3).count()
+    assert n_failed > 0
+    assert served == n_total - n_failed  # dead letters excluded, rest kept
