@@ -608,7 +608,9 @@ def bfs_distances(
     return dist.filter(F.col("dist").isNotNull())
 
 
-def multi_source_bfs(edges: DataFrame, sources: list, max_hops: int = 4) -> DataFrame:
+def multi_source_bfs(
+    edges: DataFrame, sources: list, max_hops: int = 4, mode: str = "dense"
+) -> DataFrame:
     """(seed, node, dist): shortest unweighted distances from EVERY
     seed in ``sources`` to every node within ``max_hops``, in ONE
     superstep loop — the landmark-distance primitive behind
@@ -628,18 +630,64 @@ def multi_source_bfs(edges: DataFrame, sources: list, max_hops: int = 4) -> Data
     persist), so only the frontier moves per round; seeds enter via
     a broadcast cross join (|S| rows — never a shuffle).
 
-    Fixed-hop full relax, like ``bfs_distances``' fixed mode (a
-    frontier-only variant was measured slower here and reverted — see
-    that docstring for the numbers); fixed rounds keep it
-    SQL-oracle-able (g35 unrolls the iterations) and distances only
-    decrease, so round r yields exact ≤r-hop distances.
+    Two state layouts, same results (equivalence property-tested):
+
+    - ``mode='dense'`` (default): fixed-hop full relax over the
+      |S|·|V| (seed, node, dist) vector, like ``bfs_distances``' fixed
+      mode (a frontier variant of THIS relax was measured slower for
+      landmark-sized S and reverted); fixed rounds keep it
+      SQL-oracle-able (g35 unrolls the iterations) and distances only
+      decrease, so round r yields exact ≤r-hop distances.  Right when
+      S is a landmark sample (its g35/g36 purpose) — state is bounded
+      by |S|·|V| with |S| ~ tens.
+    - ``mode='sparse'``: state is only REACHED rows — settled
+      (seed, node, dist) plus the frontier of rows first reached last
+      round; each round joins edges against the frontier only and
+      anti-joins the settled set, with an exact empty-frontier early
+      exit.  In unweighted BFS a node first reached at hop h has
+      exact distance h, so settled rows never update.  Right when S
+      grows past landmark size (state is Σ reached, not |S|·|V|) or
+      when eccentricities are far below max_hops; costs one
+      frontier-count driver action per round (the bfs_distances
+      fixpoint-witness pattern).
     """
+    if mode not in ("dense", "sparse"):
+        raise ValueError(f"mode={mode!r}; must be 'dense' or 'sparse'")
     seed_rows = [(s,) for s in sources]
     if not seed_rows:
         raise ValueError("multi_source_bfs needs at least one source")
     edges = edges.select("src", "dst").repartition("src").persist()
     edges.count()
     spark = edges.sparkSession
+    if mode == "sparse":
+        settled = (
+            spark.createDataFrame(seed_rows, ["seed"])
+            .distinct()
+            .select("seed", F.col("seed").alias("node"), F.lit(0).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = settled
+        for _ in range(max_hops):
+            new = (
+                edges.join(frontier, edges.src == frontier.node)
+                .select(
+                    "seed",
+                    F.col("dst").alias("node"),
+                    (F.col("dist") + 1).alias("dist"),
+                )
+                .groupBy("seed", "node")
+                .agg(F.min("dist").alias("dist"))
+                .join(settled.select("seed", "node"), ["seed", "node"], "left_anti")
+                .localCheckpoint(eager=True)  # pins the per-round lineage
+            )
+            if new.count() == 0:  # exact fixpoint witness
+                break
+            # settled grows as a union of ≤ max_hops CHECKPOINTED frames —
+            # cheap metadata, no re-materialization of the whole set
+            settled = settled.unionByName(new)
+            frontier = new
+        edges.unpersist()
+        return settled
     seeds = F.broadcast(
         spark.createDataFrame(seed_rows, ["seed"]).distinct()
     )

@@ -572,6 +572,38 @@ def test_multi_source_bfs_dedups_and_validates_seeds(spark):
         multi_source_bfs(df, [], max_hops=2)
 
 
+def test_multi_source_bfs_sparse_mode_equals_dense_on_random_graphs(spark):
+    """The frontier-sparse layout must return exactly the dense relax's
+    REACHED rows on random graphs — including an isolated seed and a
+    max_hops horizon shorter than the graph's eccentricity (so both
+    truncation behaviours align), and it must reject unknown modes."""
+    import random
+
+    import pytest as _pytest
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import (
+        multi_source_bfs,
+    )
+
+    for seed_val, hops in ((11, 3), (23, 2), (37, 5)):
+        rng = random.Random(seed_val)
+        rows = list({(rng.randrange(25), rng.randrange(25)) for _ in range(60)})
+        rows = [(a, b) for a, b in rows if a != b]
+        df = spark.createDataFrame(rows, "src long, dst long")
+        seeds = [0, 3, 99]  # 99 is isolated: not in the 25-node id space
+        dense = {
+            (r["seed"], r["node"]): r["dist"]
+            for r in multi_source_bfs(df, seeds, max_hops=hops).collect()
+        }
+        sparse = {
+            (r["seed"], r["node"]): r["dist"]
+            for r in multi_source_bfs(df, seeds, max_hops=hops, mode="sparse").collect()
+        }
+        assert sparse == dense and (99, 99) in sparse
+    with _pytest.raises(ValueError, match="mode"):
+        multi_source_bfs(df, [0], max_hops=2, mode="frontier")
+
+
 def test_multi_source_bfs_isolated_seed_reports_itself(spark):
     """A seed absent from the edge list still yields (seed, seed, 0) —
     per-seed bfs_distances semantics — instead of silently emitting no
