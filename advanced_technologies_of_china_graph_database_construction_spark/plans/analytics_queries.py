@@ -823,7 +823,73 @@ FROM t{TRUSS_ROUNDS} e LEFT JOIN (
 )
 
 
+# ------------------------------- g38 incremental components (delta CC) --
+
+def g38_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Components maintained under edge INSERTS vs a full-recompute
+    oracle: a base graph of 4-consecutive-doc_id chains is closed once,
+    then a delta batch folds in via ``incremental_components`` — the
+    O(|delta|) path the ER pipeline would use for a new similarity
+    batch instead of re-closing the corpus graph.  The delta exercises
+    all three insert classes: component MERGES (every 8k+4 doc links
+    its 4-group to the 4k group below), brand-NEW nodes that undercut
+    every old member (negative ids, so the merged component's label
+    must change), and intra-component no-ops (4k+2 → 4k+1 edges).  The
+    oracle recomputes components over base ∪ delta from scratch with a
+    recursive CTE — equality IS the incremental-maintenance contract."""
+    from ..operators.connected_components import incremental_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    base = docs.filter(d % 4 != 0).select(d.alias("src"), (d - d % 4).alias("dst"))
+    delta = (
+        docs.filter(d % 8 == 4)
+        .select(d.alias("src"), (d - d % 8).alias("dst"))
+        .unionByName(
+            docs.filter(d % 16 == 1).select(d.alias("src"), (-d - 1).alias("dst"))
+        )
+        .unionByName(
+            docs.filter(d % 4 == 2).select(d.alias("src"), (d - 1).alias("dst"))
+        )
+    )
+    return incremental_components(connected_components(base), delta)
+
+
+G38_SQL = """
+WITH RECURSIVE
+base_e AS (
+  SELECT doc_id AS src, doc_id - (doc_id % 4) AS dst
+  FROM documents WHERE doc_id % 4 <> 0),
+delta_e AS (
+  SELECT doc_id AS src, doc_id - (doc_id % 8) AS dst
+  FROM documents WHERE doc_id % 8 = 4
+  UNION ALL
+  SELECT doc_id, -doc_id - 1 FROM documents WHERE doc_id % 16 = 1
+  UNION ALL
+  SELECT doc_id, doc_id - 1 FROM documents WHERE doc_id % 4 = 2),
+alle AS (SELECT DISTINCT src, dst
+         FROM (SELECT * FROM base_e UNION ALL SELECT * FROM delta_e)),
+edges2 AS (SELECT src, dst FROM alle UNION SELECT dst AS src, src AS dst FROM alle),
+nodes AS (SELECT DISTINCT src AS id FROM edges2),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges2 e ON r.id = e.src
+  WHERE r.lab < e.dst)
+SELECT id, min(lab) AS component FROM reach GROUP BY id
+"""
+
+
 SPECS = [
+    QuerySpec(
+        name="g38_incremental_components",
+        fn=g38_incremental_components,
+        oracle=G38_SQL,
+        category="analytics",
+        description="incremental connected components under edge inserts "
+        "(contract-project-merge on the delta only) vs a from-scratch "
+        "recursive-CTE recompute over base ∪ delta",
+    ),
     QuerySpec(
         name="g37_copub_ktruss",
         fn=g37_copub_ktruss,

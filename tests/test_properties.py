@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from advanced_technologies_of_china_graph_database_construction_spark.operators.connected_components import (
     connected_components,
+    incremental_components,
 )
 from advanced_technologies_of_china_graph_database_construction_spark.operators import dedup as D
 from advanced_technologies_of_china_graph_database_construction_spark.operators.dedup import (
@@ -74,6 +75,44 @@ def test_connected_components_matches_union_find(spark, edge_list):
     # adaptive driver union-find path must agree
     got_small = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert got_small == got
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.lists(
+        # delta ids overlap the base range AND extend past it (35-45),
+        # so merges, intra-component no-ops, and brand-new nodes all occur
+        st.tuples(st.integers(0, 45), st.integers(0, 45)),
+        min_size=1,
+        max_size=20,
+    ),
+)
+@SETTINGS
+def test_incremental_components_equals_full_recompute(spark, base_list, delta_list):
+    """Folding a delta edge batch into a standing mapping must land on
+    exactly the mapping a from-scratch recompute over base ∪ delta
+    produces — including min-id labels when a new node undercuts every
+    old member of its merged component."""
+    base_list = [(a, b) for a, b in base_list if a != b]
+    delta_list = [(a, b) for a, b in delta_list if a != b]
+    if not base_list or not delta_list:
+        return
+    base = spark.createDataFrame(base_list, "src long, dst long")
+    delta = spark.createDataFrame(delta_list, "src long, dst long")
+    mapping = connected_components(base)
+    got = {
+        r["id"]: r["component"]
+        for r in incremental_components(mapping, delta).collect()
+    }
+    want = {
+        r["id"]: r["component"]
+        for r in connected_components(base.unionByName(delta)).collect()
+    }
+    assert got == want
 
 
 def _brute_minhash_pairs(docs, min_matching=8):
