@@ -206,10 +206,13 @@ def incremental_components(
     )
     merged = connected_components(contracted, **cc_kwargs)
     # nodes the delta introduced: identity rows join the mapping first,
-    # then relabel through the merged contraction like everyone else
-    new_nodes = endpoints.join(m.select("id"), "id", "left_anti").select(
-        "id", F.col("id").alias("component")
-    )
+    # then relabel through the merged contraction like everyone else.
+    # Anti-join against TOUCHED (= mapping ⋉ endpoints, delta-sized and
+    # already materialized), not the |V| mapping id column — the latter
+    # degrades to a |V| id shuffle once it outgrows the broadcast cap.
+    new_nodes = endpoints.join(
+        F.broadcast(touched.select("id")), "id", "left_anti"
+    ).select("id", F.col("id").alias("component"))
     relabel = F.broadcast(
         merged.select(F.col("id").alias("component"), F.col("component").alias("__new"))
     )

@@ -656,3 +656,49 @@ def test_e25_variant_path_stays_jvm_single_exchange(spark):
     plan = _plan(e25_props_variant_stats(spark, SF_CORRECT))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_incremental_components_never_shuffles_the_mapping(spark):
+    """The delta-CC scale claim: the |V| mapping is probed and
+    relabelled through BROADCAST joins only — every shuffle in the
+    plan is delta-sized.  A hash-partition exchange feeding the
+    mapping's union side would mean the full mapping moves per delta
+    batch, the exact cost the operator exists to avoid."""
+    from pyspark.sql import functions as F
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.connected_components import (
+        incremental_components,
+    )
+
+    mapping = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") - F.col("id") % 4).alias("component")
+    )
+    delta = spark.createDataFrame(
+        [(0, 4), (8, 12), (100, -1)], "src long, dst long"
+    )
+    plan = _plan(incremental_components(mapping, delta))
+    # the relabel join of the mapping must be broadcast...
+    assert "BroadcastHashJoin" in plan, plan
+    # ...and the ONLY shuffle is the delta endpoints' distinct — the
+    # mapping side (spark.range here) reaches its joins un-exchanged
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_merge_versioned_is_one_window_exchange(spark):
+    """The streaming-upsert merge folds store ∪ batch with ONE
+    key-partition exchange feeding the latest-wins window — no extra
+    shuffle per micro-batch beyond the one the compaction needs."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.cdc import (
+        merge_versioned,
+    )
+
+    store = spark.createDataFrame(
+        [(1, "a", 0, "upsert")], "doc_id long, text string, seq int, op string"
+    )
+    batch = spark.createDataFrame(
+        [(1, "a2", 1, "upsert")], "doc_id long, text string, seq int, op string"
+    )
+    plan = _plan(merge_versioned(store, batch))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
