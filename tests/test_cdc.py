@@ -124,6 +124,61 @@ def _python_merge(base, log):
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(st.integers(0, 5), max_size=4, unique=True),
+    st.lists(_ENTRY, min_size=1, max_size=12, unique_by=lambda e: (e[0], e[1])),
+    st.data(),
+)
+def test_merge_versioned_converges_under_any_replay_schedule(
+    spark, base_keys, log, data
+):
+    """The e26 contract swept broadly: split a random log into seq-range
+    batches, apply them in order, then RE-apply a random subset in a
+    random order (the at-least-once adversary).  The live view must
+    still equal the python-reference merge of the full log — any
+    replayed batch regressing or resurrecting state fails."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.cdc import (
+        live_view,
+        merge_versioned,
+    )
+
+    VERSIONED = "doc_id long, text string, seq long, op string"
+    state = spark.createDataFrame(
+        [(k, f"base{k}", -1, "upsert") for k in base_keys], VERSIONED
+    )
+    seqs = sorted({seq for _, seq, _ in log})
+    cut = seqs[len(seqs) // 2]
+    batches = [
+        [e for e in log if e[1] <= cut],
+        [e for e in log if e[1] > cut],
+    ]
+
+    def batch_df(entries):
+        return spark.createDataFrame(
+            [
+                (k, f"v{k}s{seq}" if op == "upsert" else None, seq, op)
+                for k, seq, op in entries
+            ],
+            VERSIONED,
+        )
+
+    for b in batches:
+        if b:
+            state = merge_versioned(state, batch_df(b)).localCheckpoint(eager=True)
+    replay = data.draw(
+        st.lists(st.integers(0, 1), max_size=3), label="replay_schedule"
+    )
+    for i in replay:
+        if batches[i]:
+            state = merge_versioned(state, batch_df(batches[i])).localCheckpoint(
+                eager=True
+            )
+    got = {r["doc_id"]: r["text"] for r in live_view(state).drop("seq").collect()}
+    want = _python_merge({k: f"base{k}" for k in base_keys}, log)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 5), max_size=4, unique=True),
     st.lists(_ENTRY, max_size=12, unique_by=lambda e: (e[0], e[1])),
 )
 def test_apply_changes_matches_python_reference(spark, base_keys, log):
