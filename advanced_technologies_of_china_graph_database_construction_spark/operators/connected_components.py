@@ -91,7 +91,10 @@ def _driver_union_find(spark, edges_pdf) -> DataFrame:
         {"id": pd.array(nodes, dtype="int64"),
          "component": pd.array([find(n) for n in nodes], dtype="int64")}
     )
-    return spark.createDataFrame(pdf)  # Arrow path, not py4j row conversion
+    # explicit schema: an EMPTY edge set (legitimate — e.g. a delta batch
+    # whose edges were all intra-component) must yield an empty frame,
+    # not a CANNOT_INFER_EMPTY_SCHEMA error
+    return spark.createDataFrame(pdf, "id long, component long")
 
 
 def connected_components(

@@ -2447,7 +2447,7 @@ SPECS = [
               "CDC change-log apply (MERGE): latest-wins compaction, "
               "anti-join + delta union vs a closed-form final-state oracle"),
     QuerySpec("e26_streaming_cdc_upsert", e26_streaming_cdc_upsert, D39_SQL,
-              "streaming", "streaming CDC upsert: readStream change-log -> "
+              "events", "streaming CDC upsert: readStream change-log -> "
               "foreachBatch seq-guarded MERGE into a versioned store, "
               "idempotence proven by double replay vs the d39 oracle"),
     QuerySpec("d40_table_checksum", d40_table_checksum, D40_SQL, "dedup",

@@ -115,6 +115,24 @@ def test_incremental_components_equals_full_recompute(spark, base_list, delta_li
     assert got == want
 
 
+def test_incremental_components_noop_delta_returns_mapping_unchanged(spark):
+    """A delta whose every edge lands inside an existing component (the
+    routine ER case: a re-derived similarity pair) contracts to an EMPTY
+    graph — the operator must return the mapping unchanged, on BOTH the
+    driver union-find and distributed CC paths, not crash on an empty
+    frame (review finding: CANNOT_INFER_EMPTY_SCHEMA)."""
+    base = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    mapping = connected_components(base)
+    want = {r["id"]: r["component"] for r in mapping.collect()}
+    delta = spark.createDataFrame([(0, 2)], "src long, dst long")
+    for kw in ({}, {"driver_threshold": 0}):
+        got = {
+            r["id"]: r["component"]
+            for r in incremental_components(mapping, delta, **kw).collect()
+        }
+        assert got == want == {0: 0, 1: 0, 2: 0}
+
+
 def _brute_minhash_pairs(docs, min_matching=8):
     def sig(text):
         hashes = [
