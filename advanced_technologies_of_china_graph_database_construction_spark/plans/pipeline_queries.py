@@ -282,5 +282,6 @@ SPECS = [
         "composed SURVEY §3.3 enrichment lifecycle: classify → dead-"
         "letter split → topic-rel CSV extraction (F12 strip in-path) → "
         "g04-class topics-of-author answer off the read-back store",
+        bench=True,  # the enrichment-path number, paired with p01's build path
     ),
 ]
