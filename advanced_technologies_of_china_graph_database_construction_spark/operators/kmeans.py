@@ -94,8 +94,24 @@ def seed_centroids(
 ) -> DataFrame:
     """Deterministic init: the k vectors with the smallest ids (the
     k-means++ analogue would sample — fine in production, but the gate
-    needs bit-identical runs across engines)."""
-    return emb.filter(F.col(id_col) < k).select(
+    needs bit-identical runs across engines).  The k smallest ids are
+    DERIVED (one tiny sort-limit job), not assumed to be 0..k-1, so a
+    sparse or non-contiguous id space still seeds k full centroids —
+    the pq_train fix applied to its sibling; fewer than k vectors
+    raises instead of silently training a short codebook.  Centroid
+    ids keep the seed vectors' ids (contiguous fixtures are unchanged:
+    k smallest ≡ < k there, which is what the a02–a04/d19 oracles
+    mirror)."""
+    seed_ids = [
+        r[0]
+        for r in emb.select(id_col).distinct().orderBy(id_col).limit(k).collect()
+    ]
+    if len(seed_ids) < k:
+        raise ValueError(
+            f"seed_centroids: k={k} centroids need >= k distinct {id_col}s, "
+            f"got {len(seed_ids)}"
+        )
+    return emb.filter(F.col(id_col).isin(seed_ids)).select(
         F.col(id_col).alias("centroid_id"), as_double(F.col(vec_col)).alias("cv")
     )
 

@@ -50,6 +50,31 @@ def _numpy_kmeans(ids, mat, k, iters):
         cent_ids = np.array(new_ids)
 
 
+def test_seed_centroids_k_smallest_ids_on_sparse_id_space(spark):
+    """Seeding derives the k SMALLEST ids rather than assuming 0..k-1:
+    a non-contiguous id space still seeds k full centroids (the pq_train
+    review finding's sibling), and fewer than k vectors raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.kmeans import (
+        kmeans_assignments,
+        seed_centroids,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = [(100 + 7 * i, [float(x) for x in rng.rand(8)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = seed_centroids(emb, k=4)
+    got_ids = sorted(r["centroid_id"] for r in seeds.collect())
+    assert got_ids == [100, 107, 114, 121]
+    assign = kmeans_assignments(emb, k=4, iters=1).collect()
+    assert len(assign) == 20
+    assert {r["centroid_id"] for r in assign} <= {100 + 7 * i for i in range(20)}
+    with pytest.raises(ValueError, match="distinct"):
+        seed_centroids(emb.filter(F.col("vec_id") < 114), k=4)
+
+
 def test_kmeans_matches_numpy_reference(spark):
     from advanced_technologies_of_china_graph_database_construction_spark.catalog import load_table
     from advanced_technologies_of_china_graph_database_construction_spark.operators.kmeans import kmeans_assignments
