@@ -10,6 +10,21 @@ from pathlib import Path
 
 from .spec import QuerySpec
 
+# Specs whose EXECUTED PLAN changed after their latest green driver-gate
+# row, promoted to the front of the gate order as if never gated: the
+# staleness sort alone cannot see a plan change (the spec name stayed
+# green), but a changed plan deserves the hard driver signal, not just
+# the session replica.  Remove an entry once the next CORRECTNESS_r*
+# round records it green again (gate_history then reflects the new
+# plan and the ordinary rotation resumes).
+#
+# r8: g35/g36 switched to the frontier-sparse multi_source_bfs layout
+# (plans/analytics_queries.py) after their last driver gate (r6, dense).
+PLAN_CHANGED_REGATE = {
+    "g35_multi_source_bfs",
+    "g36_landmark_harmonic",
+}
+
 
 def gate_history() -> dict[str, int]:
     """spec name → latest round whose driver gate recorded a fully-green
@@ -87,7 +102,11 @@ def all_specs() -> list[QuerySpec]:
             seen.add(s.name)
             specs.append(s)
     history = gate_history()
-    specs.sort(key=lambda s: history.get(s.name, -1))  # stable: keeps decl order
+    # stable sort keeps decl order; PLAN_CHANGED_REGATE pins sort as
+    # never-gated so a silently-changed plan reaches the driver gate
+    specs.sort(
+        key=lambda s: -1 if s.name in PLAN_CHANGED_REGATE else history.get(s.name, -1)
+    )
     return specs
 
 
