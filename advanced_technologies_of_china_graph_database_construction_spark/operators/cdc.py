@@ -33,14 +33,27 @@ def compact_changes(
     per key — the op never participates (a delete superseded by an
     upsert vanishes the same way an upsert does), so no op column is
     taken.  ``seq`` must be unique per key (a log offset / LSN — the
-    uniqueness every real CDC source provides); with duplicate seqs the
-    survivor would be tie-broken arbitrarily, so don't.
+    uniqueness every real CDC source provides); exact re-deliveries
+    tie on byte-identical rows, which resolve to identical content.
+    A log that VIOLATES the contract — same (key, seq), different
+    payload — is tie-broken by ascending ``xxhash64`` over the
+    non-key columns: still a wrong log, but the survivor is now a
+    pure function of the row set (re-running compaction, or running
+    it under a different partitioning / input order, elects the same
+    row) instead of whichever row ``row_number`` happened to visit
+    first.  Deterministic-wrong beats nondeterministic-wrong: replays
+    stay idempotent and a diff against a second compaction run stays
+    empty, so the violation is diagnosable upstream rather than
+    flapping downstream.
 
     Scale shape: one window per key — the same shuffle the downstream
     anti-join needs, so at scale pre-partition (or bucket) both the log
     and the base by key and the whole apply is co-located.
     """
-    w = Window.partitionBy(key_col).orderBy(F.col(seq_col).desc())
+    payload = [c for c in changes.columns if c not in (key_col, seq_col)]
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(seq_col).desc(), F.xxhash64(*payload).asc() if payload else F.lit(0)
+    )
     return (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
