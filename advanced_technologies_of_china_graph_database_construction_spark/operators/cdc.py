@@ -17,11 +17,35 @@ maintenance is beyond-reference surface, same family as d27.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DataType, MapType, StructType
 
 UPSERT = "upsert"
 DELETE = "delete"
+
+
+def _contains_map(dt: DataType) -> bool:
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _tie_break_col(df: DataFrame, name: str) -> Column:
+    """Hashable stand-in for a payload column in the compaction
+    tie-break: hash expressions reject MapType anywhere in the type
+    (Spark 3.0+), so map-bearing columns go through ``to_json`` first.
+    Two maps with equal entries in different internal orders serialize
+    (and hash) differently — irrelevant here, since the tie-break only
+    needs to be a pure function of each row's value, not a semantic
+    map-equality."""
+    if _contains_map(df.schema[name].dataType):
+        return F.to_json(F.col(name))
+    return F.col(name)
 
 
 def compact_changes(
@@ -51,9 +75,12 @@ def compact_changes(
     and the base by key and the whole apply is co-located.
     """
     payload = [c for c in changes.columns if c not in (key_col, seq_col)]
-    w = Window.partitionBy(key_col).orderBy(
-        F.col(seq_col).desc(), F.xxhash64(*payload).asc() if payload else F.lit(0)
+    tie = (
+        F.xxhash64(*(_tie_break_col(changes, c) for c in payload)).asc()
+        if payload
+        else F.lit(0)
     )
+    w = Window.partitionBy(key_col).orderBy(F.col(seq_col).desc(), tie)
     return (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

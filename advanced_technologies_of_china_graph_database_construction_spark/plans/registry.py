@@ -11,19 +11,41 @@ from pathlib import Path
 from .spec import QuerySpec
 
 # Specs whose EXECUTED PLAN changed after their latest green driver-gate
-# row, promoted to the front of the gate order as if never gated: the
+# row, promoted ahead of every already-green spec in the gate order: the
 # staleness sort alone cannot see a plan change (the spec name stayed
 # green), but a changed plan deserves the hard driver signal, not just
 # the session replica.  Remove an entry once the next CORRECTNESS_r*
 # round records it green again (gate_history then reflects the new
-# plan and the ordinary rotation resumes).
+# plan and the ordinary rotation resumes).  Pinned specs sort AFTER
+# genuinely never-gated ones (a spec with no green row at all is the
+# bigger unknown) but BEFORE all green ones — see effective_round().
 #
-# r8: g35/g36 switched to the frontier-sparse multi_source_bfs layout
-# (plans/analytics_queries.py) after their last driver gate (r6, dense).
+# r8: compact_changes gained the xxhash64 same-(key,seq) tie-break
+# (operators/cdc.py:55), changing the executed window sort of
+# d39_cdc_apply (via apply_changes, last gate r6) and
+# e26_streaming_cdc_upsert (via merge_versioned, last gate r7).
+# (g35/g36's r7 sparse-plan pins were cleared after their r8 gate
+# rows came back green.)
 PLAN_CHANGED_REGATE = {
-    "g35_multi_source_bfs",
-    "g36_landmark_harmonic",
+    "d39_cdc_apply",
+    "e26_streaming_cdc_upsert",
 }
+
+
+def effective_round(name: str, history: dict[str, int] | None = None) -> float:
+    """The sort key the gate order actually uses for a spec: -1 if it has
+    never had a green driver-gate row, -0.5 if its plan changed after its
+    last green row (``PLAN_CHANGED_REGATE``), else that row's round.
+    Exposed so the invariant tests assert on the same key the sort uses —
+    a legitimate pin can then never contradict the ordering invariant.
+    """
+    if history is None:
+        history = gate_history()
+    if name not in history:
+        return -1.0
+    if name in PLAN_CHANGED_REGATE:
+        return -0.5
+    return float(history[name])
 
 
 def gate_history() -> dict[str, int]:
@@ -102,11 +124,10 @@ def all_specs() -> list[QuerySpec]:
             seen.add(s.name)
             specs.append(s)
     history = gate_history()
-    # stable sort keeps decl order; PLAN_CHANGED_REGATE pins sort as
-    # never-gated so a silently-changed plan reaches the driver gate
-    specs.sort(
-        key=lambda s: -1 if s.name in PLAN_CHANGED_REGATE else history.get(s.name, -1)
-    )
+    # stable sort keeps decl order; PLAN_CHANGED_REGATE pins sort ahead
+    # of every green spec so a silently-changed plan reaches the driver
+    # gate, but after never-gated ones (effective_round: -1 / -0.5 / rnd)
+    specs.sort(key=lambda s: effective_round(s.name, history))
     return specs
 
 

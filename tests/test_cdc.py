@@ -61,6 +61,40 @@ def test_compact_changes_keeps_max_seq_row(spark):
     assert len(rows) == 1 and rows[0]["text"] == "v3" and rows[0]["seq"] == 3
 
 
+def test_contract_violating_tie_elects_partitioning_independent_survivor(spark):
+    """A log that violates the LSN-uniqueness contract — same (key, seq),
+    different payloads — must still elect ONE survivor that is a pure
+    function of the row set: the same row under any input order and any
+    partitioning (r8 tie-break, operators/cdc.py xxhash64; this is its
+    regression test).  Deterministic-wrong beats nondeterministic-wrong."""
+    rows = [(1, "pay-A", 7, "upsert"), (1, "pay-B", 7, "upsert"),
+            (1, "pay-C", 7, "upsert")]
+    survivors = set()
+    for ordering in (rows, rows[::-1], [rows[1], rows[2], rows[0]]):
+        for nparts in (1, 3, 7):
+            df = spark.createDataFrame(ordering, LOG_SCHEMA).repartition(nparts)
+            got = compact_changes(df).collect()
+            assert len(got) == 1
+            survivors.add(got[0]["text"])
+    assert len(survivors) == 1  # identical survivor across all 9 runs
+
+
+def test_tie_break_accepts_map_payload_columns(spark):
+    """Hash expressions reject MapType (Spark 3.0+); the tie-break must
+    route map-bearing payload columns through to_json instead of raising
+    AnalysisException — and stay order/partitioning-independent."""
+    schema = "doc_id long, props map<string,string>, seq long"
+    rows = [(1, {"k": "A"}, 7), (1, {"k": "B"}, 7), (2, {"k": "z"}, 1)]
+    survivors = set()
+    for ordering in (rows, rows[::-1]):
+        for nparts in (1, 4):
+            df = spark.createDataFrame(ordering, schema).repartition(nparts)
+            got = {r["doc_id"]: r["props"]["k"] for r in compact_changes(df).collect()}
+            assert got[2] == "z" and got[1] in {"A", "B"}
+            survivors.add(got[1])
+    assert len(survivors) == 1
+
+
 def test_apply_changes_without_seq_expects_compacted_log(spark):
     base = spark.createDataFrame([(1, "a"), (2, "b")], BASE_SCHEMA)
     log = spark.createDataFrame(
