@@ -14,9 +14,29 @@ session catalog); plain ``parquet(path)`` cannot record bucketing.
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.graph import GraphModel
+
+
+def _clear_stale_location(spark: SparkSession, tbl: str) -> None:
+    """Remove a leftover managed-table directory for ``tbl`` when the
+    catalog no longer knows the table (ephemeral in-memory catalog +
+    persistent local warehouse dir): DROP TABLE is then a no-op but
+    saveAsTable would fail with LOCATION_ALREADY_EXISTS.  With a real
+    metastore the DROP handles cleanup and this never fires."""
+    if spark.catalog.tableExists(tbl):
+        return
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if warehouse.scheme not in ("", "file"):
+        return
+    loc = Path(warehouse.path) / tbl.lower()
+    if loc.is_dir():
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def write_bucketed_graph(
@@ -27,6 +47,7 @@ def write_bucketed_graph(
     docs_tbl, edges_tbl = f"{prefix}_docs", f"{prefix}_edges"
     for tbl in (docs_tbl, edges_tbl):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        _clear_stale_location(spark, tbl)
     (
         g.docs.write.bucketBy(n_buckets, "doc_id")
         .sortBy("doc_id")
