@@ -660,33 +660,37 @@ def multi_source_bfs(
     edges.count()
     spark = edges.sparkSession
     if mode == "sparse":
-        settled = (
-            spark.createDataFrame(seed_rows, ["seed"])
-            .distinct()
-            .select("seed", F.col("seed").alias("node"), F.lit(0).alias("dist"))
-            .localCheckpoint(eager=True)
-        )
-        frontier = settled
-        for _ in range(max_hops):
-            new = (
-                edges.join(frontier, edges.src == frontier.node)
-                .select(
-                    "seed",
-                    F.col("dst").alias("node"),
-                    (F.col("dist") + 1).alias("dist"),
-                )
-                .groupBy("seed", "node")
-                .agg(F.min("dist").alias("dist"))
-                .join(settled.select("seed", "node"), ["seed", "node"], "left_anti")
-                .localCheckpoint(eager=True)  # pins the per-round lineage
+        # try/finally: a superstep failure (OOM, task abort) must not
+        # leave |E| pinned in the block manager for the session's life
+        try:
+            settled = (
+                spark.createDataFrame(seed_rows, ["seed"])
+                .distinct()
+                .select("seed", F.col("seed").alias("node"), F.lit(0).alias("dist"))
+                .localCheckpoint(eager=True)
             )
-            if new.count() == 0:  # exact fixpoint witness
-                break
-            # settled grows as a union of ≤ max_hops CHECKPOINTED frames —
-            # cheap metadata, no re-materialization of the whole set
-            settled = settled.unionByName(new)
-            frontier = new
-        edges.unpersist()
+            frontier = settled
+            for _ in range(max_hops):
+                new = (
+                    edges.join(frontier, edges.src == frontier.node)
+                    .select(
+                        "seed",
+                        F.col("dst").alias("node"),
+                        (F.col("dist") + 1).alias("dist"),
+                    )
+                    .groupBy("seed", "node")
+                    .agg(F.min("dist").alias("dist"))
+                    .join(settled.select("seed", "node"), ["seed", "node"], "left_anti")
+                    .localCheckpoint(eager=True)  # pins the per-round lineage
+                )
+                if new.count() == 0:  # exact fixpoint witness
+                    break
+                # settled grows as a union of ≤ max_hops CHECKPOINTED frames —
+                # cheap metadata, no re-materialization of the whole set
+                settled = settled.unionByName(new)
+                frontier = new
+        finally:
+            edges.unpersist()
         return settled
     seeds = F.broadcast(
         spark.createDataFrame(seed_rows, ["seed"]).distinct()
@@ -723,9 +727,11 @@ def multi_source_bfs(
             .localCheckpoint(eager=True)
         )
 
-    for _ in range(max_hops):
-        dist = relax(dist)
-    edges.unpersist()
+    try:
+        for _ in range(max_hops):
+            dist = relax(dist)
+    finally:
+        edges.unpersist()
     return dist.filter(F.col("dist").isNotNull())
 
 

@@ -101,7 +101,14 @@ def seed_centroids(
     raises instead of silently training a short codebook.  Centroid
     ids keep the seed vectors' ids (contiguous fixtures are unchanged:
     k smallest ≡ < k there, which is what the a02–a04/d19 oracles
-    mirror)."""
+    mirror).
+
+    Labeling convention (deliberately different from ``pq.pq_train``):
+    centroid ids here are the seed vectors' ORIGINAL ids — opaque
+    labels callers only group/join on, so density doesn't matter and
+    keeping the source id aids debugging.  ``pq_train`` re-labels its
+    codewords 0..k-1 by rank because PQ codes are ARRAY INDICES into
+    the ADC lookup table and must be dense (see pq.py's docstring)."""
     seed_ids = [
         r[0]
         for r in emb.select(id_col).distinct().orderBy(id_col).limit(k).collect()

@@ -1901,6 +1901,15 @@ def e26_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # slice (the _write_ts_slices trick keyed on seq)
         log.repartitionByRange(2, "seq").write.mode("append").parquet(logd)
         files = sorted(f for f in os.listdir(logd) if not f.startswith(("_", ".")))
+        # the two-micro-batch replay below is the whole point of the
+        # spec; if range partitioning ever collapsed the log into one
+        # file the stream would replay as ONE batch and the cross-batch
+        # seq-guard claim would silently weaken — fail loudly instead
+        if len(files) != 2:
+            raise AssertionError(
+                f"e26 log split into {len(files)} files, expected 2 "
+                "(one per seq range slice)"
+            )
         for i, f in enumerate(files):
             os.utime(os.path.join(logd, f), (1_000_000 + i, 1_000_000 + i))
 
