@@ -450,6 +450,28 @@ def apply_mapping_array(
 
 # --- typo-alias detection (SymSpell deletion-neighborhood blocking) -------
 
+def _deletion_variants(names: DataFrame) -> DataFrame:
+    """(id, variant): each name emits itself plus every single-character
+    deletion — the SymSpell d=1 blocking neighborhood shared by the full
+    (:func:`symdelete_typo_pairs`) and delta (:func:`symdelete_delta_pairs`)
+    paths.  Narrow (one explode, no shuffle); variant i=0 is the string
+    itself, i=1..len deletes char i."""
+    return names.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.length("name")),
+                lambda i: F.when(i == F.lit(0), F.col("name")).otherwise(
+                    F.concat(
+                        F.substr(F.col("name"), F.lit(1), i - F.lit(1)),
+                        F.substr(F.col("name"), i + F.lit(1), F.length("name")),
+                    )
+                ),
+            )
+        ).alias("variant"),
+    )
+
+
 def symdelete_typo_pairs(
     df: DataFrame,
     id_col: str = "id",
@@ -492,21 +514,7 @@ def symdelete_typo_pairs(
     if max_distance != 1:
         raise ValueError("symdelete_typo_pairs implements max_distance=1 only")
     names = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
-    # variant i=0 is the string itself; i=1..len deletes char i
-    variants = names.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.length("name")),
-                lambda i: F.when(i == F.lit(0), F.col("name")).otherwise(
-                    F.concat(
-                        F.substr(F.col("name"), F.lit(1), i - F.lit(1)),
-                        F.substr(F.col("name"), i + F.lit(1), F.length("name")),
-                    )
-                ),
-            )
-        ).alias("variant"),
-    )
+    variants = _deletion_variants(names)
     a = variants.select(F.col("id").alias("src"), F.xxhash64("variant").alias("vh"))
     b = variants.select(F.col("id").alias("dst"), F.xxhash64("variant").alias("vh2"))
     cands = (
@@ -525,3 +533,106 @@ def symdelete_typo_pairs(
         .select("src", "dst", dist.alias("distance"))
         .filter(F.col("distance") <= max_distance)
     )
+
+
+def symdelete_delta_pairs(
+    standing: DataFrame,
+    delta: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+) -> DataFrame:
+    """(src, dst, distance): alias pairs TOUCHING at least one surface of
+    a delta batch — the O(|delta|)-shuffle refresh face of
+    :func:`symdelete_typo_pairs`.  Standing↔standing pairs are excluded
+    by construction: they are already folded into the standing component
+    mapping, so re-deriving them would be the full rebuild this operator
+    exists to avoid (the reference re-crawls and re-clusters the whole
+    vocabulary per ingest, `Hype.py:64-86`).
+
+    Candidates = delta-variants ⋈ standing-variants (cross) plus the
+    delta's internal d=1 pairs; verification is the same JVM
+    ``levenshtein`` the full path uses, so the pair set equals
+    "symdelete_typo_pairs(standing ∪ delta) minus its standing-internal
+    pairs" exactly (property-tested in test_er.py).
+
+    Scale shape: the delta side (variants, then the verified pair ids)
+    is broadcast — a vocabulary delta batch is ingest-sized, not
+    corpus-sized; the standing side is SCANNED narrowly (variant explode
+    is map-side) but never shuffled.  In production the standing variant
+    index is the persisted table this scan stands in for (bucketed by
+    ``xxhash64(variant)``, so the probe prunes to matching buckets); the
+    join work is delta-sized either way.
+    """
+    s_names = standing.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
+    d_names = delta.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
+    s_var = _deletion_variants(s_names).select(
+        F.col("id").alias("src"), F.xxhash64("variant").alias("vh")
+    )
+    d_var = _deletion_variants(d_names).select(
+        F.col("id").alias("dst"), F.xxhash64("variant").alias("vh")
+    )
+    cross = s_var.join(F.broadcast(d_var), "vh").select("src", "dst").distinct()
+    dd = (
+        d_var.join(
+            F.broadcast(d_var.select(F.col("dst").alias("dst2"), "vh")),
+            "vh",
+        )
+        .filter(F.col("dst") < F.col("dst2"))
+        .select(F.col("dst").alias("src"), F.col("dst2").alias("dst"))
+        .distinct()
+    )
+    cands = cross.unionByName(dd)
+    na = s_names.select(F.col("id").alias("src"), F.col("name").alias("name_a")).unionByName(
+        d_names.select(F.col("id").alias("src"), F.col("name").alias("name_a"))
+    )
+    nb = d_names.select(F.col("id").alias("dst"), F.col("name").alias("name_b"))
+    return (
+        cands.join(na, "src")
+        .join(F.broadcast(nb), "dst")
+        .select("src", "dst", F.levenshtein("name_a", "name_b").alias("distance"))
+        .filter(F.col("distance") <= 1)
+    )
+
+
+def incremental_er_refresh(standing: DataFrame, delta_names: DataFrame) -> DataFrame:
+    """Fold a delta vocabulary batch into a standing ER state — the
+    incremental lifecycle the reference's rebuild-per-ingest flow
+    (`Hype.py:64-86`) becomes under Spark: ``standing`` is the STORED
+    (sid, name, component) table of a previous run (sid =
+    ``xxhash64(name)``, component = min-sid of the alias cluster),
+    ``delta_names`` the (name) surfaces of a new ingest batch.  Returns
+    the updated (sid, name, component) state over standing ∪ delta —
+    equal to a from-scratch rebuild on the union (property-tested on
+    random vocabulary splits), at O(|delta|) shuffle cost:
+
+    1. new surfaces = delta ∖ standing (broadcast anti-join; a re-seen
+       surface is a no-op, its component is already settled),
+    2. :func:`symdelete_delta_pairs` — only pairs touching a new
+       surface,
+    3. :func:`connected_components.incremental_components` — CC on the
+       ≤2·|pairs| contracted graph, |V| mapping broadcast-probed,
+    4. isolated new surfaces (no pair) enter as their own component.
+    """
+    from .connected_components import incremental_components
+
+    s = standing.select("sid", "name", "component")
+    new_names = (
+        delta_names.select("name")
+        .distinct()
+        .join(F.broadcast(s.select("name")), "name", "left_anti")
+        .withColumn("sid", F.xxhash64("name"))
+        .localCheckpoint(eager=True)  # consumed by pairs + union + join
+    )
+    pairs = symdelete_delta_pairs(
+        s.select(F.col("sid").alias("id"), "name"),
+        new_names.select(F.col("sid").alias("id"), "name"),
+    )
+    merged = incremental_components(
+        s.select(F.col("sid").alias("id"), "component"), pairs.select("src", "dst")
+    )
+    all_names = s.select("sid", "name").unionByName(new_names.select("sid", "name"))
+    # isolated new surfaces never reach incremental_components (no edge,
+    # not in the old mapping) — identity component via the left join
+    return all_names.join(
+        merged.withColumnRenamed("id", "sid"), "sid", "left"
+    ).select("sid", "name", F.coalesce("component", F.col("sid")).alias("component"))
