@@ -20,16 +20,10 @@ from .spec import QuerySpec
 # genuinely never-gated ones (a spec with no green row at all is the
 # bigger unknown) but BEFORE all green ones — see effective_round().
 #
-# r8: compact_changes gained the xxhash64 same-(key,seq) tie-break
-# (operators/cdc.py:55), changing the executed window sort of
-# d39_cdc_apply (via apply_changes, last gate r6) and
-# e26_streaming_cdc_upsert (via merge_versioned, last gate r7).
-# (g35/g36's r7 sparse-plan pins were cleared after their r8 gate
-# rows came back green.)
-PLAN_CHANGED_REGATE = {
-    "d39_cdc_apply",
-    "e26_streaming_cdc_upsert",
-}
+# Currently empty: d39/e26's r8 cdc-plan pins were cleared after their
+# r9 gate rows came back green on the changed plan (the set's removal
+# condition), as were g35/g36's r7 sparse-plan pins after r8.
+PLAN_CHANGED_REGATE: set[str] = set()
 
 
 def effective_round(name: str, history: dict[str, int] | None = None) -> float:
