@@ -553,7 +553,15 @@ def symdelete_delta_pairs(
     delta's internal d=1 pairs; verification is the same JVM
     ``levenshtein`` the full path uses, so the pair set equals
     "symdelete_typo_pairs(standing ∪ delta) minus its standing-internal
-    pairs" exactly (property-tested in test_er.py).
+    pairs" exactly (property-tested on random vocabulary splits in
+    ``test_er.py::test_incremental_er_refresh_equals_rebuild``).
+
+    Id overlap between the two sides is tolerated: an id present on both
+    (the same surface re-delivered) is dropped from the cross candidates
+    (``src != dst``) rather than emitted as a distance-0 self-pair, and
+    the unioned name lookup is de-duplicated so it cannot fan out the
+    verify join.  Callers that ANTI-JOIN re-seen surfaces away first
+    (:func:`incremental_er_refresh`) never hit either path.
 
     Scale shape: the delta side (variants, then the verified pair ids)
     is broadcast — a vocabulary delta batch is ingest-sized, not
@@ -571,7 +579,11 @@ def symdelete_delta_pairs(
     d_var = _deletion_variants(d_names).select(
         F.col("id").alias("dst"), F.xxhash64("variant").alias("vh")
     )
-    cross = s_var.join(F.broadcast(d_var), "vh").select("src", "dst").distinct()
+    cross = (
+        s_var.join(F.broadcast(d_var), "vh")
+        .filter(F.col("src") != F.col("dst"))  # re-seen id: not a self-pair
+        .select("src", "dst")
+    )
     dd = (
         d_var.join(
             F.broadcast(d_var.select(F.col("dst").alias("dst2"), "vh")),
@@ -579,11 +591,17 @@ def symdelete_delta_pairs(
         )
         .filter(F.col("dst") < F.col("dst2"))
         .select(F.col("dst").alias("src"), F.col("dst2").alias("dst"))
-        .distinct()
     )
-    cands = cross.unionByName(dd)
-    na = s_names.select(F.col("id").alias("src"), F.col("name").alias("name_a")).unionByName(
-        d_names.select(F.col("id").alias("src"), F.col("name").alias("name_a"))
+    # ONE distinct after the union (both branches are broadcast joins, so
+    # this is the single shuffle of the candidate step); it also collapses
+    # a cross/dd overlap when an id was re-delivered on both sides
+    cands = cross.unionByName(dd).distinct()
+    na = (
+        s_names.select(F.col("id").alias("src"), F.col("name").alias("name_a"))
+        .unionByName(
+            d_names.select(F.col("id").alias("src"), F.col("name").alias("name_a"))
+        )
+        .distinct()  # an id on both sides must not fan out the verify join
     )
     nb = d_names.select(F.col("id").alias("dst"), F.col("name").alias("name_b"))
     return (
@@ -594,19 +612,55 @@ def symdelete_delta_pairs(
     )
 
 
-def incremental_er_refresh(standing: DataFrame, delta_names: DataFrame) -> DataFrame:
+def build_er_state(names: DataFrame, name_col: str = "name") -> DataFrame:
+    """From-scratch (sid, name, component) ER state over a vocabulary —
+    the initial build :func:`incremental_er_refresh` then maintains, and
+    the rebuild its equality property is stated against.  sid =
+    ``xxhash64(name)`` (fully distributed, no global row-number sort);
+    component = min-sid of the SymSpell d=1 alias cluster; surfaces with
+    no alias are their own component."""
+    surfaces = (
+        names.select(F.col(name_col).alias("name"))
+        .distinct()
+        .withColumn("sid", F.xxhash64("name"))
+        .localCheckpoint(eager=True)  # consumed by pairs + count + join
+    )
+    pairs = symdelete_typo_pairs(surfaces, id_col="sid", name_col="name")
+    comp = connected_components(pairs.select("src", "dst"))
+    return surfaces.join(comp, surfaces.sid == comp.id, "left").select(
+        "sid", "name", F.coalesce("component", F.col("sid")).alias("component")
+    )
+
+
+def incremental_er_refresh(
+    standing: DataFrame,
+    delta_names: DataFrame,
+    broadcast_threshold_rows: int = 5_000_000,
+    standing_n_rows: int | None = None,
+) -> DataFrame:
     """Fold a delta vocabulary batch into a standing ER state — the
     incremental lifecycle the reference's rebuild-per-ingest flow
     (`Hype.py:64-86`) becomes under Spark: ``standing`` is the STORED
-    (sid, name, component) table of a previous run (sid =
-    ``xxhash64(name)``, component = min-sid of the alias cluster),
-    ``delta_names`` the (name) surfaces of a new ingest batch.  Returns
-    the updated (sid, name, component) state over standing ∪ delta —
-    equal to a from-scratch rebuild on the union (property-tested on
-    random vocabulary splits), at O(|delta|) shuffle cost:
+    (sid, name, component) table of a previous run (the
+    :func:`build_er_state` shape: sid = ``xxhash64(name)``, component =
+    min-sid of the alias cluster), ``delta_names`` the (name) surfaces
+    of a new ingest batch.  Returns the updated (sid, name, component)
+    state over standing ∪ delta — equal to a from-scratch
+    :func:`build_er_state` on the union (property-tested on random
+    vocabulary splits incl. re-seen surfaces in
+    ``test_er.py::test_incremental_er_refresh_equals_rebuild``; gated
+    end-to-end as the p03 spec), at O(|delta|) shuffle cost:
 
-    1. new surfaces = delta ∖ standing (broadcast anti-join; a re-seen
-       surface is a no-op, its component is already settled),
+    1. new surfaces = delta ∖ standing (anti-join; a re-seen surface is
+       a no-op, its component is already settled).  The standing name
+       column is broadcast only while it fits
+       (``broadcast_threshold_rows`` — the same conditional-hint gate
+       :func:`symdelete_typo_pairs` uses; a corpus-sized standing
+       vocabulary falls back to a shuffled left_anti, which AQE turns
+       back into a broadcast when the delta side is the small one).
+       ``standing_n_rows`` (catalog stats / parquet footer metadata)
+       sizes the gate without an extra count action; only when absent
+       does the operator fall back to one ``standing.count()``.
     2. :func:`symdelete_delta_pairs` — only pairs touching a new
        surface,
     3. :func:`connected_components.incremental_components` — CC on the
@@ -616,10 +670,14 @@ def incremental_er_refresh(standing: DataFrame, delta_names: DataFrame) -> DataF
     from .connected_components import incremental_components
 
     s = standing.select("sid", "name", "component")
+    s_name = s.select("name")
+    n = standing_n_rows if standing_n_rows is not None else s_name.count()
+    if n <= broadcast_threshold_rows:
+        s_name = F.broadcast(s_name)
     new_names = (
         delta_names.select("name")
         .distinct()
-        .join(F.broadcast(s.select("name")), "name", "left_anti")
+        .join(s_name, "name", "left_anti")
         .withColumn("sid", F.xxhash64("name"))
         .localCheckpoint(eager=True)  # consumed by pairs + union + join
     )

@@ -43,7 +43,12 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.connected_components import connected_components
-from ..operators.er import apply_mapping_array, symdelete_typo_pairs
+from ..operators.er import (
+    apply_mapping_array,
+    build_er_state,
+    incremental_er_refresh,
+    symdelete_typo_pairs,
+)
 from ..sources import txt_records as txt
 from .spec import QuerySpec
 
@@ -263,6 +268,117 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# p03: the INCREMENTAL ER lifecycle — standing state from a first
+# vocabulary slice, a delta ingest batch folded in via
+# `er.incremental_er_refresh` (delta SymSpell pairs + incremental CC),
+# refreshed mapping served back.  The reference re-crawls and re-clusters
+# the whole vocabulary per ingest (`Hype.py:64-86`); this gates the
+# O(|delta|) replacement end-to-end (equality with the from-scratch
+# rebuild is separately property-tested in
+# `test_er.py::test_incremental_er_refresh_equals_rebuild`).
+#
+# The vocabulary is rendered deterministically from ``documents`` so every
+# incremental code path does real work.  With m = doc_id // 2,
+# c = letter(m % 26), the per-letter surface CHAIN (consecutive elements
+# at Levenshtein distance 1, non-consecutive ≥ 2, cross-letter ≥ 3) is
+#
+#   typo 'pw'+c*3 — cano 'pw'+c*4 — bridge 'pw'+c*4+'x' — alt 'pw'+c*4+'xy'
+#
+# Standing (even doc_id) holds cano (m%3≠1) and alt (m%3=1) — TWO
+# separate standing components per letter.  Delta (odd doc_id, w = m%5):
+#   w=0 typo   → merges INTO the standing cano component;
+#   w=1 bridge → BRIDGES the standing cano and alt components (the
+#                incremental-CC two-standing-labels merge case);
+#   w=2 cano   → RE-SEEN surface (the anti-join no-op path);
+#   w=3 iso    → 'qz'+letter(m%7)*4, an isolated brand-new component;
+#   w=4 nx     → 'nx'+c*3 / 'nx'+c*4 (m%3=2 picks the short form), a
+#                DELTA-INTERNAL distance-1 pair with no standing neighbor.
+#
+# The oracle replicates the generation, then computes clusters in closed
+# form: within a family (3-char prefix 'pw'+c / 'nx'+c / 'qz'+k) a
+# cluster is a maximal run of CONSECUTIVE present chain positions
+# (gaps-and-islands), canonical = min name — no CC needed, fully
+# independent of the operators.
+# --------------------------------------------------------------------------
+
+P03_LETTERS = F.array(*[F.lit(chr(97 + i)) for i in range(26)])
+
+
+def _p03_surfaces(docs: DataFrame, parity: int) -> DataFrame:
+    """(name): the standing (parity 0, even doc_id) or delta (parity 1)
+    vocabulary slice described in the module comment above."""
+    d = F.col("doc_id")
+    m = F.floor(d / F.lit(2)).cast("long")
+    c = F.element_at(P03_LETTERS, (m % 26 + 1).cast("int"))
+    ck = F.element_at(P03_LETTERS, (m % 7 + 1).cast("int"))
+    cano = F.concat(F.lit("pw"), F.repeat(c, 4))
+    v, w = m % 3, m % 5
+    if parity == 0:
+        name = F.when(v == 1, F.concat(cano, F.lit("xy"))).otherwise(cano)
+    else:
+        name = (
+            F.when(w == 0, F.concat(F.lit("pw"), F.repeat(c, 3)))
+            .when(w == 1, F.concat(cano, F.lit("x")))
+            .when(w == 2, cano)
+            .when(w == 3, F.concat(F.lit("qz"), F.repeat(ck, 4)))
+            .otherwise(
+                F.when(v == 2, F.concat(F.lit("nx"), F.repeat(c, 3))).otherwise(
+                    F.concat(F.lit("nx"), F.repeat(c, 4))
+                )
+            )
+        )
+    return docs.filter(d % 2 == parity).select(name.alias("name")).distinct()
+
+
+def p03_incremental_er_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing ER state built from the first vocabulary slice
+    (`er.build_er_state`), delta batch folded in incrementally
+    (`er.incremental_er_refresh` → `symdelete_delta_pairs` +
+    `incremental_components`), canonical elected per refreshed component
+    by min surface name (hash-free output): (name, canonical) over the
+    full standing ∪ delta vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    standing = build_er_state(_p03_surfaces(docs, 0))
+    state = incremental_er_refresh(standing, _p03_surfaces(docs, 1))
+    canon = state.groupBy("component").agg(F.min("name").alias("canonical"))
+    return state.join(canon, "component").select("name", "canonical")
+
+
+P03_SQL = """
+WITH gen AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN
+           CASE WHEN m % 3 = 1 THEN 'pw' || repeat(c, 4) || 'xy'
+                ELSE 'pw' || repeat(c, 4) END
+         ELSE
+           CASE m % 5
+             WHEN 0 THEN 'pw' || repeat(c, 3)
+             WHEN 1 THEN 'pw' || repeat(c, 4) || 'x'
+             WHEN 2 THEN 'pw' || repeat(c, 4)
+             WHEN 3 THEN 'qz' || repeat(ck, 4)
+             ELSE CASE WHEN m % 3 = 2 THEN 'nx' || repeat(c, 3)
+                       ELSE 'nx' || repeat(c, 4) END
+           END
+         END AS name
+  FROM (SELECT doc_id, doc_id // 2 AS m,
+               chr(97 + CAST((doc_id // 2) % 26 AS INT)) AS c,
+               chr(97 + CAST((doc_id // 2) % 7 AS INT)) AS ck
+        FROM documents)),
+tagged AS (
+  SELECT name, substr(name, 1, 3) AS family,
+         CASE WHEN substr(name, 1, 2) = 'qz' THEN 0
+              ELSE length(name) - 5 END AS pos
+  FROM (SELECT DISTINCT name FROM gen)),
+isl AS (
+  SELECT name, family, pos,
+         pos - row_number() OVER (PARTITION BY family ORDER BY pos) AS island
+  FROM tagged),
+canon AS (SELECT family, island, min(name) AS canonical FROM isl GROUP BY 1, 2)
+SELECT i.name AS name, c.canonical AS canonical
+FROM isl i JOIN canon c USING (family, island)
+"""
+
+
 SPECS = [
     QuerySpec(
         "p01_end_to_end_build_path",
@@ -283,5 +399,16 @@ SPECS = [
         "letter split → topic-rel CSV extraction (F12 strip in-path) → "
         "g04-class topics-of-author answer off the read-back store",
         bench=True,  # the enrichment-path number, paired with p01's build path
+    ),
+    QuerySpec(
+        "p03_incremental_er_lifecycle",
+        p03_incremental_er_lifecycle,
+        P03_SQL,
+        "pipeline",
+        "incremental ER lifecycle: standing state from the even-doc "
+        "vocabulary slice, odd-doc delta folded in via delta SymSpell "
+        "pairs + incremental connected components (merge-into, bridge-"
+        "two-components, re-seen no-op, isolated, delta-internal-pair "
+        "paths all exercised), gaps-and-islands closed-form oracle",
     ),
 ]

@@ -78,6 +78,77 @@ def _env_fingerprint() -> dict:
     return env
 
 
+def _timed_runs(spark, make_df) -> list[float]:
+    """One spec-style adaptive timing loop (same discipline as the main
+    loop: state cleared between runs, keep running while still descending
+    the JIT tail, min 4 / max 8 runs)."""
+    runs: list[float] = []
+    while len(runs) < MAX_RUNS and (
+        len(runs) < MIN_RUNS or runs[-1] < 0.9 * min(runs[:-1])
+    ):
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        make_df().write.format("noop").mode("overwrite").save()
+        runs.append(round(time.perf_counter() - t0, 4))
+    return runs
+
+
+def _er_incremental_pair(spark, sf_dir: str) -> dict[str, list[float]]:
+    """The O(|delta|)-vs-O(corpus) pair: fold a ~1.6% vocabulary delta
+    into a PRE-BUILT standing ER state (`er.incremental_er_refresh` —
+    the p03 lifecycle) vs rebuilding the whole state from scratch
+    (`er.build_er_state`) on the same corpus-scaled vocabulary.  The
+    standing state is materialized OUTSIDE the timed window — in
+    production it is a stored table, so steady-state cost excludes it.
+
+    The vocabulary scales with the corpus (TEN surfaces per document,
+    so the rebuild side does real SymSpell work — 50k names at sf0.1):
+    family = letter-mapped zero-padded surface ordinal // 2, so
+    consecutive families sit at Levenshtein distance 1 (long alias
+    chains — worst case for component work) and odd ordinals carry a
+    distance-1 'x' variant; delta docs (doc_id % 64 == 0) contribute
+    surfaces absent from the standing slice that merge into standing
+    components."""
+    from pyspark.sql import functions as F
+
+    from advanced_technologies_of_china_graph_database_construction_spark.catalog import load_table
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.er import (
+        build_er_state,
+        incremental_er_refresh,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.col("doc_id") * 10 + F.col("i")
+    fam = F.translate(
+        F.lpad(F.floor(n / F.lit(2)).cast("string"), 7, "0"),
+        "0123456789",
+        "abcdefghij",
+    )
+    name = F.concat(
+        F.lit("w"), fam, F.when(n % 2 == 1, F.lit("x")).otherwise(F.lit(""))
+    ).alias("name")
+    surf = docs.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("i"))
+    is_delta = F.col("doc_id") % 64 == 0
+    standing = build_er_state(surf.filter(~is_delta).select(name)).localCheckpoint(
+        eager=True
+    )
+    n_standing = standing.count()
+    delta = surf.filter(is_delta).select(name)
+    return {
+        "p03_delta_refresh": _timed_runs(
+            spark,
+            lambda: incremental_er_refresh(
+                standing, delta, standing_n_rows=n_standing
+            ),
+        ),
+        "p03_full_rebuild": _timed_runs(
+            spark, lambda: build_er_state(surf.select(name))
+        ),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for entry in os.scandir(sf_dir):  # page-cache pre-warm (see docstring)
@@ -122,6 +193,13 @@ def main() -> None:
             runs.append(round(time.perf_counter() - t0, 4))
         timings[spec.name] = min(runs)
         all_runs[spec.name] = runs
+
+    # the incremental-maintenance claim, measured: delta refresh vs full
+    # rebuild of the same ER state (docstring argument of er.py /
+    # connected_components.py, now a recorded number per round)
+    for key, runs in _er_incremental_pair(spark, sf_dir).items():
+        timings[key] = min(runs)
+        all_runs[key] = runs
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

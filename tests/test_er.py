@@ -394,3 +394,69 @@ def test_symdelete_rejects_deeper_radius(spark):
     df = spark.createDataFrame([(1, "a")], "id long, name string")
     with pytest.raises(ValueError, match="max_distance=1"):
         symdelete_typo_pairs(df, max_distance=2)
+
+
+# --------------------------------------- incremental ER refresh (p03) -----
+
+def _random_vocab(rng, n: int) -> list[str]:
+    """Vocabulary from a 3-letter alphabet, lengths 3-6: dense enough
+    that random draws land within Levenshtein distance 1 of each other,
+    so the alias graph has real multi-node components."""
+    words = set()
+    while len(words) < n:
+        ln = int(rng.randint(3, 7))
+        words.add("".join(rng.choice(list("abc")) for _ in range(ln)))
+    return sorted(words)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_incremental_er_refresh_equals_rebuild(spark, seed):
+    """incremental_er_refresh(build_er_state(standing), delta) must equal
+    build_er_state(standing ∪ delta) exactly — random vocabulary splits,
+    with the delta re-containing a sample of standing surfaces (the
+    re-seen/no-op path) on top of its genuinely new ones."""
+    import random
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.er import (
+        build_er_state,
+        incremental_er_refresh,
+    )
+
+    rng = random.Random(seed)
+    vocab = _random_vocab(rng, 120)
+    rng.shuffle(vocab)
+    cut = len(vocab) * 2 // 3
+    standing_names, new_names = vocab[:cut], vocab[cut:]
+    reseen = rng.sample(standing_names, 10)
+    delta = new_names + reseen
+
+    standing_df = spark.createDataFrame([(n,) for n in standing_names], "name string")
+    delta_df = spark.createDataFrame([(n,) for n in delta], "name string")
+    union_df = spark.createDataFrame([(n,) for n in vocab], "name string")
+
+    got = {
+        (r.sid, r.name, r.component)
+        for r in incremental_er_refresh(build_er_state(standing_df), delta_df).collect()
+    }
+    want = {(r.sid, r.name, r.component) for r in build_er_state(union_df).collect()}
+    assert got == want
+
+
+def test_symdelete_delta_pairs_tolerates_id_overlap(spark):
+    """An id present on BOTH sides (same surface re-delivered) must not
+    emit a distance-0 self-pair nor duplicate rows through the unioned
+    name lookup; pairs against the overlapping surface still verify."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.er import symdelete_delta_pairs
+
+    standing = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "id long, name string"
+    )
+    delta = spark.createDataFrame(
+        [(1, "alpha"), (3, "alphb")], "id long, name string"
+    )
+    got = sorted(
+        (r.src, r.dst, r.distance) for r in symdelete_delta_pairs(standing, delta).collect()
+    )
+    # alphb pairs with alpha exactly once (the cross and delta-internal
+    # candidate collapse in the post-union distinct); no (1,1,0) self-pair
+    assert got == [(1, 3, 1)]
