@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import shutil
 from pathlib import Path
-from urllib.parse import urlparse
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -28,13 +28,26 @@ def _clear_stale_location(spark: SparkSession, tbl: str) -> None:
     catalog no longer knows the table (ephemeral in-memory catalog +
     persistent local warehouse dir): DROP TABLE is then a no-op but
     saveAsTable would fail with LOCATION_ALREADY_EXISTS.  With a real
-    metastore the DROP handles cleanup and this never fires."""
+    metastore the DROP handles cleanup and this never fires.
+
+    Scope: DEFAULT-database unqualified names on a local warehouse only
+    — the ``warehouse/<tbl>`` layout this derives holds only there (a
+    qualified ``db.tbl`` lives under ``<db>.db/<tbl>``), so anything
+    else returns without touching the filesystem.  Known race, accepted:
+    two concurrent sessions sharing one LOCAL warehouse dir each have a
+    private in-memory catalog, so this session can see "no such table"
+    while the directory is the other session's live managed data and
+    delete it.  Don't share a local warehouse dir across sessions that
+    both write bucketed tables; any multi-writer deployment has a real
+    metastore, where this helper is a no-op by construction."""
+    if "." in tbl or spark.catalog.currentDatabase() != "default":
+        return
     if spark.catalog.tableExists(tbl):
         return
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
     if warehouse.scheme not in ("", "file"):
         return
-    loc = Path(warehouse.path) / tbl.lower()
+    loc = Path(unquote(warehouse.path)) / tbl.lower()
     if loc.is_dir():
         shutil.rmtree(loc, ignore_errors=True)
 

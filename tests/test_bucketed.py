@@ -46,3 +46,40 @@ def test_bucketed_join_has_no_exchange_and_matches(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
         for tbl in ("bkt_docs", "bkt_edges"):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_clear_stale_location_scoped_to_default_db(spark, tmp_path):
+    """The stale-location helper must not touch the filesystem for
+    qualified names or from a non-default current database — the
+    warehouse/<tbl> layout it derives only holds for unqualified
+    default-database tables (a db.tbl lives under <db>.db/<tbl>)."""
+    from urllib.parse import urlparse, unquote
+    from pathlib import Path
+
+    from advanced_technologies_of_china_graph_database_construction_spark.sources.bucketed import (
+        _clear_stale_location,
+    )
+
+    wh = Path(unquote(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path))
+    stale = wh / "stale_probe_tbl"
+    stale.mkdir(parents=True, exist_ok=True)
+    try:
+        # qualified name: untouched even though the dir exists
+        _clear_stale_location(spark, "somedb.stale_probe_tbl")
+        assert stale.is_dir()
+        # non-default current database: untouched
+        spark.sql("CREATE DATABASE IF NOT EXISTS clear_probe_db")
+        spark.catalog.setCurrentDatabase("clear_probe_db")
+        try:
+            _clear_stale_location(spark, "stale_probe_tbl")
+            assert stale.is_dir()
+        finally:
+            spark.catalog.setCurrentDatabase("default")
+        # default db + unqualified + catalog-unknown: removed
+        _clear_stale_location(spark, "stale_probe_tbl")
+        assert not stale.exists()
+    finally:
+        import shutil
+
+        shutil.rmtree(stale, ignore_errors=True)
+        spark.sql("DROP DATABASE IF EXISTS clear_probe_db")
