@@ -1947,6 +1947,144 @@ def e26_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(store, ignore_errors=True)
 
 
+# ----------- e27 streaming CDC upsert into a PARTITIONED store (in place) --
+
+def e27_streaming_partitioned_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e26's foreachBatch MERGE retargeted at the PRODUCTION store
+    layout: ONE parquet directory partitioned by ``pt = pmod(doc_id, 8)``,
+    each micro-batch folded with ``merge_versioned`` over ONLY the
+    partitions its keys touch and written back in place with dynamic
+    partition overwrite (the s10 machinery) — replacing e26's
+    whole-store ``v{n}`` versioning stand-in.
+
+    The change log is the shared d39 fixture RESTRICTED to the key band
+    ``pt ∈ {1, 2}`` — chosen so every op path still fires in-band
+    (v2/v3 upserts, deletes at doc_id ≡ 10 (mod 40), negative-key
+    inserts at doc_id ≡ 150/350 (mod 400)) while six of the eight
+    partitions stay untouched, making the isolation invariant real.
+
+    Asserted in-spec, loudly, on EVERY batch of BOTH passes:
+    - WRITE ISOLATION: untouched partitions' files are byte-identical
+      across the batch (relative path, size, and content md5 all
+      unchanged) — the file-level claim behind "rewrite the day, not
+      the lake".
+    - IDEMPOTENCE: the log replays twice (fresh stream, no checkpoint);
+      the seq guard makes the second pass a content no-op and the final
+      state matches the same closed-form oracle shape as d39, banded.
+
+    Scale shape: the merge window shuffles |touched partitions| +
+    |batch| rows, never the store; the store read prunes to touched
+    directories (partition filter before the scan); the write rewrites
+    only those directories.  The eager localCheckpoint before the write
+    is the sandbox's read-write barrier for overwriting a path that
+    feeds the plan — a lakehouse table format's copy-on-write MERGE
+    gives the same isolation transactionally."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.cdc import UPSERT, live_view, merge_versioned
+
+    n_pt = 8
+    band = (1, 2)
+    pt = F.pmod(F.col("doc_id"), F.lit(n_pt)).cast("int")
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    log = _cdc_change_log(base).filter(pt.isin(*band))
+    logd = tempfile.mkdtemp(prefix="e27_log_")
+    store = tempfile.mkdtemp(prefix="e27_store_")
+
+    def untouched_files(touched: set[int]) -> dict[str, tuple[int, str]]:
+        """{relpath: (size, md5)} over every store file OUTSIDE the
+        touched partition directories."""
+        skip = {f"pt={p}" for p in touched}
+        out: dict[str, tuple[int, str]] = {}
+        for root, _dirs, files in os.walk(store):
+            rel = os.path.relpath(root, store)
+            if rel.split(os.sep)[0] in skip:
+                continue
+            for fn in files:
+                if fn.startswith(("_", ".")):
+                    continue
+                p = os.path.join(root, fn)
+                with open(p, "rb") as fh:
+                    digest = hashlib.md5(fh.read()).hexdigest()
+                out[os.path.join(rel, fn)] = (os.path.getsize(p), digest)
+        return out
+
+    try:
+        log.repartitionByRange(2, "seq").write.mode("append").parquet(logd)
+        files = sorted(f for f in os.listdir(logd) if not f.startswith(("_", ".")))
+        if len(files) != 2:  # same loud guard as e26 — the replay IS the spec
+            raise AssertionError(
+                f"e27 log split into {len(files)} files, expected 2"
+            )
+        for i, f in enumerate(files):
+            os.utime(os.path.join(logd, f), (1_000_000 + i, 1_000_000 + i))
+
+        base.select(
+            "doc_id", "text", F.lit(0).alias("seq"), F.lit(UPSERT).alias("op"),
+            pt.alias("pt"),
+        ).write.mode("overwrite").partitionBy("pt").parquet(store)
+
+        def merge_batch(bdf: DataFrame, bid: int) -> None:
+            b = bdf.withColumn("pt", pt).localCheckpoint(eager=True)
+            touched = {r.pt for r in b.select("pt").distinct().collect()}
+            if not touched.issubset(set(band)):
+                raise AssertionError(f"e27 batch escaped the key band: {touched}")
+            before = untouched_files(touched)
+            cur = spark.read.parquet(store).filter(F.col("pt").isin(*touched))
+            merged = merge_versioned(cur, b).localCheckpoint(eager=True)
+            merged.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("pt").parquet(store)
+            after = untouched_files(touched)
+            if before != after:
+                drift = {
+                    k
+                    for k in before.keys() | after.keys()
+                    if before.get(k) != after.get(k)
+                }
+                raise AssertionError(
+                    f"e27 batch {bid} touched files outside {touched}: {drift}"
+                )
+
+        for _ in range(2):  # second pass = simulated duplicate delivery
+            q = (
+                spark.readStream.schema("doc_id long, text string, seq int, op string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(logd)
+                .writeStream.foreachBatch(merge_batch)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        return (
+            live_view(spark.read.parquet(store).drop("pt"))
+            .select("doc_id", F.md5("text").alias("text_md5"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(logd, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)
+
+
+E27_SQL = """
+SELECT doc_id,
+       md5(CASE WHEN doc_id % 8 IN (1, 2) AND doc_id % 15 = 0
+                     AND doc_id % 10 <> 0 THEN text || ' v3'
+                WHEN doc_id % 8 IN (1, 2) AND doc_id % 5 = 0 THEN text || ' v2'
+                ELSE text END) AS text_md5
+FROM documents
+WHERE NOT (doc_id % 8 IN (1, 2) AND doc_id % 10 = 0)
+UNION ALL
+SELECT -doc_id - 1 AS doc_id, md5(text) AS text_md5
+FROM documents WHERE doc_id % 50 = 0 AND doc_id % 8 IN (5, 6)
+"""
+
+
 # ------------------------------- d40 order-independent table checksum ---
 
 def d40_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2459,6 +2597,11 @@ SPECS = [
               "events", "streaming CDC upsert: readStream change-log -> "
               "foreachBatch seq-guarded MERGE into a versioned store, "
               "idempotence proven by double replay vs the d39 oracle"),
+    QuerySpec("e27_streaming_partitioned_cdc", e27_streaming_partitioned_cdc,
+              E27_SQL, "events", "streaming CDC upsert into a PARTITIONED "
+              "store: per-batch MERGE over touched partitions only + dynamic "
+              "partition overwrite in place; untouched partitions asserted "
+              "byte-identical per batch, idempotence by double replay"),
     QuerySpec("d40_table_checksum", d40_table_checksum, D40_SQL, "dedup",
               "order-independent per-source table checksum (xor + sum md5 "
               "slices + count): replica verification without moving rows"),

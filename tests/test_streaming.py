@@ -442,3 +442,30 @@ def test_e22_per_batch_overwrite_is_idempotent_append_is_not(spark, tmp_path):
             .first()["n"]
         )
         assert got == want, (mode, got)
+
+
+def test_e27_partitioned_cdc_matches_batch_merge(spark):
+    """Batch/stream agreement for the PARTITIONED-store CDC upsert: the
+    e27 in-place dynamic-partition-overwrite MERGE (double-replayed,
+    with its per-batch untouched-partition byte-identity assertion
+    live) must land on exactly the state the one-shot batch
+    apply_changes produces from the same BANDED change log."""
+    from advanced_technologies_of_china_graph_database_construction_spark.catalog import load_table as _lt
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.cdc import apply_changes
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.docs_queries import (
+        _cdc_change_log,
+        e27_streaming_partitioned_cdc,
+    )
+
+    base = _lt(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    banded = _cdc_change_log(base).filter(F.pmod(F.col("doc_id"), F.lit(8)).isin(1, 2))
+    want = sorted(
+        map(
+            tuple,
+            apply_changes(base, banded, seq_col="seq")
+            .select("doc_id", F.md5("text").alias("text_md5"))
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, e27_streaming_partitioned_cdc(spark, SF_CORRECT).collect()))
+    assert got == want and len(got) > 0
