@@ -302,16 +302,15 @@ GROUP BY 1, 2
 # independent of the operators.
 # --------------------------------------------------------------------------
 
-P03_LETTERS = F.array(*[F.lit(chr(97 + i)) for i in range(26)])
-
-
 def _p03_surfaces(docs: DataFrame, parity: int) -> DataFrame:
     """(name): the standing (parity 0, even doc_id) or delta (parity 1)
     vocabulary slice described in the module comment above."""
     d = F.col("doc_id")
     m = F.floor(d / F.lit(2)).cast("long")
-    c = F.element_at(P03_LETTERS, (m % 26 + 1).cast("int"))
-    ck = F.element_at(P03_LETTERS, (m % 7 + 1).cast("int"))
+    # chr(97+k) built lazily — a module-level Column literal needs an
+    # active SparkContext at import time and breaks bare registry imports
+    c = F.char((m % 26).cast("int") + F.lit(97))
+    ck = F.char((m % 7).cast("int") + F.lit(97))
     cano = F.concat(F.lit("pw"), F.repeat(c, 4))
     v, w = m % 3, m % 5
     if parity == 0:

@@ -8,36 +8,48 @@ import json
 import re
 from pathlib import Path
 
+from .fingerprint import UNSTABLE, load_fingerprints
 from .spec import QuerySpec
 
-# Specs whose EXECUTED PLAN changed after their latest green driver-gate
-# row, promoted ahead of every already-green spec in the gate order: the
-# staleness sort alone cannot see a plan change (the spec name stayed
-# green), but a changed plan deserves the hard driver signal, not just
-# the session replica.  Remove an entry once the next CORRECTNESS_r*
-# round records it green again (gate_history then reflects the new
-# plan and the ordinary rotation resumes).  Pinned specs sort AFTER
+# MANUAL OVERRIDE set: specs whose EXECUTED PLAN changed after their
+# latest green driver-gate row, promoted ahead of every already-green
+# spec in the gate order.  Since r10 the primary plan-change signal is
+# DERIVED — ``scripts/plan_fingerprints.py`` persists a normalized
+# analyzed-plan hash per spec and ``effective_round`` auto-pins any
+# spec whose fingerprint drifted after its last green row (the r8
+# incident class: a shared-kernel change routes through specs whose own
+# builder didn't change).  This set remains for overrides the
+# fingerprint cannot see (e.g. a behavior change with an identical
+# analyzed plan — a UDF body edit).  Remove an entry once the next
+# CORRECTNESS_r* round records it green again.  Pinned specs sort AFTER
 # genuinely never-gated ones (a spec with no green row at all is the
 # bigger unknown) but BEFORE all green ones — see effective_round().
-#
-# Currently empty: d39/e26's r8 cdc-plan pins were cleared after their
-# r9 gate rows came back green on the changed plan (the set's removal
-# condition), as were g35/g36's r7 sparse-plan pins after r8.
 PLAN_CHANGED_REGATE: set[str] = set()
 
 
-def effective_round(name: str, history: dict[str, int] | None = None) -> float:
+def effective_round(
+    name: str,
+    history: dict[str, int] | None = None,
+    fingerprints: dict[str, dict] | None = None,
+) -> float:
     """The sort key the gate order actually uses for a spec: -1 if it has
     never had a green driver-gate row, -0.5 if its plan changed after its
-    last green row (``PLAN_CHANGED_REGATE``), else that row's round.
-    Exposed so the invariant tests assert on the same key the sort uses —
-    a legitimate pin can then never contradict the ordering invariant.
+    last green row (manual ``PLAN_CHANGED_REGATE`` pin, or a recorded
+    plan-fingerprint drift newer than the green row), else that row's
+    round.  Exposed so the invariant tests assert on the same key the
+    sort uses — a legitimate pin can then never contradict the ordering
+    invariant.
     """
     if history is None:
         history = gate_history()
+    if fingerprints is None:
+        fingerprints = load_fingerprints()
     if name not in history:
         return -1.0
     if name in PLAN_CHANGED_REGATE:
+        return -0.5
+    fp = fingerprints.get(name)
+    if fp is not None and fp["fp"] != UNSTABLE and fp["round"] > history[name]:
         return -0.5
     return float(history[name])
 
@@ -118,10 +130,12 @@ def all_specs() -> list[QuerySpec]:
             seen.add(s.name)
             specs.append(s)
     history = gate_history()
-    # stable sort keeps decl order; PLAN_CHANGED_REGATE pins sort ahead
-    # of every green spec so a silently-changed plan reaches the driver
-    # gate, but after never-gated ones (effective_round: -1 / -0.5 / rnd)
-    specs.sort(key=lambda s: effective_round(s.name, history))
+    fingerprints = load_fingerprints()
+    # stable sort keeps decl order; plan-change pins (manual set OR a
+    # recorded fingerprint drift) sort ahead of every green spec so a
+    # silently-changed plan reaches the driver gate, but after
+    # never-gated ones (effective_round: -1 / -0.5 / rnd)
+    specs.sort(key=lambda s: effective_round(s.name, history, fingerprints))
     return specs
 
 

@@ -8,6 +8,11 @@ legitimate plan-change pin can never contradict these invariants.
 
 from __future__ import annotations
 
+from advanced_technologies_of_china_graph_database_construction_spark.plans.fingerprint import (
+    UNSTABLE,
+    load_fingerprints,
+    normalize_plan,
+)
 from advanced_technologies_of_china_graph_database_construction_spark.plans.registry import (
     PLAN_CHANGED_REGATE,
     all_specs,
@@ -56,3 +61,41 @@ def test_pins_name_registered_specs():
 def test_no_duplicate_names():
     names = [s.name for s in all_specs()]
     assert len(names) == len(set(names))
+
+
+def test_fingerprint_drift_auto_pins():
+    """A recorded fingerprint round NEWER than the spec's last green gate
+    row pins it (-0.5); an older-or-equal round, an unstable fingerprint,
+    or a missing entry leaves the green round in force."""
+    history = {"x": 7}
+    assert effective_round("x", history, {"x": {"fp": "ab", "round": 9}}) == -0.5
+    assert effective_round("x", history, {"x": {"fp": "ab", "round": 7}}) == 7.0
+    assert effective_round("x", history, {"x": {"fp": UNSTABLE, "round": 9}}) == 7.0
+    assert effective_round("x", history, {}) == 7.0
+    # never-gated beats any fingerprint state
+    assert effective_round("y", history, {"y": {"fp": "ab", "round": 9}}) == -1.0
+
+
+def test_fingerprint_file_names_registered_specs():
+    """Every PLAN_FINGERPRINTS.json entry must name a registered spec —
+    a renamed/deleted spec's stale entry would silently stop pinning."""
+    fps = load_fingerprints()
+    names = {s.name for s in all_specs()}
+    assert set(fps) <= names
+
+
+def test_fingerprints_cover_every_spec():
+    """Once the file exists it must cover the full registry: a spec the
+    refresh script skipped has NO drift detection at all."""
+    fps = load_fingerprints()
+    if not fps:  # fresh checkout without the committed file
+        return
+    missing = {s.name for s in all_specs()} - set(fps)
+    assert not missing
+
+
+def test_normalize_plan_strips_session_variance():
+    a = "Filter (n_chars#41L > 10)\n+- Relation[doc_id#40L] parquet file:/tmp/x1/part-0ab12cd3ef456789"
+    b = "Filter (n_chars#7L > 10)\n+- Relation[doc_id#6L] parquet file:/tmp/z9/part-99887766fab01234"
+    assert normalize_plan(a) == normalize_plan(b)
+    assert normalize_plan("a#1 > b#2") != normalize_plan("a#1 < b#2")
