@@ -800,3 +800,169 @@ def k_truss(pairs: DataFrame, k: int = 4, n_rounds: int = 2) -> DataFrame:
     return support(e).select(
         F.col("u").alias("src"), F.col("v").alias("dst"), "support"
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame, max_outer: int = 32
+) -> DataFrame:
+    """(node, component): strongly connected components of the DIRECTED
+    graph ``edges(src, dst)``, component = min member id — the directed
+    complement of ``connected_components`` (which the reference
+    delegates to Neo4j's GDS family alongside the rest of this module;
+    `Hype.py` only ever materializes undirected keyword clusters).
+    SCCs are the cycle structure: cite-cycles, follow-back communities,
+    mutually-reachable state machines — none of which the undirected
+    operator can see (it merges everything weakly connected).
+
+    FW-BW-Trim coloring (the standard distributed SCC decomposition —
+    Orzan's coloring with a trim prepass), three loops, every one with
+    an EXACT integer convergence witness (counts, never fingerprints):
+
+    1. TRIM: repeatedly assign nodes with in-degree 0 or out-degree 0
+       as singleton SCCs (a node missing either direction can't sit on
+       a cycle).  Kills DAG tails/sources in rounds = tail depth; each
+       round is two semi-joins + one anti-join over id pairs.
+    2. COLOR: propagate color(v) = max(v, colors of in-neighbors) to
+       fixpoint along forward edges, so color(v) = max id that reaches
+       v.  The |V|-row color vector is the ONLY per-round shuffle; the
+       edge frame keeps its src-partitioned cache layout (pagerank's
+       hoisted-superstep discipline).  Rounds ≤ remaining diameter.
+    3. ASSIGN: every node with color(v) == v roots its color region;
+       ALL roots walk backward simultaneously (root id rides the
+       frontier as a payload column — the multi_source_bfs trick)
+       restricted to same-color nodes: the set reached backward from
+       root r within color r is exactly SCC(r).  Assign, peel, repeat
+       from 1 — the max-id node of the remainder always roots, so every
+       outer round assigns ≥ 1 SCC and termination is ≤ |V| outer
+       rounds; real graphs need few (each round peels every source-
+       region SCC at once).  ``max_outer`` is a runaway backstop, not a
+       tuning knob — hitting it raises rather than returning a partial
+       (wrong) labeling.
+
+    Self-loops are dropped (they never change SCC structure); the node
+    set is the edge endpoints, like every operator in this module —
+    union isolated nodes in as singletons at the call site if the
+    caller's universe is wider.  Each loop body localCheckpoints the
+    iterated frame (the k_core rationale: round r must not re-derive
+    the base graph through r join levels).
+
+    At 100 TB: no step shuffles the edge payload — trim shuffles ids,
+    coloring shuffles the (node, color) vector, the backward walk
+    shuffles the live frontier only; the quadratic worst case (long
+    chain of SCCs) is bounded by trim eating all acyclic structure
+    first, which is the bulk of real web/citation graphs.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = e.sparkSession
+    assigned = spark.createDataFrame([], "node long, component long")
+
+    for _ in range(max_outer):
+        # --- 1. TRIM ------------------------------------------------
+        while True:
+            nodes = (
+                e.select(F.col("src").alias("node"))
+                .unionByName(e.select(F.col("dst").alias("node")))
+                .distinct()
+            )
+            alive = (
+                nodes.join(
+                    e.select(F.col("src").alias("node")).distinct(), "node", "left_semi"
+                )
+                .join(
+                    e.select(F.col("dst").alias("node")).distinct(), "node", "left_semi"
+                )
+                .localCheckpoint(eager=True)
+            )
+            trimmed = nodes.join(alive, "node", "left_anti")
+            if trimmed.isEmpty():
+                break
+            assigned = assigned.unionByName(
+                trimmed.select("node", F.col("node").alias("component"))
+            ).localCheckpoint(eager=True)
+            e = (
+                e.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
+                .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+        if e.isEmpty():
+            return assigned
+        e_cached = e.repartition("src").persist()
+        e_cached.count()
+        try:
+            # --- 2. COLOR (forward max-propagation to fixpoint) ------
+            colors = (
+                e_cached.select(F.col("src").alias("node"))
+                .unionByName(e_cached.select(F.col("dst").alias("node")))
+                .distinct()
+                .select("node", F.col("node").alias("color"))
+                .localCheckpoint(eager=True)
+            )
+            while True:
+                msgs = (
+                    e_cached.join(colors, e_cached.src == colors.node)
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.max("color").alias("in_color"))
+                )
+                new = (
+                    colors.join(msgs, "node", "left")
+                    .select(
+                        "node",
+                        F.greatest(
+                            "color", F.coalesce("in_color", "color")
+                        ).alias("color"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                changed = (
+                    new.join(colors.withColumnRenamed("color", "old"), "node")
+                    .filter(F.col("color") != F.col("old"))
+                    .count()
+                )
+                colors = new
+                if changed == 0:
+                    break
+            # --- 3. ASSIGN (all roots walk backward within color) ----
+            frontier = colors.filter(F.col("node") == F.col("color")).localCheckpoint(
+                eager=True
+            )
+            reached = frontier
+            while True:
+                step = (
+                    e_cached.join(frontier, e_cached.dst == frontier.node)
+                    .select(F.col("src").alias("node"), "color")
+                    .distinct()
+                    .join(colors.withColumnRenamed("color", "own"), "node")
+                    .filter(F.col("own") == F.col("color"))
+                    .select("node", "color")
+                    .join(reached, ["node", "color"], "left_anti")
+                    .localCheckpoint(eager=True)
+                )
+                if step.isEmpty():
+                    break
+                reached = reached.unionByName(step)
+                frontier = step
+            comp = reached.groupBy("color").agg(F.min("node").alias("component"))
+            assigned = assigned.unionByName(
+                reached.join(comp, "color").select("node", "component")
+            ).localCheckpoint(eager=True)
+            done = reached.select("node").localCheckpoint(eager=True)
+        finally:
+            e_cached.unpersist()
+        e = (
+            e.join(done.withColumnRenamed("node", "src"), "src", "left_anti")
+            .join(done.withColumnRenamed("node", "dst"), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if e.isEmpty():
+            return assigned
+    raise RuntimeError(
+        f"strongly_connected_components did not decompose the graph in "
+        f"max_outer={max_outer} rounds — raise the backstop (each round "
+        f"provably assigns at least one SCC, so this is a chain of more "
+        f"than {max_outer} peel layers, not a livelock)"
+    )

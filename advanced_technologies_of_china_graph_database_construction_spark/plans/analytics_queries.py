@@ -888,7 +888,71 @@ SELECT id, min(lab) AS component FROM reach GROUP BY id
 """
 
 
+# --------------------------------- g39 strongly connected components ----
+
+def g39_strongly_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC decomposition of a deterministic directed graph over the
+    document ids (the x01/p03 construction discipline: structure by
+    integer arithmetic so the oracle is closed-form and independent of
+    the operator, while the operator runs the REAL trim→color→backward-
+    reach algorithm to rediscover it).  The citation fixture itself is
+    acyclic — every SCC a singleton, a vacuous gate (the g31 trap) — so
+    the graph is built to exercise each code path at every sf:
+
+    With b = d//8, p = d%8, k_b = 2 + (b%4), over the N = ⌊max_id+1 / 8⌋·8
+    ids forming complete 8-id blocks:
+      - cycle edges   (p <  k_b): d → 8b + (p+1) mod k_b — one directed
+        cycle of size 2..5 per block (the multi-node SCCs);
+      - tail edges    (p >= k_b): d → d-1 — acyclic chains feeding the
+        cycle (trim-loop fodder: singleton SCCs peeled by degree);
+      - cross edges   (p = 0, b%4 != 3, d+8 < N): d → d+8 — forward-only
+        block chaining, so color regions span blocks but no SCC does.
+
+    Closed form: component(d) = 8b for cycle members, d itself for
+    tails.  Multi-node and singleton SCCs both present at every sf."""
+    from ..operators.analytics import strongly_connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1  # ids are contiguous 0..max
+    big_n = n // 8 * 8
+    d = F.col("doc_id")
+    b, p = F.floor(d / 8), d % 8
+    kb = 2 + (b % 4)
+    base = docs.filter(d < big_n).select("doc_id")
+    cycle = base.filter(p < kb).select(
+        d.alias("src"), (b * 8 + (p + 1) % kb).cast("long").alias("dst")
+    )
+    tail = base.filter(p >= kb).select(d.alias("src"), (d - 1).alias("dst"))
+    cross = base.filter((p == 0) & (b % 4 != 3) & (d + 8 < big_n)).select(
+        d.alias("src"), (d + 8).alias("dst")
+    )
+    # no orderBy: the driver's compare sorts before hashing, and a total-
+    # order exchange on the output is pure waste at scale
+    return strongly_connected_components(cycle.unionByName(tail).unionByName(cross))
+
+
+G39_SQL = """
+WITH n AS (SELECT ((max(doc_id) + 1) // 8) * 8 AS nn FROM documents)
+SELECT doc_id AS node,
+       CASE WHEN doc_id % 8 < 2 + ((doc_id // 8) % 4)
+            THEN (doc_id // 8) * 8 ELSE doc_id END AS component
+FROM documents, n
+WHERE doc_id < nn
+ORDER BY node
+"""
+
+
 SPECS = [
+    QuerySpec(
+        name="g39_strongly_connected",
+        fn=g39_strongly_connected,
+        oracle=G39_SQL,
+        category="analytics",
+        description="strongly connected components (FW-BW-Trim coloring: "
+        "degree-trim loop, forward max-color fixpoint, simultaneous multi-"
+        "root backward reach) over a deterministic block-cycle graph; "
+        "closed-form oracle from the construction arithmetic",
+    ),
     QuerySpec(
         name="g38_incremental_components",
         fn=g38_incremental_components,

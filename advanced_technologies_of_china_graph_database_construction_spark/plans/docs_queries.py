@@ -2569,6 +2569,66 @@ FROM w LEFT JOIN pd USING (doc_id)
 """
 
 
+# ------------------------------------------------- d42 epoch shuffle ---
+
+SHUFFLE_EPOCHS = (1, 2)  # two epochs gated so cross-epoch divergence is proven
+SHUFFLE_SHARDS = 16
+SHUFFLE_PRIME = 1_000_003  # folds the epoch into the mixer input
+SHUFFLE_MOD = 2_147_483_647  # keeps the mixed key bigint-safe in BOTH engines
+
+
+def d42_seeded_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded corpus shuffle — the reproducible-training-
+    order primitive (d12's split discipline applied to ORDERING): every
+    epoch's global read order is a pure function of (doc_id, epoch), so
+    a re-run, a retry, or a different partitioning replays the exact
+    same sequence, while different epochs see genuinely different
+    orders.  Never `rand()` (changes per run) and never
+    `orderBy(rand(seed))` (Spark's sample-based range exchange makes
+    even the seeded form partitioning-dependent).
+
+    Layout: shard = mixed-key mod SHUFFLE_SHARDS, pos = rank of the
+    mixed key within the shard — (epoch, shard, pos) ascending IS the
+    global epoch order for a sharded reader.  One hash-partitioned
+    window per epoch, no global sort, no sampling; the mixer is the
+    d12 Knuth spread with the epoch folded in, bounded by SHUFFLE_MOD
+    so both engines stay in bigint arithmetic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    epochs = spark.range(1, len(SHUFFLE_EPOCHS) + 1).select(
+        F.col("id").cast("int").alias("epoch")
+    )
+    mixed = F.pmod(
+        (F.col("doc_id") + F.col("epoch") * F.lit(SHUFFLE_PRIME)) * F.lit(dedup.KNUTH),
+        F.lit(SHUFFLE_MOD),
+    )
+    keyed = docs.select("doc_id").crossJoin(F.broadcast(epochs)).select(
+        "epoch", "doc_id", mixed.alias("mixed")
+    )
+    w = Window.partitionBy("epoch", F.pmod(F.col("mixed"), F.lit(SHUFFLE_SHARDS))).orderBy(
+        "mixed", "doc_id"
+    )
+    return keyed.select(
+        "epoch",
+        "doc_id",
+        F.pmod(F.col("mixed"), F.lit(SHUFFLE_SHARDS)).cast("int").alias("shard"),
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+D42_SQL = f"""
+WITH keyed AS (
+  SELECT e.epoch, d.doc_id,
+         ((d.doc_id + e.epoch * {SHUFFLE_PRIME}) * {dedup.KNUTH}) % {SHUFFLE_MOD} AS mixed
+  FROM documents d CROSS JOIN (VALUES (1), (2)) AS e(epoch))
+SELECT epoch, doc_id,
+       (mixed % {SHUFFLE_SHARDS})::INT AS shard,
+       row_number() OVER (PARTITION BY epoch, mixed % {SHUFFLE_SHARDS}
+                          ORDER BY mixed, doc_id)::INT AS pos
+FROM keyed
+"""
+
+
 # No specs currently staged; new specs register directly (never-gated
 # specs sort first in the staleness-ordered registry, so they take the
 # next driver gate's first slots — zero rows is the weakest signal and
@@ -2610,6 +2670,11 @@ SPECS = [
               "input metrics + curated count from ONE action, no second pass"),
     QuerySpec("d27_snapshot_diff", d27_snapshot_diff, D27_SQL, "dedup",
               "incremental snapshot diff (added/removed/changed via hash CDC)"),
+    QuerySpec("d42_seeded_epoch_shuffle", d42_seeded_epoch_shuffle, D42_SQL,
+              "text", "deterministic seeded corpus shuffle: per-epoch "
+              "(shard, pos) read order from a closed-form mixer — "
+              "reproducible training order, no rand(), no sampling-based "
+              "range exchange"),
     QuerySpec("d28_bpe_merges", d28_bpe_merges, None, "text",
               "BPE merge-table induction, incremental pair counts (rows-only "
               "gate; python-reference pytest; encode face hash-gated as d31)"),

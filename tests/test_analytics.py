@@ -704,3 +704,109 @@ def test_ktruss_keeps_zero_support_edges_when_threshold_allows(spark):
     path = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
     got = {(r["src"], r["dst"]): r["support"] for r in k_truss(path, 2, 2).collect()}
     assert got == {(0, 1): 0, (1, 2): 0}
+
+
+# --------------------------------- strongly connected components --------
+
+
+def _kosaraju(edge_list):
+    """Reference SCC: iterative Kosaraju, component = min member id.
+    Self-loop-only nodes excluded (the operator drops self-loops and
+    takes its node set from the surviving edge endpoints)."""
+    from collections import defaultdict
+
+    g, rg, nodes = defaultdict(list), defaultdict(list), set()
+    for a, b in edge_list:
+        if a == b:
+            continue
+        g[a].append(b)
+        rg[b].append(a)
+        nodes.update((a, b))
+    seen, order = set(), []
+    for s in nodes:
+        if s in seen:
+            continue
+        seen.add(s)
+        stack = [(s, iter(g[s]))]
+        while stack:
+            u, it = stack[-1]
+            for v in it:
+                if v not in seen:
+                    seen.add(v)
+                    stack.append((v, iter(g[v])))
+                    break
+            else:
+                order.append(u)
+                stack.pop()
+    comp = {}
+    for s in reversed(order):
+        if s in comp:
+            continue
+        members, stack = [s], [s]
+        comp[s] = s
+        while stack:
+            u = stack.pop()
+            for v in rg[u]:
+                if v not in comp:
+                    comp[v] = s
+                    members.append(v)
+                    stack.append(v)
+        m = min(members)
+        for x in members:
+            comp[x] = m
+    return comp
+
+
+def _scc_of(spark, edge_list):
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import (
+        strongly_connected_components,
+    )
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edge_list], "src long, dst long"
+    )
+    return {r.node: r.component for r in strongly_connected_components(df).collect()}
+
+
+def test_scc_known_structure(spark):
+    # cycle {0,1,2}, cycle {3,4}, DAG tail 6→5→0, bridge 2→3 (forward
+    # only — must NOT merge the cycles), self-loop 7 (dropped entirely),
+    # duplicate edge (exercises the distinct guard)
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 3), (5, 0), (6, 5), (2, 3), (7, 7), (2, 0)]
+    assert _scc_of(spark, edges) == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 6}
+
+
+def test_scc_single_big_cycle_and_pure_dag(spark):
+    n = 12
+    ring = [(i, (i + 1) % n) for i in range(n)]
+    assert set(_scc_of(spark, ring).values()) == {0}
+    dag = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    assert _scc_of(spark, dag) == {i: i for i in range(6)}
+
+
+def test_scc_matches_kosaraju_on_random_graphs(spark):
+    import random
+
+    for seed in (0, 1, 2):
+        rnd = random.Random(seed)
+        edges = {(rnd.randrange(24), rnd.randrange(24)) for _ in range(60)}
+        edges = [(a, b) for a, b in edges if a != b]
+        assert _scc_of(spark, edges) == _kosaraju(edges), f"seed={seed}"
+
+
+def test_scc_backstop_raises_not_truncates(spark):
+    # a chain of cycles with DESCENDING ids ({8,9} → {4,5} → {0,1}):
+    # the upstream max id colors every downstream SCC, so each round
+    # peels exactly one layer — three rounds needed; trim removes
+    # nothing (every node sits on a cycle).  With max_outer=1 the
+    # operator must REFUSE rather than return a partial labeling.
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import (
+        strongly_connected_components,
+    )
+
+    chain = [(8, 9), (9, 8), (9, 4), (4, 5), (5, 4), (5, 0), (0, 1), (1, 0)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    with pytest.raises(RuntimeError, match="max_outer"):
+        strongly_connected_components(df, max_outer=1)
+    full = {r.node: r.component for r in strongly_connected_components(df).collect()}
+    assert full == {8: 8, 9: 8, 4: 4, 5: 4, 0: 0, 1: 0}

@@ -702,3 +702,20 @@ def test_merge_versioned_is_one_window_exchange(spark):
     plan = _plan(merge_versioned(store, batch))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_scc_is_checkpointed_supersteps_no_python_no_cartesian(spark):
+    """g39: the SCC decomposition's returned frame reads the assign-loop
+    localCheckpoint blocks (trim/color/backward-reach all execute as
+    join+agg supersteps, never a collect-driven python loop); no Python
+    row evaluation and no Cartesian product anywhere — the backward
+    multi-root walk is an equi-join on (dst = frontier.node), not a
+    node×node blowup."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.analytics_queries import (
+        g39_strongly_connected,
+    )
+
+    plan = _plan(g39_strongly_connected(spark, SF_CORRECT))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "ExistingRDD" in plan, plan

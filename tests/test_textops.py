@@ -456,3 +456,40 @@ def test_bigram_lm_perplexity_matches_python_reference(spark):
         r = got[doc_id]
         assert (r["n_bigrams"], r["n_unseen"], r["ppl_floor"]) == (n, u, p), (doc_id, r)
     assert got[11]["n_unseen"] == 2 and got[12]["n_unseen"] == 1  # non-vacuous
+
+
+def test_seeded_epoch_shuffle_is_reproducible_permutation(spark):
+    """d42 contract: per epoch, (shard, pos) is a total order covering
+    every doc exactly once (pos = 1..n within each shard, no gaps);
+    epochs produce genuinely different orders over the same multiset;
+    and a re-run returns the identical frame (pure function of the id —
+    the property rand()-based shuffles break)."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.docs_queries import (
+        SHUFFLE_SHARDS,
+        d42_seeded_epoch_shuffle,
+    )
+
+    from .conftest import SF_CORRECT
+
+    rows = d42_seeded_epoch_shuffle(spark, SF_CORRECT).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == {1, 2}
+    n_docs = len({r.doc_id for r in rows})
+    orders = {}
+    for epoch, rs in by_epoch.items():
+        assert len(rs) == n_docs  # every doc exactly once per epoch
+        shards = {}
+        for r in rs:
+            assert 0 <= r.shard < SHUFFLE_SHARDS
+            shards.setdefault(r.shard, []).append(r.pos)
+        for poss in shards.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))  # dense ranks
+        orders[epoch] = [
+            r.doc_id for r in sorted(rs, key=lambda r: (r.shard, r.pos))
+        ]
+    assert orders[1] != orders[2]
+    assert sorted(orders[1]) == sorted(orders[2])
+    rerun = d42_seeded_epoch_shuffle(spark, SF_CORRECT).collect()
+    assert sorted(map(tuple, rerun)) == sorted(map(tuple, rows))
