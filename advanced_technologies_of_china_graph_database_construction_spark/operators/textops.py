@@ -349,3 +349,65 @@ def nfc_audit(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             )
 
     return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def npmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_word_docs: int = 5,
+    min_pair_docs: int = 5,
+    top_k: int = 50,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k word collocations by normalized PMI over document
+    co-occurrence — phrase mining for corpus curation (the statistic
+    behind word2phrase / collocation extraction; NPMI per Bouma 2009).
+    Upgrades the reference's keyword co-occurrence listing
+    (`neo4j_query_executor.py` Q13 class — raw pair counts) to a
+    strength-ranked score.
+
+    p(w) = doc-frequency / N over DISTINCT words per doc;
+    npmi(a,b) = ln(N·df_ab / (df_a·df_b)) / ln(N / df_ab), with the
+    df_ab = N degenerate case pinned to 1.0.  Ordering is by the
+    ROUNDED score (desc, then word_a, word_b) so the top-k cutoff is
+    engine-independent.
+
+    Scale shape: the pair space is bounded BEFORE the quadratic step —
+    only words with df ≥ ``min_word_docs`` survive (the qualifying
+    vocabulary is corpus-small and broadcast), so the per-doc self-join
+    is quadratic only in qualifying distinct words per doc.  Pair
+    counting is one (word_a, word_b) shuffle with map-side combine;
+    df dimensions re-join by broadcast; top-k is
+    TakeOrderedAndProject, never a global sort.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != F.lit("")
+    )
+    words = (
+        docs.select("doc_id", F.explode(F.array_distinct(toks)).alias("w"))
+    ).localCheckpoint(eager=True)
+    n_docs = float(docs.count())
+    df_w = words.groupBy("w").agg(F.count("*").alias("df"))
+    vocab = df_w.filter(F.col("df") >= min_word_docs)
+    kept = words.join(F.broadcast(vocab.select("w")), "w")
+    pairs = (
+        kept.alias("a")
+        .join(kept.alias("b"), "doc_id")
+        .filter(F.col("a.w") < F.col("b.w"))
+        .groupBy(F.col("a.w").alias("word_a"), F.col("b.w").alias("word_b"))
+        .agg(F.count("*").alias("df_ab"))
+        .filter(F.col("df_ab") >= min_pair_docs)
+    )
+    dfa = vocab.select(F.col("w").alias("word_a"), F.col("df").alias("df_a"))
+    dfb = vocab.select(F.col("w").alias("word_b"), F.col("df").alias("df_b"))
+    npmi = F.when(F.col("df_ab") == n_docs, F.lit(1.0)).otherwise(
+        F.log(F.lit(n_docs) * F.col("df_ab") / (F.col("df_a") * F.col("df_b")))
+        / F.log(F.lit(n_docs) / F.col("df_ab"))
+    )
+    return (
+        pairs.join(F.broadcast(dfa), "word_a")
+        .join(F.broadcast(dfb), "word_b")
+        .select("word_a", "word_b", "df_ab", F.round(npmi, round_digits).alias("npmi"))
+        .orderBy(F.desc("npmi"), "word_a", "word_b")
+        .limit(top_k)
+    )

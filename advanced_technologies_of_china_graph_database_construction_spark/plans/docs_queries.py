@@ -2629,6 +2629,117 @@ FROM keyed
 """
 
 
+# ---------------- d43 DSIR importance weights (data selection) -----------
+
+DSIR_BUCKETS = 4096
+DSIR_TARGET_LANG = "en"
+
+# the oracle's copy of selection.charpoly_hash (base-31 codepoint
+# polynomial mod 2^31-1; list_reduce's implicit init = first element
+# equals the Spark fold's 0-init because 0*31 + c == c)
+_CHARPOLY = (
+    "list_reduce(list_transform(string_split({w}, ''), c -> ord(c)::BIGINT),"
+    " (a, b) -> (a*31 + b) % 2147483647)"
+)
+_DSIR_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')"
+)
+
+
+def d43_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): per-document importance
+    weight of the hashed unigram+bigram distribution, target =
+    ``lang = 'en'`` documents vs the whole corpus as raw.  The 100 TB
+    replacement for the reference's curate-by-manual-domain-export flow
+    (`Hype.py:64-70`): score every raw document, keep the top mass.
+    Bucket distributions are two ≤4096-row aggregates; scoring is one
+    broadcast join + doc_id-keyed sum."""
+    from ..operators.selection import dsir_importance_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs, F.col("lang") == DSIR_TARGET_LANG, n_buckets=DSIR_BUCKETS
+    )
+
+
+D43_SQL = f"""
+WITH hs AS (
+  SELECT doc_id,
+         list_transform({_DSIR_TOKS}, w -> {_CHARPOLY.format(w="w")}) AS hh
+  FROM documents),
+feats AS (
+  SELECT doc_id, unnest(list_transform(hh, h -> h % {DSIR_BUCKETS})) AS bucket
+  FROM hs
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(hh)),
+                               i -> (hh[i] * 2654435761 + hh[i+1]) % {DSIR_BUCKETS})) AS bucket
+  FROM hs),
+tgt AS (SELECT doc_id FROM documents WHERE lang = '{DSIR_TARGET_LANG}'),
+rawc AS (SELECT bucket, count(*) AS c_raw FROM feats GROUP BY bucket),
+tgtc AS (SELECT f.bucket, count(*) AS c_tgt
+         FROM feats f JOIN tgt USING (doc_id) GROUP BY f.bucket),
+tots AS (SELECT (SELECT count(*) FROM feats) AS tot_raw,
+                (SELECT count(*) FROM feats f JOIN tgt USING (doc_id)) AS tot_tgt),
+ratios AS (
+  SELECT r.bucket,
+         ln((coalesce(t.c_tgt, 0) + 1.0) / (tots.tot_tgt + {DSIR_BUCKETS})::DOUBLE)
+           - ln((r.c_raw + 1.0) / (tots.tot_raw + {DSIR_BUCKETS})::DOUBLE) AS log_ratio
+  FROM rawc r LEFT JOIN tgtc t USING (bucket), tots)
+SELECT f.doc_id, count(*) AS n_feats, round(sum(r.log_ratio), 6) AS weight
+FROM feats f JOIN ratios r USING (bucket)
+GROUP BY f.doc_id
+"""
+
+
+# ---------------- d44 NPMI collocations (phrase mining) ------------------
+
+NPMI_MIN_WORD_DOCS = 5
+NPMI_MIN_PAIR_DOCS = 5
+NPMI_TOP_K = 50
+
+
+def d44_npmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 word collocations by normalized PMI over document
+    co-occurrence (Bouma 2009) — strength-ranked phrase mining, the
+    scored upgrade of the reference's raw keyword co-occurrence listing
+    (`neo4j_query_executor.py` Q13 class).  The quadratic pair step is
+    vocabulary-capped BEFORE the self-join; cutoff order is on the
+    rounded score so both engines agree at the limit boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.npmi_collocations(
+        docs,
+        min_word_docs=NPMI_MIN_WORD_DOCS,
+        min_pair_docs=NPMI_MIN_PAIR_DOCS,
+        top_k=NPMI_TOP_K,
+    )
+
+
+D44_SQL = f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, unnest({_DSIR_TOKS}) AS w FROM documents),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+dfw AS (SELECT w, count(*) AS df FROM words GROUP BY w
+        HAVING count(*) >= {NPMI_MIN_WORD_DOCS}),
+kept AS (SELECT words.doc_id, words.w FROM words JOIN dfw USING (w)),
+pairs AS (
+  SELECT a.w AS word_a, b.w AS word_b, count(*) AS df_ab
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w
+  HAVING count(*) >= {NPMI_MIN_PAIR_DOCS})
+SELECT word_a, word_b, df_ab,
+       round(CASE WHEN df_ab = n.n_docs THEN 1.0
+                  ELSE ln(n.n_docs * df_ab / (da.df * db.df))
+                         / ln(n.n_docs / df_ab) END, 6) AS npmi
+FROM pairs
+JOIN dfw da ON pairs.word_a = da.w
+JOIN dfw db ON pairs.word_b = db.w
+CROSS JOIN n
+ORDER BY npmi DESC, word_a, word_b
+LIMIT {NPMI_TOP_K}
+"""
+
+
 # No specs currently staged; new specs register directly (never-gated
 # specs sort first in the staleness-ordered registry, so they take the
 # next driver gate's first slots — zero rows is the weakest signal and
@@ -2773,4 +2884,9 @@ SPECS = [
               "PII detect + redact audit (email/phone regexes, zero residual)"),
     QuerySpec("d18_top_bigrams", d18_top_bigrams, D18_SQL, "text",
               "corpus word-bigram frequencies via the n-gram array surface"),
+    QuerySpec("d43_dsir_importance_weights", d43_dsir_importance_weights, D43_SQL,
+              "selection",
+              "DSIR importance weights: hashed n-gram target/raw log-ratios"),
+    QuerySpec("d44_npmi_collocations", d44_npmi_collocations, D44_SQL, "text",
+              "top-50 NPMI collocations, vocabulary-capped pair space"),
 ]

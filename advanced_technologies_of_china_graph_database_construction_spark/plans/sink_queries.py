@@ -358,7 +358,74 @@ FROM documents GROUP BY 1
 """
 
 
+def s12_compacted_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance op every APPENDED store
+    eventually needs (the e26/e27 micro-batch sinks and the p03
+    per-ingest deltas all accrete files; the reference's one-shot CSV
+    dump never faces this).  Documents land partitioned by ``source``
+    in a deliberately fragmented layout — every source scattered
+    across an 8-way round-robin shuffle (≈8 files each) EXCEPT
+    ``src0``, pre-written as a single healthy file.  The compactor
+    must (a) converge each fragmented source to one file, (b) leave
+    ``src0``'s file byte-identical — same name, same bytes (the
+    dynamic-overwrite no-touch contract, asserted in-spec on the
+    directory listing), and (c) lose no rows, which the gate proves
+    against the raw-table oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.compaction import compact_partitions, partition_file_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="sink_compact_")
+    try:
+        healthy = docs.filter(F.col("source") == "src0").coalesce(1)
+        healthy.write.mode("overwrite").partitionBy("source").parquet(out)
+        frag = docs.filter(F.col("source") != "src0").repartition(8)
+        frag.write.mode("append").partitionBy("source").parquet(out)
+
+        def listing(src: str) -> dict[str, float]:
+            d = os.path.join(out, f"source={src}")
+            return {
+                f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            }
+
+        before = listing("src0")
+        compacted = compact_partitions(spark, out, ["source"], rows_per_file=100_000)
+        # (b) the healthy partition was not flagged, listed, or rewritten
+        assert "src0" not in {r["source"] for r in compacted}, compacted
+        assert listing("src0") == before, (before, listing("src0"))
+        # (a) every partition now holds exactly one file
+        stats = partition_file_stats(spark, out, ["source"]).collect()
+        bad = [r for r in stats if r["n_files"] != 1]
+        assert not bad, bad
+        back = spark.read.parquet(out).select(
+            "doc_id", "lang", "source", "n_chars", F.md5("text").alias("text_md5")
+        )
+        # materialize before removing the backing dir (s07 discipline)
+        return spark.createDataFrame(back.collect(), back.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+S12_SQL = """
+SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5 FROM documents
+"""
+
+
 SPECS = [
+    QuerySpec(
+        name="s12_compacted_store_roundtrip",
+        fn=s12_compacted_store_roundtrip,
+        oracle=S12_SQL,
+        category="sink",
+        description="small-file compaction: fragmented source partitions "
+        "converge to one file each, the healthy partition's file stays "
+        "byte-identical, read-back gated vs the raw table",
+    ),
     QuerySpec(
         name="s11_schema_evolution_read",
         fn=s11_schema_evolution_read,

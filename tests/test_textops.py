@@ -493,3 +493,64 @@ def test_seeded_epoch_shuffle_is_reproducible_permutation(spark):
     assert sorted(orders[1]) == sorted(orders[2])
     rerun = d42_seeded_epoch_shuffle(spark, SF_CORRECT).collect()
     assert sorted(map(tuple, rerun)) == sorted(map(tuple, rows))
+
+
+# ---------------------------- NPMI collocations --------------------------
+
+
+def _npmi_reference(rows, min_word_docs, min_pair_docs, top_k):
+    import itertools
+    import math
+
+    docsets = {d: set(t.lower().split()) for d, t in rows}
+    n = float(len(rows))
+    df = {}
+    for s in docsets.values():
+        for w in s:
+            df[w] = df.get(w, 0) + 1
+    vocab = {w for w, c in df.items() if c >= min_word_docs}
+    pair_df = {}
+    for s in docsets.values():
+        for a, b in itertools.combinations(sorted(s & vocab), 2):
+            pair_df[(a, b)] = pair_df.get((a, b), 0) + 1
+    out = []
+    for (a, b), dab in pair_df.items():
+        if dab < min_pair_docs:
+            continue
+        npmi = (
+            1.0
+            if dab == n
+            else math.log(n * dab / (df[a] * df[b])) / math.log(n / dab)
+        )
+        out.append((a, b, dab, round(npmi, 6)))
+    out.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return out[:top_k]
+
+
+def test_npmi_collocations_matches_reference(spark):
+    rows = [
+        (1, "red blue red green"),
+        (2, "red blue yellow"),
+        (3, "red blue"),
+        (4, "green yellow red"),
+        (5, "blue green purple"),
+        (6, "red blue green"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [
+        (r["word_a"], r["word_b"], r["df_ab"], r["npmi"])
+        for r in textops.npmi_collocations(
+            docs, min_word_docs=2, min_pair_docs=2, top_k=10
+        ).collect()
+    ]
+    assert got == _npmi_reference(rows, 2, 2, 10)
+
+
+def test_npmi_all_docs_pair_pins_to_one(spark):
+    rows = [(1, "a b x"), (2, "a b y"), (3, "a b z")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textops.npmi_collocations(docs, min_word_docs=1, min_pair_docs=1, top_k=5)
+    got = {(r["word_a"], r["word_b"]): r["npmi"] for r in out.collect()}
+    # (a, b) co-occurs in EVERY document: ln(N/df_ab) = 0, the npmi
+    # degenerate case must pin to exactly 1.0, not NaN/inf
+    assert got[("a", "b")] == 1.0
