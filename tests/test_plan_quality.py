@@ -719,3 +719,40 @@ def test_scc_is_checkpointed_supersteps_no_python_no_cartesian(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "ExistingRDD" in plan, plan
+
+
+def test_dsir_weights_broadcast_ratios_and_pushed_target_filter(spark):
+    """d43: the target-language predicate must reach the parquet scan
+    as a pushed filter, the ≤n_buckets log-ratio table must re-enter
+    the scoring join as a BROADCAST, the per-doc weight sum must
+    partial-aggregate map-side, and the whole path stays JVM-side (the
+    char-polynomial hash is a codegen fold, not a UDF)."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.selection import (
+        dsir_importance_weights,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    plan = _plan(dsir_importance_weights(docs, F.col("lang") == "en", n_buckets=256))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "EqualTo(lang,en)" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+
+
+def test_npmi_vocab_broadcast_and_topk_no_global_sort(spark):
+    """d44: the qualifying vocabulary and both df dimensions must enter
+    as broadcasts (the pair space is capped BEFORE the self-join), the
+    pair count must partial-aggregate map-side, and the top-k cutoff
+    must plan as TakeOrderedAndProject — never a global Sort."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    plan = _plan(
+        textops.npmi_collocations(docs, min_word_docs=5, min_pair_docs=5, top_k=50)
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
+    assert plan.count("BroadcastExchange") >= 3, plan
+    assert "partial_count" in plan, plan
