@@ -632,3 +632,53 @@ def test_zorder_key_property_matches_python_interleave(spark, pairs, bits):
         .collect()
     ]
     assert got == sorted(ref(a, b) for a, b in pairs)
+
+
+@given(seed=st.integers(0, 2**16))
+@SETTINGS
+def test_dsir_weights_invariant_to_input_partitioning(spark, seed):
+    """DSIR importance weights are a pure function of the corpus as a
+    SET: random corpora scored identically under 1-partition and 13-way
+    repartitioned inputs — the per-doc log-ratio sum must not depend on
+    row placement (rounding happens once, after the full sum)."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.selection import (
+        dsir_importance_weights,
+    )
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "omega", "psi"]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(0, 12))), rng.random() < 0.4)
+        for i in range(30)
+    ]
+    out = {}
+    for nparts in (1, 13):
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "is_t"]).repartition(
+            nparts
+        )
+        out[nparts] = sorted(
+            map(
+                tuple,
+                dsir_importance_weights(docs, F.col("is_t"), n_buckets=64).collect(),
+            )
+        )
+    assert out[1] == out[13]
+
+
+def test_npmi_invariant_to_doc_order_and_partitioning(spark):
+    """NPMI collocations over the same document multiset in reversed
+    order and a different partitioning return the identical ranked
+    list — the rounded-score cutoff makes the top-k order total."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators import (
+        textops,
+    )
+
+    rows = [
+        (i, " ".join(random.Random(i).choices(["r", "g", "b", "y", "p"], k=6)))
+        for i in range(40)
+    ]
+    a = spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1)
+    b = spark.createDataFrame(rows[::-1], ["doc_id", "text"]).repartition(11)
+    ka = [tuple(r) for r in textops.npmi_collocations(a, min_word_docs=2, min_pair_docs=2, top_k=8).collect()]
+    kb = [tuple(r) for r in textops.npmi_collocations(b, min_word_docs=2, min_pair_docs=2, top_k=8).collect()]
+    assert ka == kb
