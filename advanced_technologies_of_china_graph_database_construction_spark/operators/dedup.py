@@ -259,6 +259,102 @@ def minhash_near_dups(
     )
 
 
+def minhash_delta_near_dups(
+    standing: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    block_col: str = "source",
+    min_matching: int = 8,
+    broadcast_threshold_docs: int = 200_000,
+) -> DataFrame:
+    """Near-duplicate pairs TOUCHING a delta batch — the O(|delta|)
+    refresh face of :func:`minhash_near_dups` (the symdelete_delta_pairs
+    contract applied to content dedup): ``(src, dst, n_matching)`` where
+    ``dst`` is always a delta document and ``src`` is a standing
+    document or an earlier delta document (``src < dst``).
+    Standing↔standing pairs are excluded by construction — they were
+    found when THEIR batches arrived; re-deriving them per ingest is the
+    full-corpus rescan this operator exists to avoid.  Result equals
+    "``minhash_near_dups(standing ∪ delta)`` minus its standing-internal
+    pairs" exactly (same pigeonhole candidates, same 16-perm verify).
+
+    A document re-delivered on both sides is tolerated: cross
+    candidates drop ``src == dst`` and the unioned verify lookup is
+    per-id deduplicated, so a re-seen id can neither self-pair nor fan
+    out the verify join.
+
+    Scale shape: every delta-derived frame (band probe, candidate set,
+    delta signatures) is broadcast while the delta fits
+    ``broadcast_threshold_docs`` — an ingest batch is delta-sized, not
+    corpus-sized — so the standing side is SCANNED map-side (signature
+    kernel + band probe are narrow) but never shuffled.  In production
+    the standing signature table is the PERSISTED store this scan
+    stands in for (written once per batch, bucketed by doc_id), making
+    the refresh independent of corpus size end to end.  Past the cap
+    the hints drop and Catalyst falls back to shuffled joins.
+    """
+    kernel = _minhash_sig_udf()
+
+    def sigs(df: DataFrame) -> DataFrame:
+        return (
+            df.select("doc_id", F.col(block_col), kernel(F.col(text_col)).alias("sig"))
+            .filter(F.col("sig").isNotNull())
+            .localCheckpoint(eager=True)
+        )
+
+    sig_s, sig_d = sigs(standing), sigs(delta)
+    small_delta = sig_d.count() <= broadcast_threshold_docs
+    bcast = F.broadcast if small_delta else (lambda d: d)
+
+    n_cand_perms = N_PERMS - min_matching + 1
+
+    def probe(sig: DataFrame, id_alias: str) -> DataFrame:
+        return sig.select(
+            F.col("doc_id").alias(id_alias),
+            F.col(block_col).alias(f"blk_{id_alias}"),
+            F.posexplode(F.slice("sig", 1, n_cand_perms)).alias(
+                f"k_{id_alias}", f"mh_{id_alias}"
+            ),
+        )
+
+    ps, pd_ = probe(sig_s, "src"), probe(sig_d, "dst")
+    cross = ps.join(
+        bcast(pd_),
+        (F.col("k_src") == F.col("k_dst"))
+        & (F.col("mh_src") == F.col("mh_dst"))
+        & (F.col("blk_src") == F.col("blk_dst"))
+        & (F.col("src") != F.col("dst")),  # re-seen id: not a self-pair
+    ).select("src", "dst")
+    pd2 = probe(sig_d, "src")
+    dd = pd2.join(
+        bcast(pd_),
+        (F.col("k_src") == F.col("k_dst"))
+        & (F.col("mh_src") == F.col("mh_dst"))
+        & (F.col("blk_src") == F.col("blk_dst"))
+        & (F.col("src") < F.col("dst")),
+    ).select("src", "dst")
+    cands = cross.unionByName(dd).distinct()
+
+    # verify lookup: src may come from either side — one row per id so a
+    # re-delivered doc cannot fan the join out, and the DELTA version
+    # wins deterministically (anti-join, not an order-dependent dedup)
+    sa = (
+        sig_s.join(bcast(sig_d.select("doc_id")), "doc_id", "left_anti")
+        .unionByName(sig_d)
+        .select(F.col("doc_id").alias("src"), F.col("sig").alias("sig_a"))
+    )
+    sb = sig_d.select(F.col("doc_id").alias("dst"), F.col("sig").alias("sig_b"))
+    n_match = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    return (
+        sa.join(bcast(cands), "src")
+        .join(bcast(sb), "dst")
+        .select("src", "dst", n_match.alias("n_matching"))
+        .filter(F.col("n_matching") >= min_matching)
+    )
+
+
 # --- SimHash --------------------------------------------------------------
 
 def _token_hash_expr(tok: str = "tok") -> str:

@@ -2740,6 +2740,51 @@ LIMIT {NPMI_TOP_K}
 """
 
 
+# ---------------- d45 incremental MinHash dedup (delta vs standing) -------
+
+# residues chosen so the d02 corpus exercises ALL THREE pair classes:
+# +1000000 shifts doc_id by 1 mod 7 and +2000000 by 2, so base/variant
+# pairs land as standing-internal (excluded), standing↔delta (cross),
+# and delta-internal (src<dst) depending on the base residue
+DELTA_RESIDUES = (0, 1)
+
+
+def d45_minhash_delta_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(|delta|) refresh face of d02: near-dup pairs touching a
+    delta batch only — dedupe the new crawl against the standing corpus
+    without re-deriving standing-internal pairs (the content-dedup
+    sibling of p03's symdelete_delta_pairs).  Delta = corpus docs with
+    ``doc_id % 7 ∈ {0, 1}``; the d02 injected near/exact duplicates
+    straddle the split, so the cross, delta-internal and
+    excluded-standing branches all carry rows at every sf."""
+    corpus = _corpus(spark, sf_dir)
+    is_delta = F.pmod(F.col("doc_id"), F.lit(7)).isin(*DELTA_RESIDUES)
+    return dedup.minhash_delta_near_dups(
+        corpus.filter(~is_delta), corpus.filter(is_delta)
+    )
+
+
+D45_SQL = f"""
+WITH {_CORPUS_CTE},
+{_SHINGLES_CTE},
+perms(k, a, b) AS (VALUES {_PERMS_VALUES}),
+sigs AS (
+  SELECT doc_id, k, min((a * shingle_hash + b) % {dedup.MINHASH_PRIME}) AS minhash
+  FROM shingles CROSS JOIN perms GROUP BY doc_id, k),
+sigsrc AS (
+  SELECT s.doc_id, s.k, s.minhash, c.source,
+         (c.doc_id % 7) IN {DELTA_RESIDUES} AS is_delta
+  FROM sigs s JOIN corpus c USING (doc_id))
+SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS n_matching
+FROM sigsrc a JOIN sigsrc b
+  ON a.k = b.k AND a.minhash = b.minhash AND a.source = b.source
+ AND b.is_delta AND a.doc_id <> b.doc_id
+ AND (NOT a.is_delta OR a.doc_id < b.doc_id)
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 8
+"""
+
+
 # No specs currently staged; new specs register directly (never-gated
 # specs sort first in the staleness-ordered registry, so they take the
 # next driver gate's first slots — zero rows is the weakest signal and
@@ -2889,4 +2934,8 @@ SPECS = [
               "DSIR importance weights: hashed n-gram target/raw log-ratios"),
     QuerySpec("d44_npmi_collocations", d44_npmi_collocations, D44_SQL, "text",
               "top-50 NPMI collocations, vocabulary-capped pair space"),
+    QuerySpec("d45_minhash_delta_near_dups", d45_minhash_delta_near_dups, D45_SQL,
+              "dedup",
+              "incremental MinHash dedup: delta batch vs standing corpus, "
+              "standing-internal pairs excluded"),
 ]

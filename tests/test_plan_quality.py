@@ -756,3 +756,26 @@ def test_npmi_vocab_broadcast_and_topk_no_global_sort(spark):
     assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
     assert plan.count("BroadcastExchange") >= 3, plan
     assert "partial_count" in plan, plan
+
+
+def test_minhash_delta_broadcasts_delta_never_shuffles_standing(spark):
+    """d45: while the delta fits the cap, every delta-derived frame
+    (band probe, candidates, delta signatures) enters as a broadcast so
+    the standing side is scanned map-side and never shuffled; past the
+    cap the unconditional hints must be gone (the d02 discipline)."""
+    from advanced_technologies_of_china_graph_database_construction_spark.catalog import load_table
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.dedup import (
+        minhash_delta_near_dups,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    is_delta = F.pmod(F.col("doc_id"), F.lit(7)).isin(0, 1)
+    small = minhash_delta_near_dups(docs.filter(~is_delta), docs.filter(is_delta))
+    plan = _plan(small)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    capped = minhash_delta_near_dups(
+        docs.filter(~is_delta), docs.filter(is_delta), broadcast_threshold_docs=0
+    )
+    optimized = capped._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized, optimized

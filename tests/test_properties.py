@@ -682,3 +682,62 @@ def test_npmi_invariant_to_doc_order_and_partitioning(spark):
     ka = [tuple(r) for r in textops.npmi_collocations(a, min_word_docs=2, min_pair_docs=2, top_k=8).collect()]
     kb = [tuple(r) for r in textops.npmi_collocations(b, min_word_docs=2, min_pair_docs=2, top_k=8).collect()]
     assert ka == kb
+
+
+@given(st.integers(0, 2**31 - 1))
+@SETTINGS
+def test_minhash_delta_pairs_equal_full_minus_standing_internal(spark, seed):
+    """The incremental dedup contract: minhash_delta_near_dups(standing,
+    delta) over a random split equals minhash_near_dups(standing ∪
+    delta) minus its standing-internal pairs, with cross pairs oriented
+    (standing src, delta dst) — the symdelete_delta_pairs equality
+    applied to content dedup."""
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    docs = []
+    for i in range(24):
+        base = " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 10)))
+        docs.append((i, base, f"b{i % 2}"))
+        if rng.random() < 0.5:
+            docs.append((100 + i, base + " zeta", f"b{i % 2}"))
+    delta_ids = {d for d, _, _ in docs if rng.random() < 0.4}
+    full = _brute_minhash_pairs(docs)
+    expected = set()
+    for a, b, n in full:
+        if a in delta_ids and b in delta_ids:
+            expected.add((a, b, n))
+        elif b in delta_ids:
+            expected.add((a, b, n))
+        elif a in delta_ids:
+            expected.add((b, a, n))  # cross pairs orient (standing, delta)
+    schema = "doc_id long, text string, source string"
+    standing = spark.createDataFrame(
+        [d for d in docs if d[0] not in delta_ids] or [(-1, "", "b0")], schema
+    )
+    delta = spark.createDataFrame(
+        [d for d in docs if d[0] in delta_ids] or [(-2, "", "b0")], schema
+    )
+    got = {
+        (r["src"], r["dst"], r["n_matching"])
+        for r in D.minhash_delta_near_dups(standing, delta).collect()
+    }
+    assert got == expected
+
+
+def test_minhash_delta_tolerates_redelivered_ids(spark):
+    """A document present on BOTH sides (same id) must not self-pair,
+    must not fan out the verify join, and scores against the DELTA
+    version of its text."""
+    standing = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha beta", "b0"), (2, "omega psi chi", "b0")],
+        "doc_id long, text string, source string",
+    )
+    delta = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha beta", "b0"),
+         (3, "alpha beta gamma alpha beta zeta", "b0")],
+        "doc_id long, text string, source string",
+    )
+    rows = D.minhash_delta_near_dups(standing, delta, min_matching=6).collect()
+    got = {(r["src"], r["dst"]): r["n_matching"] for r in rows}
+    assert all(s != d for s, d in got), got  # no self-pairs
+    assert (1, 3) in got  # the re-seen doc still pairs with the new near-dup
