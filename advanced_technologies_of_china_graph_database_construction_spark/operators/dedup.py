@@ -266,6 +266,7 @@ def minhash_delta_near_dups(
     block_col: str = "source",
     min_matching: int = 8,
     broadcast_threshold_docs: int = 200_000,
+    standing_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs TOUCHING a delta batch — the O(|delta|)
     refresh face of :func:`minhash_near_dups` (the symdelete_delta_pairs
@@ -292,6 +293,12 @@ def minhash_delta_near_dups(
     stands in for (written once per batch, bucketed by doc_id), making
     the refresh independent of corpus size end to end.  Past the cap
     the hints drop and Catalyst falls back to shuffled joins.
+
+    ``standing_sig`` is that persisted store, passed directly: a
+    ``(doc_id, <block_col>, sig array<long>[N_PERMS])`` frame (exactly
+    this operator's own signature shape) that skips re-running the
+    kernel over the standing corpus — the steady-state entry point.
+    When omitted, signatures are derived from ``standing`` in place.
     """
     kernel = _minhash_sig_udf()
 
@@ -302,7 +309,8 @@ def minhash_delta_near_dups(
             .localCheckpoint(eager=True)
         )
 
-    sig_s, sig_d = sigs(standing), sigs(delta)
+    sig_s = standing_sig if standing_sig is not None else sigs(standing)
+    sig_d = sigs(delta)
     small_delta = sig_d.count() <= broadcast_threshold_docs
     bcast = F.broadcast if small_delta else (lambda d: d)
 

@@ -741,3 +741,34 @@ def test_minhash_delta_tolerates_redelivered_ids(spark):
     got = {(r["src"], r["dst"]): r["n_matching"] for r in rows}
     assert all(s != d for s, d in got), got  # no self-pairs
     assert (1, 3) in got  # the re-seen doc still pairs with the new near-dup
+
+
+def test_minhash_delta_accepts_persisted_signature_store(spark):
+    """The steady-state entry point: passing the persisted standing
+    signature table (the operator's own signature shape) returns the
+    identical pair set to deriving signatures from the documents."""
+    rows = [
+        (i, " ".join(random.Random(i).choices(["alpha", "beta", "gamma"], k=6)), "b0")
+        for i in range(20)
+    ]
+    schema = "doc_id long, text string, source string"
+    standing = spark.createDataFrame(rows[:14], schema)
+    delta = spark.createDataFrame(rows[14:], schema)
+    sig = (
+        standing.select(
+            "doc_id", "source", D._minhash_sig_udf()(F.col("text")).alias("sig")
+        )
+        .filter(F.col("sig").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    derived = {
+        tuple(r)
+        for r in D.minhash_delta_near_dups(standing, delta, min_matching=6).collect()
+    }
+    persisted = {
+        tuple(r)
+        for r in D.minhash_delta_near_dups(
+            standing, delta, min_matching=6, standing_sig=sig
+        ).collect()
+    }
+    assert derived == persisted and derived
