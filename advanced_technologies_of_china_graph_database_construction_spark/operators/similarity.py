@@ -300,3 +300,50 @@ def quantized_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def two_stage_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    overfetch: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 256,
+) -> DataFrame:
+    """(query_id, neighbor_id, sim, rank): production two-stage ANN —
+    a cheap int8 first stage overfetches ``k·overfetch`` candidates
+    (:func:`quantized_topk`: 4× smaller vectors, bit-exact integer
+    ranking), then ONLY those candidates are re-scored with exact float
+    cosine and cut to the final top-k.  The standard recall/cost knob of
+    every production vector store: raise ``overfetch`` to trade first-
+    stage work for recall; at ``k·overfetch ≥ N`` the result equals
+    :func:`brute_force_topk` exactly (the identity the test pins).
+
+    Scale shape: the quantized stage scans the compressed copy (the
+    float vectors stay cold); the rerank touches ``|Q|·k·overfetch``
+    rows — the candidate frame (with its query vectors) is BROADCAST
+    into one join against the float table, so the corpus-sized side is
+    scanned map-side, never shuffled, and fetches only candidate rows'
+    vectors.  Final top-k is one per-query window over ``k·overfetch``
+    rows.  Both rankings order by (rounded score, neighbor id) — the
+    engine-portable total order every ANN face here uses."""
+    cands = quantized_topk(
+        emb, query_ids, k=k * overfetch, id_col=id_col, vec_col=vec_col, levels=levels
+    ).select("query_id", "neighbor_id")
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    n = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    rescored = (
+        n.join(F.broadcast(cands.join(q, "query_id")), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            arrow_cosine_rounded(F.col("qv"), F.col("nv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return rescored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -2269,6 +2269,59 @@ SELECT query_id, neighbor_id, score, rank FROM (
 """
 
 
+# ----------------------------------------- a10 two-stage ANN rerank ------
+
+A10_OVERFETCH = 4
+
+
+def a10_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production two-stage ANN: the int8 first stage (a06 machinery)
+    overfetches 4·k candidates from the compressed copy, exact float
+    cosine re-scores ONLY those and cuts to the final top-10 — the
+    recall/cost knob every production vector store exposes.  The float
+    table is scanned map-side against a broadcast candidate frame; at
+    k·overfetch ≥ N the result equals a01 exactly (test-pinned)."""
+    from ..operators.similarity import two_stage_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return two_stage_topk(emb, ANN_QUERY_IDS, k=10, overfetch=A10_OVERFETCH)
+
+
+A10_SQL = f"""
+WITH vals AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings),
+stats AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM vals GROUP BY 1),
+qz AS (
+  SELECT vec_id, pos,
+         CASE WHEN mx = mn THEN 0
+              ELSE CAST(round((val - mn) / (mx - mn) * 255.0) AS INT) - 128 END AS q
+  FROM vals JOIN stats USING (pos)),
+stage1 AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(sum(a.q * b.q) AS BIGINT) AS score
+  FROM qz a JOIN qz b ON a.pos = b.pos AND b.vec_id <> a.vec_id
+  WHERE a.vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
+  GROUP BY 1, 2),
+cands AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS rank
+    FROM stage1) WHERE rank <= {10 * A10_OVERFETCH}),
+qe AS (SELECT vec_id AS query_id, embedding FROM embeddings
+       WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})),
+rer AS (
+  SELECT c.query_id, c.neighbor_id, {_COS_AB.format(a="qe", b="e")} AS sim
+  FROM cands c JOIN qe USING (query_id)
+  JOIN embeddings e ON e.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+  FROM rer) WHERE rank <= 10
+"""
+
+
 # ------------------------------- d30 approx-quantile contract -------------
 
 def d30_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2938,4 +2991,6 @@ SPECS = [
               "dedup",
               "incremental MinHash dedup: delta batch vs standing corpus, "
               "standing-internal pairs excluded"),
+    QuerySpec("a10_two_stage_rerank", a10_two_stage_rerank, A10_SQL, "similarity",
+              "two-stage ANN: int8 overfetch stage + exact-cosine rerank"),
 ]

@@ -182,3 +182,38 @@ def test_quantized_ann_recall_against_exact(spark):
     again = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in quant.collect()}
     once = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in quantized_topk(emb, qids, k=10).collect()}
     assert again == once
+
+
+def test_two_stage_full_overfetch_equals_brute_force(spark):
+    """With k·overfetch ≥ N the first stage cannot drop a true
+    neighbor, so the two-stage result must equal brute_force_topk
+    exactly — rank for rank."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.similarity import (
+        brute_force_topk,
+        two_stage_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").limit(80)
+    exact = sorted(map(tuple, brute_force_topk(emb, [0, 1, 2], k=5).collect()))
+    two = sorted(map(tuple, two_stage_topk(emb, [0, 1, 2], k=5, overfetch=20).collect()))
+    assert two == exact
+
+
+def test_two_stage_rerank_orders_by_exact_cosine(spark):
+    """The final ordering must come from the EXACT float score, not the
+    quantized one: candidates the int8 stage ranks in one order must be
+    re-sorted by rounded cosine in the output (rank strictly follows
+    sim desc, neighbor_id asc within every query)."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.similarity import (
+        two_stage_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    rows = two_stage_topk(emb, [0, 1], k=10, overfetch=4).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert rs == sorted(rs, key=lambda r: (-r["sim"], r["neighbor_id"])), q
