@@ -727,3 +727,81 @@ def sample_frames(media: DataFrame, step_ms: int = 1000) -> DataFrame:
         "duration_ms",
         F.explode(offsets).alias("frame_offset_ms"),
     )
+
+
+QUIET_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_windows", LongType()),
+        StructField("n_quiet", LongType()),
+        StructField("n_segments", LongType()),
+        StructField("longest_quiet", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def quiet_segments(media: DataFrame, window: int = 16) -> DataFrame:
+    """VAD-style silence-segment detection over 8-bit PCM clips — the
+    preprocessing step an audio-training pipeline runs before chunking
+    (trim/skip low-activity spans): fixed ``window``-sample frames, a
+    frame is QUIET when its mean level is strictly below the clip's own
+    mean (scale-free adaptive threshold — no fixture-tuned constant,
+    non-vacuous on any non-constant clip), consecutive quiet frames
+    merge into segments (gaps-and-islands).  Per clip: frame count,
+    quiet-frame count, segment count, longest segment.
+
+    Determinism: frame and clip means are single float64 divisions of
+    exact int64 sums (the audio_energy discipline), so the quiet
+    comparison is bit-identical to the SQL oracle's avg-vs-avg; every
+    output is an integer count.  The tail frame keeps its own (shorter)
+    denominator.  Same mapInPandas seam, same dead-letter channel."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nw, nq, ns, lq, errs = [], [], [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                if not raw:
+                    nw.append(0)
+                    nq.append(None)
+                    ns.append(None)
+                    lq.append(None)
+                    errs.append("decode_error: empty payload")
+                    continue
+                x = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                n = len(x)
+                starts = np.arange(0, n, window, dtype=np.int64)
+                sums = np.add.reduceat(x, starts)
+                counts = np.minimum(starts + window, n) - starts
+                wmeans = sums.astype(np.float64) / counts
+                cmean = float(x.sum()) / n
+                quiet = wmeans < cmean
+                # islands: run lengths of consecutive True
+                runs, cur = [], 0
+                for q in quiet:
+                    if q:
+                        cur += 1
+                    elif cur:
+                        runs.append(cur)
+                        cur = 0
+                if cur:
+                    runs.append(cur)
+                nw.append(len(starts))
+                nq.append(int(quiet.sum()))
+                ns.append(len(runs))
+                lq.append(max(runs) if runs else 0)
+                errs.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_windows": nw,
+                    "n_quiet": nq,
+                    "n_segments": ns,
+                    "longest_quiet": lq,
+                    "error": errs,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, QUIET_SCHEMA)

@@ -377,3 +377,64 @@ SPECS = [
     QuerySpec("m03_frame_samples", m03_frame_samples, M03_SQL, "multimodal",
               "video frame-offset sampling via metadata explode"),
 ]
+
+
+# --------------- m10 quiet-segment detection (STAGED for r11) ------------
+
+def m10_quiet_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style silence-segment detection over the audio clips: fixed
+    16-sample frames, frame quiet ⇔ frame mean < clip mean (adaptive,
+    scale-free), consecutive quiet frames merged gaps-and-islands.
+    Integer counts end-to-end; the quiet comparison is avg-vs-avg of
+    exact integer sums, bit-identical cross-engine."""
+    audio = _media(spark, sf_dir).filter(F.col("kind") == "audio")
+    segs = mm.quiet_segments(audio, window=16)
+    return segs.filter(F.col("error").isNull()).select(
+        "media_id", "n_windows", "n_quiet", "n_segments", "longest_quiet"
+    )
+
+
+M10_SQL = """
+WITH samples AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text) + 1),
+                               i -> struct_pack(pos := i - 1,
+                                                b := ascii(substr(text, i, 1))))) AS s
+  FROM documents WHERE doc_id % 3 = 1 AND length(text) > 0),
+flat AS (SELECT doc_id, s.pos AS pos, s.b AS b FROM samples),
+wins AS (
+  SELECT doc_id, pos // 16 AS w, avg(b) AS wmean
+  FROM flat GROUP BY doc_id, pos // 16),
+clip AS (SELECT doc_id, avg(b) AS cmean FROM flat GROUP BY doc_id),
+flags AS (
+  SELECT w.doc_id, w.w, (w.wmean < c.cmean) AS quiet
+  FROM wins w JOIN clip c USING (doc_id)),
+islands AS (
+  SELECT doc_id,
+         w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+  FROM flags WHERE quiet),
+seg AS (
+  SELECT doc_id, count(*) AS seg_len FROM islands GROUP BY doc_id, grp)
+SELECT f.doc_id + 5000000 AS media_id,
+       count(*)::BIGINT AS n_windows,
+       count(*) FILTER (WHERE f.quiet)::BIGINT AS n_quiet,
+       coalesce(any_value(s.n_segments), 0)::BIGINT AS n_segments,
+       coalesce(any_value(s.longest), 0)::BIGINT AS longest_quiet
+FROM flags f
+LEFT JOIN (SELECT doc_id, count(*) AS n_segments, max(seg_len) AS longest
+           FROM seg GROUP BY doc_id) s ON s.doc_id = f.doc_id
+GROUP BY f.doc_id
+"""
+
+
+# STAGED, not registered: r10's driver gate budget is exactly consumed
+# (10 never-gated specs + the 40-spec r6 re-gate cohort = 50); moving
+# m10 into SPECS this round would push an r6-stale spec past the r10
+# gate.  The operator is fully implemented and pytest-covered
+# (test_multimodal quiet-segment tests); FIRST COMMIT of r11: move this
+# entry into SPECS.
+DEFERRED_SPECS: list[QuerySpec] = [
+    QuerySpec("m10_quiet_segments", m10_quiet_segments, M10_SQL, "multimodal",
+              "VAD-style quiet-segment detection: adaptive frame threshold + "
+              "gaps-and-islands merge, integer-exact"),
+]

@@ -307,3 +307,51 @@ def test_resized_image_stats_upsample_and_errors(spark):
     assert got[1]["error"] is None
     assert (got[1]["mean_r"], got[1]["mean_g"], got[1]["mean_b"]) == (5.0, 6.0, 7.0)
     assert "truncated" in got[2]["error"]
+
+
+# ------------------------------ quiet segments (m10, staged) -------------
+
+
+def _quiet_df(spark, payloads):
+    rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def test_quiet_segments_known_islands(spark):
+    """Clip built from 4-sample windows: [low, high, low, low] around a
+    clip mean between low and high → quiet mask [T, F, T, T]: two
+    segments, longest 2."""
+    clip = bytes([10] * 4 + [200] * 4 + [10] * 4 + [10] * 4)
+    out = mm.quiet_segments(_quiet_df(spark, [clip]), window=4).collect()[0]
+    assert out["error"] is None
+    assert out["n_windows"] == 4
+    assert out["n_quiet"] == 3
+    assert out["n_segments"] == 2
+    assert out["longest_quiet"] == 2
+
+
+def test_quiet_segments_constant_clip_has_no_quiet(spark):
+    """Every window mean equals the clip mean; strict < means a
+    constant clip has zero quiet windows (never all-quiet)."""
+    out = mm.quiet_segments(_quiet_df(spark, [bytes([7] * 32)]), window=8).collect()[0]
+    assert (out["n_windows"], out["n_quiet"], out["n_segments"], out["longest_quiet"]) == (
+        4, 0, 0, 0,
+    )
+
+
+def test_quiet_segments_tail_window_own_denominator(spark):
+    """A 10-sample clip at window=4 yields 3 windows (4, 4, 2): the
+    2-sample tail must average over 2, not 4 — a zero-padded tail of
+    high samples would be spuriously quiet."""
+    clip = bytes([100, 100, 100, 100, 100, 100, 100, 100, 200, 200])
+    out = mm.quiet_segments(_quiet_df(spark, [clip]), window=4).collect()[0]
+    # clip mean = 120; windows = [100, 100, 200]: tail NOT quiet
+    assert out["n_windows"] == 3
+    assert out["n_quiet"] == 2
+    assert out["n_segments"] == 1
+    assert out["longest_quiet"] == 2
+
+
+def test_quiet_segments_empty_payload_dead_letters(spark):
+    out = mm.quiet_segments(_quiet_df(spark, [b""]), window=4).collect()[0]
+    assert out["error"] is not None and out["n_windows"] == 0
