@@ -86,6 +86,51 @@ def radius_pairs(
     )
 
 
+def knn_within_radius(
+    pts: DataFrame, k: int = 5, r_km: float = R_KM, cell_deg: float = CELL_DEG
+) -> DataFrame:
+    """(id, neighbor_id, dist_km, rank): each point's k nearest
+    neighbors WITHIN ``r_km`` — the bounded-kNN join (geo feature
+    engineering: nearest-stores, nearest-stations), directed so every
+    point gets its own list.  Same grid blocking as
+    :func:`radius_pairs` (every true candidate lands exactly once: the
+    right side keeps its single home cell), then ONE per-point window
+    over the radius-bounded candidates — never a global sort, never a
+    cross join.  Points with fewer than k in-radius neighbors return
+    fewer rows (the radius bound is the contract that makes kNN
+    grid-expressible at all: an unbounded kNN can need neighbors from
+    arbitrarily far cells).  Ordering is on the ROUNDED distance
+    (ties → neighbor id), the engine-portable total order."""
+    if cell_deg * LAT_KM < r_km or cell_deg * LON_KM < r_km:
+        raise ValueError("cell_deg must cover r_km in both axes")
+    cells = pts.selectExpr(
+        "id", "lat", "lon",
+        f"cast(floor(lat / {cell_deg!r}) as bigint) AS cx",
+        f"cast(floor(lon / {cell_deg!r}) as bigint) AS cy",
+    )
+    neighborhood = cells.selectExpr(
+        "id AS id_a", "lat AS lat_a", "lon AS lon_a",
+        "explode(array(-1, 0, 1)) AS dx", "cx", "cy",
+    ).selectExpr(
+        "id_a", "lat_a", "lon_a",
+        "cx + dx AS cx", "explode(array(cy - 1, cy, cy + 1)) AS cy",
+    )
+    right = cells.selectExpr("id AS id_b", "lat AS lat_b", "lon AS lon_b", "cx", "cy")
+    cand = (
+        neighborhood.join(right, ["cx", "cy"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.expr(f"{_D2} <= {r_km * r_km!r}"))
+        .selectExpr(
+            "id_a AS id", "id_b AS neighbor_id",
+            f"round(sqrt({_D2}), 6) AS dist_km",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.asc("dist_km"), F.asc("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def x01_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All customer pairs within R_KM over the hash-derived coordinate
     box (module docstring), through :func:`radius_pairs`."""
@@ -106,6 +151,38 @@ WHERE {_D2.replace('lat_a', 'a.lat').replace('lat_b', 'b.lat')
 """
 
 
+X02_K = 5
+
+
+def x02_spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer point's 5 nearest neighbors within 10 km via
+    :func:`knn_within_radius` — the bounded-kNN complement of x01's
+    radius join, gated vs the brute-force ranked oracle."""
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.selectExpr("c_custkey AS id", f"{_LAT} AS lat", f"{_LON} AS lon")
+    return knn_within_radius(pts, k=X02_K)
+
+
+_D2_AB = (
+    _D2.replace("lat_a", "a.lat").replace("lat_b", "b.lat")
+    .replace("lon_a", "a.lon").replace("lon_b", "b.lon")
+)
+
+X02_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey AS id, {_LAT} AS lat, {_LON} AS lon FROM customer),
+cand AS (
+  SELECT a.id AS id, b.id AS neighbor_id,
+         round(sqrt({_D2_AB}), 6) AS dist_km
+  FROM pts a JOIN pts b ON a.id <> b.id
+  WHERE {_D2_AB} <= {R_KM * R_KM})
+SELECT id, neighbor_id, dist_km, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY id
+                               ORDER BY dist_km, neighbor_id) AS rank
+  FROM cand) WHERE rank <= {X02_K}
+"""
+
+
 SPECS = [
     QuerySpec(
         "x01_spatial_radius_join",
@@ -115,5 +192,20 @@ SPECS = [
         "all point pairs within 10 km via grid-cell blocking (3×3 "
         "neighborhood explode + cell equi-join + exact verify) vs the "
         "brute-force oracle — LSH banding applied to geometry",
+    ),
+]
+
+# STAGED, not registered (the m10 rationale): r10's 50-slot gate is
+# exactly consumed; x02 + m10 + d28 + the ~47-spec r7 cohort fit r11's
+# budget exactly.  Fully implemented and pytest-covered
+# (test_spatial kNN tests); FIRST COMMIT of r11: move into SPECS.
+DEFERRED_SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "x02_spatial_knn_join",
+        x02_spatial_knn_join,
+        X02_SQL,
+        "spatial",
+        "bounded kNN join: each point's 5 nearest within 10 km via the "
+        "x01 grid, per-point window top-k vs the brute-force ranked oracle",
     ),
 ]

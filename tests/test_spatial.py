@@ -105,3 +105,71 @@ def test_radius_pairs_matches_brute_force_on_random_clouds(spark, offsets):
     df = spark.createDataFrame(pts, "id long, lat double, lon double")
     got = {(r.src, r.dst) for r in radius_pairs(df).collect()}
     assert got == _brute(pts)
+
+
+# ------------------------------- bounded kNN (x02, staged) ---------------
+
+
+def _brute_knn(pts, k):
+    import math
+
+    out = []
+    for ida, la, lo in pts:
+        cand = []
+        for idb, lb, lob in pts:
+            if idb == ida:
+                continue
+            d2 = ((la - lb) * LAT_KM) ** 2 + ((lo - lob) * LON_KM) ** 2
+            if d2 <= R_KM * R_KM:
+                cand.append((round(math.sqrt(d2), 6), idb))
+        cand.sort()
+        out.extend(
+            (ida, idb, d, r + 1) for r, (d, idb) in enumerate(cand[:k])
+        )
+    return sorted(out)
+
+
+def test_knn_within_radius_matches_brute_force(spark):
+    """A cluster straddling cell boundaries plus a far-away point: the
+    grid must find every in-radius neighbor rank-for-rank, and the
+    isolated point contributes no rows at all."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.spatial_queries import (
+        knn_within_radius,
+    )
+
+    base_lat, base_lon = 30.0, 100.0
+    pts = [
+        (1, base_lat, base_lon),
+        (2, base_lat + 0.02, base_lon),          # ~2.2 km north
+        (3, base_lat, base_lon + 0.05),          # ~4.8 km east
+        (4, base_lat + 0.109, base_lon),         # ~12.1 km: outside R of 1
+        (5, base_lat + 0.13, base_lon + 0.01),   # near 4
+        (9, base_lat + 1.5, base_lon + 1.5),     # isolated
+    ]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    got = sorted(
+        (r["id"], r["neighbor_id"], r["dist_km"], r["rank"])
+        for r in knn_within_radius(df, k=3).collect()
+    )
+    assert got == _brute_knn(pts, 3)
+    assert all(i != 9 for i, *_ in got)
+
+
+def test_knn_within_radius_caps_at_k(spark):
+    """Seven co-clustered points at k=2: every point returns exactly 2
+    neighbors, ranked 1..2 by rounded distance then id."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.spatial_queries import (
+        knn_within_radius,
+    )
+
+    pts = [(i, 30.0 + i * 0.001, 100.0) for i in range(7)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    rows = knn_within_radius(df, k=2).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2] for v in per.values()), per
+    got_all = sorted(
+        (r["id"], r["neighbor_id"], r["dist_km"], r["rank"]) for r in rows
+    )
+    assert got_all == _brute_knn(pts, 2)
