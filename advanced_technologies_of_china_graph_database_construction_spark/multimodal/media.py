@@ -778,20 +778,15 @@ def quiet_segments(media: DataFrame, window: int = 16) -> DataFrame:
                 wmeans = sums.astype(np.float64) / counts
                 cmean = float(x.sum()) / n
                 quiet = wmeans < cmean
-                # islands: run lengths of consecutive True
-                runs, cur = [], 0
-                for q in quiet:
-                    if q:
-                        cur += 1
-                    elif cur:
-                        runs.append(cur)
-                        cur = 0
-                if cur:
-                    runs.append(cur)
+                # islands vectorized (the file's numpy discipline — a
+                # per-frame Python loop would dominate long clips):
+                # pad with False, diff marks run starts (+1) / ends (-1)
+                d = np.diff(np.concatenate(([0], quiet.astype(np.int8), [0])))
+                runs = np.flatnonzero(d == -1) - np.flatnonzero(d == 1)
                 nw.append(len(starts))
                 nq.append(int(quiet.sum()))
                 ns.append(len(runs))
-                lq.append(max(runs) if runs else 0)
+                lq.append(int(runs.max()) if len(runs) else 0)
                 errs.append(None)
             yield pd.DataFrame(
                 {

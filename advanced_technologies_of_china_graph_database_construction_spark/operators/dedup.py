@@ -279,16 +279,21 @@ def minhash_delta_near_dups(
     "``minhash_near_dups(standing ∪ delta)`` minus its standing-internal
     pairs" exactly (same pigeonhole candidates, same 16-perm verify).
 
-    A document re-delivered on both sides is tolerated: cross
-    candidates drop ``src == dst`` and the unioned verify lookup is
-    per-id deduplicated, so a re-seen id can neither self-pair nor fan
-    out the verify join.
+    A document re-delivered on both sides is tolerated: its STANDING
+    row is anti-joined away before the cross probe (the delta version
+    wins everywhere — same rule as the verify lookup), so a re-seen id
+    can neither self-pair, appear in both orientations (once via the
+    cross branch, once via the delta-internal branch), nor fan out the
+    verify join.
 
-    Scale shape: every delta-derived frame (band probe, candidate set,
-    delta signatures) is broadcast while the delta fits
+    Scale shape: the delta-derived frames (band probe, delta
+    signatures) are broadcast while the delta fits
     ``broadcast_threshold_docs`` — an ingest batch is delta-sized, not
     corpus-sized — so the standing side is SCANNED map-side (signature
-    kernel + band probe are narrow) but never shuffled.  In production
+    kernel + band probe are narrow) but never shuffled.  The CANDIDATE
+    set is gated on its own row count instead (delta docs × collision
+    fan-out is not bounded by the delta doc count when the standing
+    corpus is boilerplate-heavy).  In production
     the standing signature table is the PERSISTED store this scan
     stands in for (written once per batch, bucketed by doc_id), making
     the refresh independent of corpus size end to end.  Past the cap
@@ -313,6 +318,12 @@ def minhash_delta_near_dups(
     sig_d = sigs(delta)
     small_delta = sig_d.count() <= broadcast_threshold_docs
     bcast = F.broadcast if small_delta else (lambda d: d)
+    # a re-delivered id's standing row is dead weight on every path:
+    # dropping it here makes the delta version win in BOTH the cross
+    # probe and the verify lookup (leaving it in the probe would emit
+    # the same pair twice, once per orientation, when the re-seen doc
+    # also matches a NEW delta doc)
+    sig_s = sig_s.join(bcast(sig_d.select("doc_id")), "doc_id", "left_anti")
 
     n_cand_perms = N_PERMS - min_matching + 1
 
@@ -326,12 +337,13 @@ def minhash_delta_near_dups(
         )
 
     ps, pd_ = probe(sig_s, "src"), probe(sig_d, "dst")
+    # sig_s carries no delta ids (anti-joined above), so cross can never
+    # self-pair and never mirrors a delta-internal pair
     cross = ps.join(
         bcast(pd_),
         (F.col("k_src") == F.col("k_dst"))
         & (F.col("mh_src") == F.col("mh_dst"))
-        & (F.col("blk_src") == F.col("blk_dst"))
-        & (F.col("src") != F.col("dst")),  # re-seen id: not a self-pair
+        & (F.col("blk_src") == F.col("blk_dst")),
     ).select("src", "dst")
     pd2 = probe(sig_d, "src")
     dd = pd2.join(
@@ -341,22 +353,27 @@ def minhash_delta_near_dups(
         & (F.col("blk_src") == F.col("blk_dst"))
         & (F.col("src") < F.col("dst")),
     ).select("src", "dst")
-    cands = cross.unionByName(dd).distinct()
+    # the candidate set is delta-docs × collision fan-out — NOT bounded
+    # by the delta doc count when the standing corpus is boilerplate-
+    # heavy — so its broadcast is gated on ITS OWN size (the
+    # minhash_near_dups rule: the gate must test the frame actually
+    # broadcast); the checkpoint makes the count a block scan
+    cands = cross.unionByName(dd).distinct().localCheckpoint(eager=True)
+    bcast_cands = (
+        F.broadcast if cands.count() <= broadcast_threshold_docs else (lambda d: d)
+    )
 
-    # verify lookup: src may come from either side — one row per id so a
-    # re-delivered doc cannot fan the join out, and the DELTA version
-    # wins deterministically (anti-join, not an order-dependent dedup)
-    sa = (
-        sig_s.join(bcast(sig_d.select("doc_id")), "doc_id", "left_anti")
-        .unionByName(sig_d)
-        .select(F.col("doc_id").alias("src"), F.col("sig").alias("sig_a"))
+    # verify lookup: one row per id (delta version of a re-seen doc —
+    # sig_s is already delta-free), so the join cannot fan out
+    sa = sig_s.unionByName(sig_d).select(
+        F.col("doc_id").alias("src"), F.col("sig").alias("sig_a")
     )
     sb = sig_d.select(F.col("doc_id").alias("dst"), F.col("sig").alias("sig_b"))
     n_match = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     )
     return (
-        sa.join(bcast(cands), "src")
+        sa.join(bcast_cands(cands), "src")
         .join(bcast(sb), "dst")
         .select("src", "dst", n_match.alias("n_matching"))
         .filter(F.col("n_matching") >= min_matching)

@@ -47,13 +47,15 @@ def charpoly_hash(word: Column) -> Column:
 
 
 def _doc_features(docs: DataFrame, text_col: str, n_buckets: int) -> DataFrame:
-    """(doc_id, bucket) with one row PER OCCURRENCE of a hashed
+    """(doc_id, is_t, bucket) with one row PER OCCURRENCE of a hashed
     unigram or bigram feature — DSIR counts occurrences, not distinct
-    features.  The explode and hash are map-side; no shuffle here."""
+    features.  The per-doc target flag rides along so the distribution
+    aggregate needs no join back to the corpus.  The explode and hash
+    are map-side; no shuffle here."""
     toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != F.lit(""))
-    d = docs.select("doc_id", toks.alias("toks"))
-    uni = d.select("doc_id", F.explode("toks").alias("w")).select(
-        "doc_id", (charpoly_hash(F.col("w")) % n_buckets).alias("bucket")
+    d = docs.select("doc_id", "is_t", toks.alias("toks"))
+    uni = d.select("doc_id", "is_t", F.explode("toks").alias("w")).select(
+        "doc_id", "is_t", (charpoly_hash(F.col("w")) % n_buckets).alias("bucket")
     )
     # bigram bucket = (h(a)*KNUTH + h(b)) % n_buckets: mixes the pair
     # without hashing the concatenated string (h < 2^31 so the product
@@ -61,10 +63,12 @@ def _doc_features(docs: DataFrame, text_col: str, n_buckets: int) -> DataFrame:
     bi = (
         d.select(
             "doc_id",
+            "is_t",
             F.transform("toks", charpoly_hash).alias("hs"),
         )
         .select(
             "doc_id",
+            "is_t",
             F.explode(
                 F.zip_with(
                     F.slice("hs", 1, F.greatest(F.size("hs") - 1, F.lit(0))),
@@ -90,36 +94,36 @@ def dsir_importance_weights(
     ``is_target``; raw = every row).  Higher weight = more target-like;
     callers keep the top mass (the d43 spec takes top-50).
 
-    Plan: two ≤n_buckets-row aggregates (map-side combined), a
-    broadcast of the joint log-ratio table, then explode → broadcast
-    join → one doc_id-keyed sum.  The weight is rounded AFTER the sum
-    (single rounding point, d25/d26 convention).
+    Plan: ONE ≤n_buckets-row flagged aggregate (map-side combined —
+    the target flag rides the feature rows, so there is no target-id
+    join and nothing corpus-fraction-sized is ever broadcast), totals
+    folded from that same tiny frame (a block scan of ≤n_buckets rows,
+    not a corpus re-scan), then the broadcast log-ratio table joins the
+    features for one doc_id-keyed sum.  The weight is rounded AFTER the
+    sum (single rounding point, d25/d26 convention).
     """
-    feats = _doc_features(docs, text_col, n_buckets).localCheckpoint(eager=True)
-    target_ids = docs.filter(is_target).select("doc_id")
-    raw_counts = feats.groupBy("bucket").agg(F.count("*").alias("c_raw"))
-    tgt_counts = (
-        feats.join(F.broadcast(target_ids), "doc_id")
-        .groupBy("bucket")
-        .agg(F.count("*").alias("c_tgt"))
-    )
-    # add-one smoothing over the FULL bucket range so absent buckets
-    # still carry probability mass; totals are driver scalars (bounded:
-    # two counts)
-    tot_raw = feats.count()
-    tot_tgt = feats.join(F.broadcast(target_ids), "doc_id").count()
-    ratios = (
-        raw_counts.join(tgt_counts, "bucket", "left")
-        .select(
-            "bucket",
-            (
-                F.log(
-                    (F.coalesce("c_tgt", F.lit(0)) + F.lit(1.0))
-                    / F.lit(float(tot_tgt + n_buckets))
-                )
-                - F.log((F.col("c_raw") + F.lit(1.0)) / F.lit(float(tot_raw + n_buckets)))
-            ).alias("log_ratio"),
+    flagged = docs.select("doc_id", F.col(text_col), is_target.alias("is_t"))
+    feats = _doc_features(flagged, text_col, n_buckets).localCheckpoint(eager=True)
+    counts = (
+        feats.groupBy("bucket")
+        .agg(
+            F.count("*").alias("c_raw"),
+            F.count_if(F.col("is_t")).alias("c_tgt"),
         )
+        .localCheckpoint(eager=True)  # ≤n_buckets rows; totals + ratios read it
+    )
+    tots = counts.agg(
+        F.sum("c_raw").alias("tr"), F.sum("c_tgt").alias("tt")
+    ).first()
+    tot_raw, tot_tgt = int(tots["tr"] or 0), int(tots["tt"] or 0)
+    # add-one smoothing over the FULL bucket range so absent buckets
+    # still carry probability mass
+    ratios = counts.select(
+        "bucket",
+        (
+            F.log((F.col("c_tgt") + F.lit(1.0)) / F.lit(float(tot_tgt + n_buckets)))
+            - F.log((F.col("c_raw") + F.lit(1.0)) / F.lit(float(tot_raw + n_buckets)))
+        ).alias("log_ratio"),
     )
     return (
         feats.join(F.broadcast(ratios), "bucket")

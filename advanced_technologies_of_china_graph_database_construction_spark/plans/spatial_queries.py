@@ -45,21 +45,15 @@ _D2 = (
 )
 
 
-def radius_pairs(
-    pts: DataFrame, r_km: float = R_KM, cell_deg: float = CELL_DEG
+def _grid_candidates(
+    pts: DataFrame, r_km: float, cell_deg: float, id_pred
 ) -> DataFrame:
-    """(src, dst, dist_km): all unordered pairs of ``pts`` (id, lat,
-    lon) within ``r_km``, grid-blocked (module docstring).  Requires
-    ``cell_deg`` ≥ r_km in BOTH axes' degree equivalents, or the 3×3
-    neighborhood misses true pairs.
-
-    Scale shape: one narrow projection to (id, lat, lon, cell), a 9×
-    explode of the LEFT side's neighborhood keys (constant fan-out —
-    not data-dependent), one equi-join shuffle on the cell key, exact
-    verify as a pure-JVM filter.  Cell population is bounded by point
-    density × cell area, so no single key explodes; the quadratic work
-    is confined within cells exactly like SemDeDup confines it within
-    centroids."""
+    """The shared grid-blocking core (module docstring): (id_a, lat_a,
+    lon_a, id_b, lat_b, lon_b) pairs that pass ``id_pred`` and the
+    exact distance verify.  Every true pair lands exactly once — the
+    right side keeps its single home cell.  ONE implementation so the
+    cell arithmetic, the 3×3 neighborhood, and the verify expression
+    cannot diverge between the radius-join and kNN faces."""
     if cell_deg * LAT_KM < r_km or cell_deg * LON_KM < r_km:
         raise ValueError("cell_deg must cover r_km in both axes")
     cells = pts.selectExpr(
@@ -77,12 +71,31 @@ def radius_pairs(
     right = cells.selectExpr("id AS id_b", "lat AS lat_b", "lon AS lon_b", "cx", "cy")
     return (
         neighborhood.join(right, ["cx", "cy"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(id_pred)
         .filter(F.expr(f"{_D2} <= {r_km * r_km!r}"))
-        .selectExpr(
-            "id_a AS src", "id_b AS dst",
-            f"round(sqrt({_D2}), 6) AS dist_km",
-        )
+    )
+
+
+def radius_pairs(
+    pts: DataFrame, r_km: float = R_KM, cell_deg: float = CELL_DEG
+) -> DataFrame:
+    """(src, dst, dist_km): all unordered pairs of ``pts`` (id, lat,
+    lon) within ``r_km``, grid-blocked (module docstring).  Requires
+    ``cell_deg`` ≥ r_km in BOTH axes' degree equivalents, or the 3×3
+    neighborhood misses true pairs.
+
+    Scale shape: one narrow projection to (id, lat, lon, cell), a 9×
+    explode of the LEFT side's neighborhood keys (constant fan-out —
+    not data-dependent), one equi-join shuffle on the cell key, exact
+    verify as a pure-JVM filter.  Cell population is bounded by point
+    density × cell area, so no single key explodes; the quadratic work
+    is confined within cells exactly like SemDeDup confines it within
+    centroids."""
+    return _grid_candidates(
+        pts, r_km, cell_deg, F.col("id_a") < F.col("id_b")
+    ).selectExpr(
+        "id_a AS src", "id_b AS dst",
+        f"round(sqrt({_D2}), 6) AS dist_km",
     )
 
 
@@ -101,29 +114,11 @@ def knn_within_radius(
     grid-expressible at all: an unbounded kNN can need neighbors from
     arbitrarily far cells).  Ordering is on the ROUNDED distance
     (ties → neighbor id), the engine-portable total order."""
-    if cell_deg * LAT_KM < r_km or cell_deg * LON_KM < r_km:
-        raise ValueError("cell_deg must cover r_km in both axes")
-    cells = pts.selectExpr(
-        "id", "lat", "lon",
-        f"cast(floor(lat / {cell_deg!r}) as bigint) AS cx",
-        f"cast(floor(lon / {cell_deg!r}) as bigint) AS cy",
-    )
-    neighborhood = cells.selectExpr(
-        "id AS id_a", "lat AS lat_a", "lon AS lon_a",
-        "explode(array(-1, 0, 1)) AS dx", "cx", "cy",
+    cand = _grid_candidates(
+        pts, r_km, cell_deg, F.col("id_a") != F.col("id_b")
     ).selectExpr(
-        "id_a", "lat_a", "lon_a",
-        "cx + dx AS cx", "explode(array(cy - 1, cy, cy + 1)) AS cy",
-    )
-    right = cells.selectExpr("id AS id_b", "lat AS lat_b", "lon AS lon_b", "cx", "cy")
-    cand = (
-        neighborhood.join(right, ["cx", "cy"])
-        .filter(F.col("id_a") != F.col("id_b"))
-        .filter(F.expr(f"{_D2} <= {r_km * r_km!r}"))
-        .selectExpr(
-            "id_a AS id", "id_b AS neighbor_id",
-            f"round(sqrt({_D2}), 6) AS dist_km",
-        )
+        "id_a AS id", "id_b AS neighbor_id",
+        f"round(sqrt({_D2}), 6) AS dist_km",
     )
     from pyspark.sql import Window
 

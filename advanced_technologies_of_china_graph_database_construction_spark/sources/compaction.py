@@ -34,13 +34,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_TYPE_INFER = "spark.sql.sources.partitionColumnTypeInference.enabled"
+
+
+def _read_store(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned store with partition-type inference OFF: a
+    compactor's ground truth is the DIRECTORY NAME, and inference would
+    retype a numeric-looking string value ('01' → 1) so the rewrite
+    lands under a DIFFERENT directory (grp=1 beside grp=01), silently
+    duplicating the store.  Opaque strings preserve directory identity
+    for every value; the conf is restored immediately (the reader
+    resolves the partition schema at load, forced via ``.schema``)."""
+    orig = spark.conf.get(_TYPE_INFER)
+    try:
+        spark.conf.set(_TYPE_INFER, "false")
+        df = spark.read.parquet(path)
+        df.schema  # force partition discovery under the pinned conf
+        return df
+    finally:
+        spark.conf.set(_TYPE_INFER, orig)
+
+
 def partition_file_stats(
     spark: SparkSession, path: str, partition_cols: Sequence[str]
 ) -> DataFrame:
     """One row per hive partition: (partition cols…, n_files, n_rows).
     A pure aggregate over the store scan — no driver-side file listing,
-    so it parallelizes with the store."""
-    df = spark.read.parquet(path)
+    so it parallelizes with the store.  Partition values surface as
+    STRINGS (directory labels — see ``_read_store``)."""
+    df = _read_store(spark, path)
     # input_file_name() is nondeterministic, so it must be PROJECTED
     # before it can feed an aggregate (Spark rejects it inline)
     tagged = df.select(*partition_cols, F.input_file_name().alias("_file"))
@@ -72,11 +94,19 @@ def compact_partitions(
     )
     if not flagged:
         return []
-    df = spark.read.parquet(path)
+    df = _read_store(spark, path)
     keys = [tuple(r[c] for c in pcols) for r in flagged]
-    pred = F.struct(*[F.col(c) for c in pcols]).isin(
-        [F.struct(*[F.lit(v) for v in k]) for k in keys]
-    )
+    # null-safe per-partition match: struct(...).isin(...) compares
+    # NULL partition values (__HIVE_DEFAULT_PARTITION__) to NULL and
+    # silently drops them — flagged-but-never-rewritten would loop
+    # forever
+    pred = None
+    for key in keys:
+        clause = None
+        for c, v in zip(pcols, key):
+            term = F.col(c).eqNullSafe(F.lit(v))
+            clause = term if clause is None else (clause & term)
+        pred = clause if pred is None else (pred | clause)
     # Two-phase rewrite: stage the compacted rows OUTSIDE the store,
     # then dynamic-overwrite from the staged copy.  Spark (correctly)
     # refuses to overwrite a path it is reading from; staging also
@@ -93,7 +123,10 @@ def compact_partitions(
             .parquet(staging)
         )
         (
-            spark.read.parquet(staging)
+            # pin the source schema: an inferring re-read would retype a
+            # numeric-looking string partition value ('01' → 1) and
+            # write it back under a DIFFERENT partition directory
+            spark.read.schema(df.schema).parquet(staging)
             .write.mode("overwrite")
             # per-write option, not session conf — the caller's session
             # must stay untouched (the s10 bare-session discipline)

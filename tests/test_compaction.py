@@ -91,3 +91,52 @@ def test_rows_per_file_allows_multiple_files(spark, store):
     }
     assert stats["g1"] == 3 and stats["g2"] == 3
     assert compact_partitions(spark, store, ["grp"], rows_per_file=40) == []
+
+
+def test_compaction_preserves_numeric_looking_string_partitions(spark):
+    """Regression: the staging re-read must pin the source schema — an
+    inferring read would retype grp='01' as an int and write the
+    compacted rows under grp=1, duplicating the store."""
+    out = tempfile.mkdtemp(prefix="test_compact_num_")
+    try:
+        df = spark.createDataFrame(
+            [(i, "01", f"p{i}") for i in range(40)], "id long, grp string, payload string"
+        )
+        df.repartition(5).write.mode("overwrite").partitionBy("grp").parquet(out)
+        flagged = compact_partitions(spark, out, ["grp"], rows_per_file=10_000)
+        assert [r["grp"] for r in flagged] == ["01"]
+        assert sorted(os.listdir(out)) == sorted(
+            [d for d in os.listdir(out) if not d.startswith("grp=")] + ["grp=01"]
+        )
+        # directory identity preserved: still exactly grp=01, never a
+        # retyped grp=1 twin, and no rows lost or duplicated
+        dirs = [d for d in os.listdir(out) if d.startswith("grp=")]
+        assert dirs == ["grp=01"], dirs
+        assert spark.read.parquet(out).count() == 40
+        stats = partition_file_stats(spark, out, ["grp"]).collect()
+        assert [(r["grp"], r["n_files"]) for r in stats] == [("01", 1)]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_compaction_handles_null_partition_values(spark):
+    """Regression: NULL partition values (__HIVE_DEFAULT_PARTITION__)
+    must be matched null-safely — struct(...).isin() drops them, which
+    left the partition flagged forever and could stage zero files."""
+    out = tempfile.mkdtemp(prefix="test_compact_null_")
+    try:
+        rows = [(i, None if i % 2 == 0 else "g1", f"p{i}") for i in range(40)]
+        df = spark.createDataFrame(rows, "id long, grp string, payload string")
+        df.repartition(5).write.mode("overwrite").partitionBy("grp").parquet(out)
+        flagged = compact_partitions(spark, out, ["grp"], rows_per_file=10_000)
+        assert {r["grp"] for r in flagged} == {None, "g1"}
+        stats = {
+            r["grp"]: r["n_files"]
+            for r in partition_file_stats(spark, out, ["grp"]).collect()
+        }
+        assert stats == {None: 1, "g1": 1}
+        # fixpoint: nothing left to compact
+        assert compact_partitions(spark, out, ["grp"], rows_per_file=10_000) == []
+        assert spark.read.parquet(out).count() == 40
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

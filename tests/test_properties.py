@@ -772,3 +772,21 @@ def test_minhash_delta_accepts_persisted_signature_store(spark):
         ).collect()
     }
     assert derived == persisted and derived
+
+
+def test_minhash_delta_redelivered_id_with_new_partner_single_orientation(spark):
+    """Regression: a doc present on BOTH sides that also near-dups a
+    NEW delta doc must yield the pair ONCE (delta-internal, src < dst),
+    not once per orientation via the cross and delta branches."""
+    text = "alpha beta gamma alpha beta"
+    standing = spark.createDataFrame(
+        [(5, text, "b0"), (9, "omega psi chi omega", "b0")],
+        "doc_id long, text string, source string",
+    )
+    delta = spark.createDataFrame(
+        [(5, text, "b0"), (3, text + " zeta", "b0")],
+        "doc_id long, text string, source string",
+    )
+    rows = D.minhash_delta_near_dups(standing, delta, min_matching=6).collect()
+    pairs = [(r["src"], r["dst"]) for r in rows]
+    assert sorted(pairs) == [(3, 5)], pairs  # once, canonical orientation
