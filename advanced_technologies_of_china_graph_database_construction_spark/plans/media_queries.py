@@ -427,14 +427,12 @@ GROUP BY f.doc_id
 """
 
 
-# STAGED, not registered: r10's driver gate budget is exactly consumed
-# (10 never-gated specs + the 40-spec r6 re-gate cohort = 50); moving
-# m10 into SPECS this round would push an r6-stale spec past the r10
-# gate.  The operator is fully implemented and pytest-covered
-# (test_multimodal quiet-segment tests); FIRST COMMIT of r11: move this
-# entry into SPECS.
-DEFERRED_SPECS: list[QuerySpec] = [
+# Registered r11 (staged through r10 while the 50-slot gate was exactly
+# consumed by the r6 re-gate cohort + nine new specs).
+SPECS.append(
     QuerySpec("m10_quiet_segments", m10_quiet_segments, M10_SQL, "multimodal",
               "VAD-style quiet-segment detection: adaptive frame threshold + "
               "gaps-and-islands merge, integer-exact"),
-]
+)
+
+DEFERRED_SPECS: list[QuerySpec] = []

