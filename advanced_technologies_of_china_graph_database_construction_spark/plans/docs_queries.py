@@ -1663,12 +1663,73 @@ WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR h_old <> h_new)
 def d28_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 BPE merge rules learned from the corpus word-frequency
     table (`operators/bpe.py`, incremental pair-count maintenance).
-    Iterative argmax is not SQL-expressible, so the gate is rows-only;
-    the hard check is the Python-reference equality suite in
-    tests/test_bpe.py, and the ENCODE face is hash-gated as d31."""
+    Hash-gated since r11: the driver-coordinated argmax loop has a fixed
+    depth (n_merges=8), so the oracle unrolls it as 8 DuckDB CTE stages
+    — pair-count → (freq DESC, l, r) argmax → greedy-fold re-tokenize —
+    where the fold is the same left-to-right accumulate as
+    ``bpe._merge_fold`` expressed via ``list_reduce`` (see D28_SQL).
+    The Python-reference equality suite in tests/test_bpe.py remains
+    the unit-level check; the ENCODE face is hash-gated as d31."""
     from ..operators.bpe import bpe_merges
 
     return bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=8)
+
+
+def _d28_stage(k: int) -> str:
+    """One unrolled BPE induction round: count adjacent symbol pairs of
+    w{k}, pick the (freq DESC, l, r) argmax, and re-tokenize into
+    w{k+1} by the greedy left-to-right fold.  The fold mirrors
+    ``bpe._merge_fold`` exactly: the accumulator is the space-joined
+    token string (words are whitespace-split, so ' ' can never occur
+    inside a symbol), and a merge fires iff the accumulator's LAST
+    token equals l and the current symbol equals r — appending x
+    without a separator IS the concatenation l||r.  A token merged
+    this round can never re-match l (l||r ≠ l since r is non-empty),
+    which is what makes the fold equivalent to the scan-and-skip
+    reference semantics on overlaps ('ggg' under (g,g) → 'gg','g')."""
+    return f"""
+c{k} AS (
+  SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS pair_freq
+  FROM w{k}, unnest(list_transform(range(1, len(syms)),
+                                   i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS t(p)
+  GROUP BY 1, 2),
+m{k} AS (SELECT l, r, pair_freq FROM c{k} ORDER BY pair_freq DESC, l, r LIMIT 1),
+w{k + 1} AS (
+  SELECT freq,
+         CASE WHEN len(syms) <= 1 THEN syms
+              ELSE string_split(
+                     list_reduce(syms,
+                       (acc, x) -> CASE WHEN (acc = m{k}.l OR ends_with(acc, ' ' || m{k}.l))
+                                             AND x = m{k}.r
+                                        THEN acc || x
+                                        ELSE acc || ' ' || x END), ' ')
+         END AS syms
+  FROM w{k}, m{k})"""
+
+
+# Tokenization matches bpe_merges bit-for-bit on the ASCII fixture
+# corpus: lower+trim+\s+-split+drop-empties for words, per-character
+# symbols.  (Spark split(w,'') is per UTF-16 code unit and DuckDB
+# string_split(w,'') per grapheme cluster — identical on ASCII, the
+# documented fixture assumption; see also operators/selection.py.)
+D28_SQL = (
+    """WITH words AS (
+  SELECT t AS word, count(*)::BIGINT AS freq
+  FROM documents,
+       unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                          x -> x <> '')) AS u(t)
+  GROUP BY t),
+w0 AS (
+  SELECT freq, list_filter(string_split(word, ''), s -> s <> '') AS syms
+  FROM words),"""
+    + ",".join(_d28_stage(k) for k in range(8))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f'SELECT {k + 1}::INTEGER AS rank, l AS "left", r AS "right", pair_freq '
+        f"FROM m{k}"
+        for k in range(8)
+    )
+)
 
 
 # d31: the encode face, hash-gated.  The merge table is FIXED (not the
@@ -2884,9 +2945,9 @@ SPECS = [
               "(shard, pos) read order from a closed-form mixer — "
               "reproducible training order, no rand(), no sampling-based "
               "range exchange"),
-    QuerySpec("d28_bpe_merges", d28_bpe_merges, None, "text",
-              "BPE merge-table induction, incremental pair counts (rows-only "
-              "gate; python-reference pytest; encode face hash-gated as d31)"),
+    QuerySpec("d28_bpe_merges", d28_bpe_merges, D28_SQL, "text",
+              "BPE merge-table induction, incremental pair counts, hash-gated "
+              "vs an 8-stage unrolled count→argmax→fold DuckDB oracle"),
     QuerySpec("d38_boilerplate_removal", d38_boilerplate_removal, D38_SQL, "text",
               "C4-style boilerplate removal: ≥50%-of-source lines dropped, "
               "docs reassembled; hash-only frequency shuffle"),

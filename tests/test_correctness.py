@@ -29,10 +29,10 @@ def test_oracle_match(spark, con, spec):
 
 @pytest.mark.parametrize("spec", [s for s in SPECS if not s.oracle], ids=lambda s: s.name)
 def test_rows_only(spark, spec):
-    """Oracle-less specs (currently only d28's iterative-argmax BPE)
-    still must produce real rows on the fixture — count() > 0, not the
-    vacuous >= 0 — their value-level verification lives in dedicated
-    reference suites (test_bpe.py)."""
+    """Oracle-less specs (none since r11 — d28 gained an unrolled
+    DuckDB oracle) still must produce real rows on the fixture —
+    count() > 0, not the vacuous >= 0 — their value-level verification
+    lives in dedicated reference suites."""
     df = spec.fn(spark, SF_CORRECT)
     assert df.count() > 0
     assert len(df.columns) > 0
