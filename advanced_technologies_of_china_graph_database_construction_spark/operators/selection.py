@@ -37,7 +37,17 @@ def charpoly_hash(word: Column) -> Column:
     2^31-1, identical arithmetic in Spark and ANSI SQL (DuckDB:
     ``list_reduce(list_transform(string_split(w, ''), c -> ord(c)),
     (a, b) -> (a*31+b) % 2147483647)``).  Pure JVM expression —
-    whole-stage codegen, no UDF."""
+    whole-stage codegen, no UDF.
+
+    ASCII/BMP assumption (cross-engine parity boundary): Spark's
+    ``split(w, '')`` yields per-UTF-16-code-unit pieces and ``ascii()``
+    the first codepoint, while DuckDB's ``string_split(w, '')`` yields
+    grapheme clusters and ``ord()`` their first codepoint — identical
+    only while the input is single-code-unit characters with no
+    combining sequences, which the fixture corpus is (verified ASCII at
+    every sf; d28's oracle documents the same boundary).  A non-ASCII
+    deployment should NFC-normalize upstream and treat the hash as an
+    engine-local fingerprint, not a cross-engine contract."""
     chars = F.filter(F.split(word, ""), lambda c: c != F.lit(""))
     return F.aggregate(
         chars,
@@ -50,35 +60,29 @@ def _doc_features(docs: DataFrame, text_col: str, n_buckets: int) -> DataFrame:
     """(doc_id, is_t, bucket) with one row PER OCCURRENCE of a hashed
     unigram or bigram feature — DSIR counts occurrences, not distinct
     features.  The per-doc target flag rides along so the distribution
-    aggregate needs no join back to the corpus.  The explode and hash
-    are map-side; no shuffle here."""
+    aggregate needs no join back to the corpus.  Unigram and bigram
+    buckets are concatenated per document and exploded ONCE, so each
+    consumer of this frame costs exactly one corpus scan (the r10
+    verdict's scale fix: the frame is corpus-token-sized, so it is
+    recomputed per consumer — two cheap narrow codegen scans — rather
+    than eagerly materialized to executor storage).  The explode and
+    hash are map-side; no shuffle here."""
     toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != F.lit(""))
-    d = docs.select("doc_id", "is_t", toks.alias("toks"))
-    uni = d.select("doc_id", "is_t", F.explode("toks").alias("w")).select(
-        "doc_id", "is_t", (charpoly_hash(F.col("w")) % n_buckets).alias("bucket")
+    d = docs.select(
+        "doc_id", "is_t", F.transform(toks, charpoly_hash).alias("hs")
     )
     # bigram bucket = (h(a)*KNUTH + h(b)) % n_buckets: mixes the pair
     # without hashing the concatenated string (h < 2^31 so the product
     # stays inside int64)
-    bi = (
-        d.select(
-            "doc_id",
-            "is_t",
-            F.transform("toks", charpoly_hash).alias("hs"),
-        )
-        .select(
-            "doc_id",
-            "is_t",
-            F.explode(
-                F.zip_with(
-                    F.slice("hs", 1, F.greatest(F.size("hs") - 1, F.lit(0))),
-                    F.slice("hs", 2, F.greatest(F.size("hs") - 1, F.lit(0))),
-                    lambda a, b: (a * KNUTH + b) % n_buckets,
-                )
-            ).alias("bucket"),
-        )
+    buckets = F.concat(
+        F.transform("hs", lambda h: h % n_buckets),
+        F.zip_with(
+            F.slice("hs", 1, F.greatest(F.size("hs") - 1, F.lit(0))),
+            F.slice("hs", 2, F.greatest(F.size("hs") - 1, F.lit(0))),
+            lambda a, b: (a * KNUTH + b) % n_buckets,
+        ),
     )
-    return uni.unionByName(bi)
+    return d.select("doc_id", "is_t", F.explode(buckets).alias("bucket"))
 
 
 def dsir_importance_weights(
@@ -99,11 +103,16 @@ def dsir_importance_weights(
     join and nothing corpus-fraction-sized is ever broadcast), totals
     folded from that same tiny frame (a block scan of ≤n_buckets rows,
     not a corpus re-scan), then the broadcast log-ratio table joins the
-    features for one doc_id-keyed sum.  The weight is rounded AFTER the
-    sum (single rounding point, d25/d26 convention).
+    features for one doc_id-keyed sum.  The feature frame is
+    corpus-token-sized and therefore NEVER materialized: each of its
+    two consumers recomputes the narrow explode+hash from the source
+    scan (one scan each — pinned in test_plan_quality), instead of the
+    r10 eager localCheckpoint that wrote a corpus-sized frame to
+    executor storage.  The weight is rounded AFTER the sum (single
+    rounding point, d25/d26 convention).
     """
     flagged = docs.select("doc_id", F.col(text_col), is_target.alias("is_t"))
-    feats = _doc_features(flagged, text_col, n_buckets).localCheckpoint(eager=True)
+    feats = _doc_features(flagged, text_col, n_buckets)
     counts = (
         feats.groupBy("bucket")
         .agg(

@@ -351,6 +351,57 @@ def nfc_audit(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return docs.select(id_col, text_col).mapInPandas(run, schema)
 
 
+def _npmi_capped_words(
+    docs: DataFrame, text_col: str, min_word_docs: int, max_words_per_doc: int
+):
+    """Shared d44 front end: (vocab, capped) where ``vocab`` is the
+    (w, df) qualifying vocabulary and ``capped`` holds each document's
+    qualifying distinct words as ONE sorted array bounded to the FIRST
+    ``max_words_per_doc`` words in lexicographic order — a
+    deterministic, engine-reproducible cap rule (row_number over
+    (doc_id ORDER BY w) ≤ cap in SQL).  ``n_qualifying`` rides along so
+    callers can audit what the cap dropped."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != F.lit("")
+    )
+    words = docs.select("doc_id", F.explode(F.array_distinct(toks)).alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_word_docs)
+    )
+    capped = (
+        words.join(F.broadcast(vocab.select("w")), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("w")), 1, max_words_per_doc
+            ).alias("ws"),
+            F.count("*").alias("n_qualifying"),
+        )
+    )
+    return vocab, capped
+
+
+def npmi_dropped_words(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_word_docs: int = 5,
+    max_words_per_doc: int = 1000,
+) -> DataFrame:
+    """(doc_id, n_qualifying, n_kept, n_dropped): the audit face of
+    ``npmi_collocations``'s per-doc cap — the no-silent-caps rule made
+    queryable.  A curation run reports ``sum(n_dropped)`` next to the
+    collocation table so a binding cap is never invisible."""
+    _, capped = _npmi_capped_words(docs, text_col, min_word_docs, max_words_per_doc)
+    return capped.select(
+        "doc_id",
+        "n_qualifying",
+        F.size("ws").alias("n_kept"),
+        (F.col("n_qualifying") - F.size("ws")).alias("n_dropped"),
+    )
+
+
 def npmi_collocations(
     docs: DataFrame,
     text_col: str = "text",
@@ -358,6 +409,7 @@ def npmi_collocations(
     min_pair_docs: int = 5,
     top_k: int = 50,
     round_digits: int = 6,
+    max_words_per_doc: int = 1000,
 ) -> DataFrame:
     """Top-k word collocations by normalized PMI over document
     co-occurrence — phrase mining for corpus curation (the statistic
@@ -372,29 +424,38 @@ def npmi_collocations(
     ROUNDED score (desc, then word_a, word_b) so the top-k cutoff is
     engine-independent.
 
-    Scale shape: the pair space is bounded BEFORE the quadratic step —
-    only words with df ≥ ``min_word_docs`` survive (the qualifying
-    vocabulary is corpus-small and broadcast), so the per-doc self-join
-    is quadratic only in qualifying distinct words per doc.  Pair
-    counting is one (word_a, word_b) shuffle with map-side combine;
-    df dimensions re-join by broadcast; top-k is
+    Scale shape: the pair space is bounded BEFORE the quadratic step,
+    twice over.  (1) Only words with df ≥ ``min_word_docs`` survive
+    (the qualifying vocabulary is corpus-small and broadcast).  (2) Per
+    document, at most ``max_words_per_doc`` qualifying words enter the
+    pair step — the FIRST N in lexicographic order, a deterministic cap
+    that bounds the fan-out of a pathological long document to N²/2
+    instead of letting one 10k-distinct-word page emit 50M pair rows
+    (the r10 verdict's scale fix).  Dropped-word counts are queryable
+    via ``npmi_dropped_words`` — caps are never silent.  Pairs are
+    generated map-side from each document's bounded sorted word array
+    (no exploded self-join: the only corpus-sized shuffles are the
+    per-doc regroup and the (word_a, word_b) count with map-side
+    combine); df dimensions re-join by broadcast; top-k is
     TakeOrderedAndProject, never a global sort.
     """
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != F.lit("")
+    vocab, capped = _npmi_capped_words(
+        docs, text_col, min_word_docs, max_words_per_doc
     )
-    words = (
-        docs.select("doc_id", F.explode(F.array_distinct(toks)).alias("w"))
-    ).localCheckpoint(eager=True)
     n_docs = float(docs.count())
-    df_w = words.groupBy("w").agg(F.count("*").alias("df"))
-    vocab = df_w.filter(F.col("df") >= min_word_docs)
-    kept = words.join(F.broadcast(vocab.select("w")), "w")
+    # all (a < b) pairs of the bounded per-doc array, generated map-side
+    pair_structs = F.flatten(
+        F.transform(
+            "ws",
+            lambda a, i: F.transform(
+                F.slice(F.col("ws"), i + 2, F.size("ws")),
+                lambda b: F.struct(a.alias("word_a"), b.alias("word_b")),
+            ),
+        )
+    )
     pairs = (
-        kept.alias("a")
-        .join(kept.alias("b"), "doc_id")
-        .filter(F.col("a.w") < F.col("b.w"))
-        .groupBy(F.col("a.w").alias("word_a"), F.col("b.w").alias("word_b"))
+        capped.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.word_a").alias("word_a"), F.col("p.word_b").alias("word_b"))
         .agg(F.count("*").alias("df_ab"))
         .filter(F.col("df_ab") >= min_pair_docs)
     )

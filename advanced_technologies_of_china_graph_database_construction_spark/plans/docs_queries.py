@@ -2811,6 +2811,7 @@ GROUP BY f.doc_id
 NPMI_MIN_WORD_DOCS = 5
 NPMI_MIN_PAIR_DOCS = 5
 NPMI_TOP_K = 50
+NPMI_MAX_WORDS_PER_DOC = 1000
 
 
 def d44_npmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2818,14 +2819,18 @@ def d44_npmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence (Bouma 2009) — strength-ranked phrase mining, the
     scored upgrade of the reference's raw keyword co-occurrence listing
     (`neo4j_query_executor.py` Q13 class).  The quadratic pair step is
-    vocabulary-capped BEFORE the self-join; cutoff order is on the
-    rounded score so both engines agree at the limit boundary."""
+    bounded twice: vocabulary-capped by df AND per-doc capped to the
+    first ``NPMI_MAX_WORDS_PER_DOC`` qualifying words in lexicographic
+    order (pathological-long-doc fan-out guard; the cap's drop counts
+    are queryable via ``textops.npmi_dropped_words``).  Cutoff order is
+    on the rounded score so both engines agree at the limit boundary."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.npmi_collocations(
         docs,
         min_word_docs=NPMI_MIN_WORD_DOCS,
         min_pair_docs=NPMI_MIN_PAIR_DOCS,
         top_k=NPMI_TOP_K,
+        max_words_per_doc=NPMI_MAX_WORDS_PER_DOC,
     )
 
 
@@ -2835,7 +2840,13 @@ WITH words AS (
 n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
 dfw AS (SELECT w, count(*) AS df FROM words GROUP BY w
         HAVING count(*) >= {NPMI_MIN_WORD_DOCS}),
-kept AS (SELECT words.doc_id, words.w FROM words JOIN dfw USING (w)),
+kept AS (
+  SELECT doc_id, w
+  FROM (SELECT words.doc_id, words.w,
+               row_number() OVER (PARTITION BY words.doc_id
+                                  ORDER BY words.w) AS rn
+        FROM words JOIN dfw USING (w))
+  WHERE rn <= {NPMI_MAX_WORDS_PER_DOC}),
 pairs AS (
   SELECT a.w AS word_a, b.w AS word_b, count(*) AS df_ab
   FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.w < b.w

@@ -27,11 +27,14 @@ from .spec import QuerySpec
 PLAN_CHANGED_REGATE: set[str] = set()
 
 # r11 gate-budget note (honest math, per the r10 verdict): the front of
-# the gate order is 3 never-gated specs (d28, m10, x02) + the 48-spec
-# r7-stale cohort = 51 candidates for 50 slots.  The LAST r7 spec in
-# declaration order — ``g12_doc_has_keyword`` — rolls to r12; it is a
-# thin 1-hop edge-existence check whose kernel is shared with (and so
-# transitively re-proved by) g11/g05, making it the lowest-risk carry.
+# the gate order is 3 never-gated specs (d28, m10, x02) + 2 plan-drift
+# pins (d43's de-materialized feature path, d44's per-doc pair cap —
+# both r11 scale fixes) + the 48-spec r7-stale cohort = 53 candidates
+# for 50 slots.  The LAST THREE r7 specs in declaration order roll to
+# r12: ``g10_docs_per_year_for_keyword``, ``g11_author_wrote_doc``,
+# ``g12_doc_has_keyword`` — all thin 1-hop traversal faces whose join
+# kernel is shared with (and so transitively re-proved by) the g01-g09
+# specs that DO re-gate this round, making them the lowest-risk carry.
 
 
 def effective_round(

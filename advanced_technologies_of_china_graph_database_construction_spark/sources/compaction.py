@@ -95,18 +95,24 @@ def compact_partitions(
     if not flagged:
         return []
     df = _read_store(spark, path)
-    keys = [tuple(r[c] for c in pcols) for r in flagged]
-    # null-safe per-partition match: struct(...).isin(...) compares
-    # NULL partition values (__HIVE_DEFAULT_PARTITION__) to NULL and
-    # silently drops them — flagged-but-never-rewritten would loop
-    # forever
-    pred = None
-    for key in keys:
-        clause = None
-        for c, v in zip(pcols, key):
-            term = F.col(c).eqNullSafe(F.lit(v))
-            clause = term if clause is None else (clause & term)
-        pred = clause if pred is None else (pred | clause)
+    # Flagged-partition selection is a broadcast LEFT-SEMI join against
+    # a small keys frame — O(1) Catalyst nodes regardless of how many
+    # partitions are flagged (an OR-of-AND predicate chain would grow
+    # the plan tree linearly and stall analysis at 10^4+ flagged
+    # partitions, the realistic streaming-store backlog).  eqNullSafe
+    # join keys keep NULL partition values (__HIVE_DEFAULT_PARTITION__)
+    # matchable — a plain equi-join would silently drop them and the
+    # partition would stay flagged-but-never-rewritten forever.
+    keys_df = spark.createDataFrame(
+        [tuple(r[c] for c in pcols) for r in flagged],
+        df.select(*pcols).schema,
+    ).alias("_keys")
+    store = df.alias("_store")
+    match = None
+    for c in pcols:
+        term = F.col(f"_store.{c}").eqNullSafe(F.col(f"_keys.{c}"))
+        match = term if match is None else (match & term)
+    picked = store.join(F.broadcast(keys_df), match, "leftsemi")
     # Two-phase rewrite: stage the compacted rows OUTSIDE the store,
     # then dynamic-overwrite from the staged copy.  Spark (correctly)
     # refuses to overwrite a path it is reading from; staging also
@@ -115,7 +121,7 @@ def compact_partitions(
     staging = tempfile.mkdtemp(prefix="compact_staging_")
     try:
         (
-            df.filter(pred)
+            picked
             .repartition(*[F.col(c) for c in pcols])
             .write.mode("overwrite")
             .option("maxRecordsPerFile", rows_per_file)

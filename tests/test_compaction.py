@@ -140,3 +140,42 @@ def test_compaction_handles_null_partition_values(spark):
         assert spark.read.parquet(out).count() == 40
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_many_flagged_partitions_select_via_bounded_plan(spark):
+    """Hundreds of flagged partitions: selection must be a broadcast
+    semi-join against a keys frame, not an OR-of-AND predicate chain
+    whose Catalyst tree grows with the flagged count (plan analysis
+    stalls / stack-overflows at 10^4+ partitions).  Correctness face:
+    all 300 fragmented partitions converge, none are dropped, the one
+    healthy partition stays byte-identical, and a re-run is a no-op."""
+    out = tempfile.mkdtemp(prefix="test_compact_many_")
+    try:
+        n_parts = 300
+        rows = [(i, f"g{i % n_parts}", f"p{i}") for i in range(n_parts * 4)]
+        df = spark.createDataFrame(rows, "id long, grp string, payload string")
+        # every partition fragmented (4 rows across 4 round-robin files)
+        df.filter(F.col("grp") != "g0").repartition(4).write.mode(
+            "overwrite"
+        ).partitionBy("grp").parquet(out)
+        df.filter(F.col("grp") == "g0").coalesce(1).write.mode("append").partitionBy(
+            "grp"
+        ).parquet(out)
+        before_g0 = _files(out, "g0")
+
+        flagged = compact_partitions(spark, out, ["grp"], rows_per_file=10_000)
+        # a group whose 4 rows happen to land in ONE round-robin task is
+        # already healthy, so "hundreds flagged", not exactly n_parts-1
+        assert len(flagged) > 200, len(flagged)
+        assert "g0" not in {r["grp"] for r in flagged}
+        assert _files(out, "g0") == before_g0
+
+        stats = partition_file_stats(spark, out, ["grp"]).collect()
+        assert len(stats) == n_parts
+        assert all(r["n_files"] == 1 for r in stats), [
+            r for r in stats if r["n_files"] != 1
+        ][:5]
+        assert spark.read.parquet(out).count() == n_parts * 4
+        assert compact_partitions(spark, out, ["grp"], rows_per_file=10_000) == []
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -722,11 +722,16 @@ def test_scc_is_checkpointed_supersteps_no_python_no_cartesian(spark):
 
 
 def test_dsir_weights_scoring_is_one_broadcast_join_one_sum(spark):
-    """d43: the target flag rides the feature rows (no second corpus
-    scan, no target-id broadcast join anywhere), so the scoring plan is
-    exactly ONE broadcast join of the ≤n_buckets log-ratio table over
-    the checkpointed features plus a map-side-partial doc_id sum — all
-    JVM-side (the char-polynomial hash is a codegen fold, not a UDF)."""
+    """d43: the target flag rides the feature rows (no target-id
+    broadcast join anywhere), so the scoring plan is exactly ONE
+    broadcast join of the ≤n_buckets log-ratio table over the features
+    plus a map-side-partial doc_id sum — all JVM-side (the
+    char-polynomial hash is a codegen fold, not a UDF).  Since r11 the
+    corpus-token-sized feature frame is RECOMPUTED per consumer, never
+    materialized: the probe side must be exactly one parquet scan
+    (single explode of concatenated uni+bi buckets, not a two-branch
+    union) and the only ExistingRDD block is the ≤n_buckets counts
+    checkpoint feeding the ratios side."""
     from advanced_technologies_of_china_graph_database_construction_spark.operators.selection import (
         dsir_importance_weights,
     )
@@ -738,13 +743,19 @@ def test_dsir_weights_scoring_is_one_broadcast_join_one_sum(spark):
     assert plan.count("BroadcastHashJoin") == 1, plan
     assert "SortMergeJoin" not in plan, plan
     assert "partial_count" in plan and "partial_sum" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Scan ExistingRDD") == 1, plan
 
 
 def test_npmi_vocab_broadcast_and_topk_no_global_sort(spark):
     """d44: the qualifying vocabulary and both df dimensions must enter
-    as broadcasts (the pair space is capped BEFORE the self-join), the
-    pair count must partial-aggregate map-side, and the top-k cutoff
-    must plan as TakeOrderedAndProject — never a global Sort."""
+    as broadcasts, the pair count must partial-aggregate map-side, and
+    the top-k cutoff must plan as TakeOrderedAndProject — never a
+    global Sort.  Since r11 the pairs are generated map-side from each
+    document's bounded sorted word array (sort_array is an expression,
+    not a Sort node), so the plan must carry NO join at all on the
+    corpus-sized pair path — no SortMergeJoin anywhere — and no
+    exploded self-join shuffle."""
     from advanced_technologies_of_china_graph_database_construction_spark.operators import textops
 
     docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
@@ -756,6 +767,7 @@ def test_npmi_vocab_broadcast_and_topk_no_global_sort(spark):
     assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
     assert plan.count("BroadcastExchange") >= 3, plan
     assert "partial_count" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_minhash_delta_broadcasts_delta_never_shuffles_standing(spark):

@@ -546,6 +546,56 @@ def test_npmi_collocations_matches_reference(spark):
     assert got == _npmi_reference(rows, 2, 2, 10)
 
 
+def test_npmi_per_doc_cap_bounds_pathological_doc(spark):
+    """One 40-distinct-word document under max_words_per_doc=5 must
+    contribute only C(5,2)=10 pairs — the first 5 qualifying words in
+    lexicographic order — and the audit face must report exactly what
+    was dropped (no silent caps)."""
+    monster = " ".join(f"w{i:02d}" for i in range(40))
+    rows = [(1, monster), (2, monster), (3, "w00 w01 w02")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textops.npmi_collocations(
+        docs, min_word_docs=2, min_pair_docs=2, top_k=100, max_words_per_doc=5
+    ).collect()
+    # every w00..w39 qualifies (df>=2 via docs 1+2); cap keeps w00..w04
+    got_pairs = {(r["word_a"], r["word_b"]) for r in out}
+    expect = {
+        (f"w{a:02d}", f"w{b:02d}") for a in range(5) for b in range(a + 1, 5)
+    }
+    assert got_pairs == expect
+    # uncapped reference on the TRUNCATED docsets agrees value-for-value
+    capped_rows = [
+        (1, " ".join(f"w{i:02d}" for i in range(5))),
+        (2, " ".join(f"w{i:02d}" for i in range(5))),
+        (3, "w00 w01 w02"),
+    ]
+    got = [(r["word_a"], r["word_b"], r["df_ab"], r["npmi"]) for r in out]
+    assert got == _npmi_reference(capped_rows, 2, 2, 100)
+    audit = {
+        r["doc_id"]: (r["n_qualifying"], r["n_kept"], r["n_dropped"])
+        for r in textops.npmi_dropped_words(
+            docs, min_word_docs=2, max_words_per_doc=5
+        ).collect()
+    }
+    assert audit == {1: (40, 5, 35), 2: (40, 5, 35), 3: (3, 3, 0)}
+
+
+def test_npmi_cap_not_binding_is_identity(spark):
+    rows = [
+        (1, "red blue red green"),
+        (2, "red blue yellow"),
+        (3, "red blue"),
+        (4, "green yellow red"),
+        (5, "blue green purple"),
+        (6, "red blue green"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    loose = textops.npmi_collocations(
+        docs, min_word_docs=2, min_pair_docs=2, top_k=10, max_words_per_doc=1000
+    ).collect()
+    assert [tuple(r) for r in loose] == _npmi_reference(rows, 2, 2, 10)
+
+
 def test_npmi_all_docs_pair_pins_to_one(spark):
     rows = [(1, "a b x"), (2, "a b y"), (3, "a b z")]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
