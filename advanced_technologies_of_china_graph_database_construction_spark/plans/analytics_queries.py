@@ -952,6 +952,7 @@ SPECS = [
         "degree-trim loop, forward max-color fixpoint, simultaneous multi-"
         "root backward reach) over a deterministic block-cycle graph; "
         "closed-form oracle from the construction arithmetic",
+        bench=True,  # multi-loop superstep operator: trend its cost like g25/g35
     ),
     QuerySpec(
         name="g38_incremental_components",

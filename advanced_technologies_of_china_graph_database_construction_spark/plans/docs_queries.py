@@ -3064,5 +3064,6 @@ SPECS = [
               "incremental MinHash dedup: delta batch vs standing corpus, "
               "standing-internal pairs excluded"),
     QuerySpec("a10_two_stage_rerank", a10_two_stage_rerank, A10_SQL, "similarity",
-              "two-stage ANN: int8 overfetch stage + exact-cosine rerank"),
+              "two-stage ANN: int8 overfetch stage + exact-cosine rerank",
+              bench=True),  # rerank cost trend next to a01's brute baseline
 ]
