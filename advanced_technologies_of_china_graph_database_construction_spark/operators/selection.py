@@ -85,6 +85,72 @@ def _doc_features(docs: DataFrame, text_col: str, n_buckets: int) -> DataFrame:
     return d.select("doc_id", "is_t", F.explode(buckets).alias("bucket"))
 
 
+def temperature_mixture_plan(
+    docs: DataFrame,
+    source_col: str = "source",
+    budget_den: int = 4,
+    mod: int = 1_000_000,
+) -> DataFrame:
+    """(source, n_docs, w_isqrt, target_docs, rate_ppm): the mixing plan
+    for temperature-scaled source sampling — the multilingual/multi-
+    domain data-mixing step (exponential smoothing per XLM-R/mT5:
+    sample source s proportionally to c_s^τ instead of c_s, so small
+    domains are up-weighted relative to their raw share).
+
+    τ is fixed at 0.5 and computed as ``floor(sqrt(c_s))`` — INTEGER
+    square root, not ``pow(c, 0.5)`` — so every downstream number
+    (targets, rates) is integer arithmetic and bit-identical across
+    engines (general τ needs float pow, whose cross-engine rounding is
+    not contractual; correctly-rounded sqrt + floor is).  The output
+    budget is ``total_docs div budget_den``; per source,
+    ``target_docs = least(c_s, (budget · w_s) div Σw)`` and the keep
+    threshold ``rate_ppm = (target · mod) div c_s``.
+
+    Scale shape: one tiny per-source aggregate (map-side combined), a
+    1-row totals fold cross-joined back (both frames are
+    |sources|-sized).  The plan NEVER touches document payloads."""
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = counts.withColumn(
+        "w_isqrt", F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long")
+    )
+    tot = w.agg(
+        F.sum("n_docs").alias("tot_docs"), F.sum("w_isqrt").alias("tot_w")
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target_docs",
+            F.least(
+                F.col("n_docs"),
+                F.expr(f"((tot_docs div {budget_den}) * w_isqrt) div tot_w"),
+            ),
+        )
+        .withColumn("rate_ppm", F.expr(f"(target_docs * {mod}) div n_docs"))
+        .select(source_col, "n_docs", "w_isqrt", "target_docs", "rate_ppm")
+    )
+
+
+def apply_mixture(
+    docs: DataFrame,
+    plan: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    mod: int = 1_000_000,
+) -> DataFrame:
+    """Filter ``docs`` to the temperature-mixture sample: keep a doc iff
+    its portable id-hash residue falls under its source's ``rate_ppm``
+    threshold from :func:`temperature_mixture_plan`.  The keep decision
+    is the d12/d15 leakage-free integer hash (follows the id through
+    any repartition, never ``rand()``), so applying the plan is a
+    broadcast join + a pure map-side filter — no shuffle of the corpus;
+    realized counts are rate·c_s in expectation, not exact (the
+    documented trade for a shuffle-free apply; the d46 spec ships
+    target AND realized side by side so the gap is visible)."""
+    return docs.join(F.broadcast(plan), source_col).filter(
+        F.pmod(F.col(id_col) * F.lit(KNUTH), F.lit(mod)) < F.col("rate_ppm")
+    )
+
+
 def dsir_importance_weights(
     docs: DataFrame,
     is_target: Column,

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -46,6 +46,52 @@ def brute_force_topk(
         # bulk pair scoring: Arrow einsum kernel (same arithmetic and
         # rounding as the JVM expression; measured ~30% faster at sf0.1)
         .select("query_id", "neighbor_id", arrow_cosine_rounded(F.col("qv"), F.col("nv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def filtered_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    predicate: Column,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, sim, rank): metadata-filtered exact ANN —
+    top-k cosine neighbors among the vectors satisfying ``predicate``
+    (the production "filtered vector search" shape: retrieve only
+    documents with lang='en', label=L, date>cutoff, …).
+
+    This is PRE-filtering: the predicate lands on the candidate scan
+    (plan-pinned — a simple column predicate reaches the parquet reader
+    as a PushedFilter, so only the qualifying fraction is read and
+    scored).  Post-filtering an unfiltered top-k is the classic
+    vector-store bug this operator avoids: with a selective filter the
+    surviving neighbors under-fill k and recall collapses.  Queries are
+    looked up by id and need NOT satisfy the predicate themselves.
+
+    Scale shape: identical to :func:`brute_force_topk` with the corpus
+    side shrunk by the filter's selectivity BEFORE any scoring — the
+    query frame broadcasts, the filtered candidates are scanned
+    map-side (never shuffled), and the per-query window sees only
+    filtered-candidate rows.  Composes with the quantized/IVF stages
+    the same way (filter the compressed copy, then rerank)."""
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cand = emb.filter(predicate).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(cand, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            arrow_cosine_rounded(F.col("qv"), F.col("nv")).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -2383,6 +2383,40 @@ SELECT query_id, neighbor_id, sim, rank FROM (
 """
 
 
+# ------------------------------------------------ a11 filtered ANN -------
+
+A11_LABEL = 1
+
+
+def a11_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered exact ANN — top-10 cosine neighbors among ONLY
+    the label=1 vectors (the production "filtered vector search" shape:
+    retrieval constrained by lang/date/tenant metadata).  PRE-filtering,
+    not post-filtering: the label predicate reaches the candidate
+    parquet scan as a PushedFilter (plan-pinned), so ~10% of the corpus
+    is read and scored and k still fills; post-filtering an unfiltered
+    top-k under-fills k whenever the filter is selective."""
+    from ..operators.similarity import filtered_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return filtered_topk(
+        emb, ANN_QUERY_IDS, F.col("label") == A11_LABEL, k=10
+    )
+
+
+A11_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_COS_AB.format(a='q', b='e')} AS sim
+  FROM q JOIN embeddings e
+    ON e.vec_id <> q.query_id AND e.label = {A11_LABEL})
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 10
+"""
+
+
 # ------------------------------- d30 approx-quantile contract -------------
 
 def d30_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
