@@ -360,7 +360,18 @@ def _npmi_capped_words(
     ``max_words_per_doc`` words in lexicographic order — a
     deterministic, engine-reproducible cap rule (row_number over
     (doc_id ORDER BY w) ≤ cap in SQL).  ``n_qualifying`` rides along so
-    callers can audit what the cap dropped."""
+    callers can audit what the cap dropped.
+
+    The cap is applied BEFORE any per-doc array is built: a row_number
+    window over (doc_id ORDER BY w) filters to the first ``cap`` rows,
+    and only those reach ``collect_list`` — the window buffer is
+    disk-spillable row storage, while an aggregation buffer holding an
+    uncapped collect_list is not, so a 10M-distinct-word pathological
+    doc costs a spill instead of an executor OOM (the r11 verdict's
+    residual-memory fix).  ``n_qualifying`` is the whole-partition
+    count over the same window partitioning — no second shuffle."""
+    from pyspark.sql import Window
+
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != F.lit("")
     )
@@ -370,14 +381,21 @@ def _npmi_capped_words(
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= min_word_docs)
     )
+    qual = words.join(F.broadcast(vocab.select("w")), "w")
+    ranked = qual.select(
+        "doc_id",
+        "w",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("w"))
+        .alias("_rn"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_qualifying"),
+    )
     capped = (
-        words.join(F.broadcast(vocab.select("w")), "w")
+        ranked.filter(F.col("_rn") <= max_words_per_doc)
         .groupBy("doc_id")
         .agg(
-            F.slice(
-                F.sort_array(F.collect_list("w")), 1, max_words_per_doc
-            ).alias("ws"),
-            F.count("*").alias("n_qualifying"),
+            F.sort_array(F.collect_list("w")).alias("ws"),
+            F.first("n_qualifying").alias("n_qualifying"),
         )
     )
     return vocab, capped

@@ -752,10 +752,14 @@ def test_npmi_vocab_broadcast_and_topk_no_global_sort(spark):
     as broadcasts, the pair count must partial-aggregate map-side, and
     the top-k cutoff must plan as TakeOrderedAndProject — never a
     global Sort.  Since r11 the pairs are generated map-side from each
-    document's bounded sorted word array (sort_array is an expression,
-    not a Sort node), so the plan must carry NO join at all on the
-    corpus-sized pair path — no SortMergeJoin anywhere — and no
-    exploded self-join shuffle."""
+    document's bounded word array, so the plan must carry NO join at
+    all on the corpus-sized pair path — no SortMergeJoin anywhere —
+    and no exploded self-join shuffle.  Since r12 the per-doc cap is a
+    row_number WINDOW FILTER upstream of the collect_list aggregate
+    (the window's spillable row buffer replaces an unspillable uncapped
+    aggregation-buffer array): the plan must show the Window, the
+    ``<= cap`` filter, and only partition-local sorts — a global sort
+    would need a range-partitioning exchange."""
     from advanced_technologies_of_china_graph_database_construction_spark.operators import textops
 
     docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
@@ -764,7 +768,12 @@ def test_npmi_vocab_broadcast_and_topk_no_global_sort(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
-    assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the pre-cap: row_number window + the <= 1000 filter feed the
+    # aggregate, so the collect_list input is already bounded
+    assert "Window" in plan, plan
+    assert "<= 1000" in plan, plan
     assert plan.count("BroadcastExchange") >= 3, plan
     assert "partial_count" in plan, plan
     assert "SortMergeJoin" not in plan, plan

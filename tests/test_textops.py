@@ -578,6 +578,18 @@ def test_npmi_per_doc_cap_bounds_pathological_doc(spark):
         ).collect()
     }
     assert audit == {1: (40, 5, 35), 2: (40, 5, 35), 3: (3, 3, 0)}
+    # the aggregation INPUT is capped, not just the output array: the
+    # shared front end's collect_list sees ≤ cap rows per doc (row_number
+    # window filter upstream), so no uncapped per-doc array is ever
+    # buffered — probe the capped frame directly
+    _, capped = textops._npmi_capped_words(
+        docs, "text", min_word_docs=2, max_words_per_doc=5
+    )
+    sizes = {r["doc_id"]: r["n_ws"] for r in
+             capped.select("doc_id", F.size("ws").alias("n_ws")).collect()}
+    assert sizes == {1: 5, 2: 5, 3: 3}
+    cap_plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in cap_plan and "<= 5" in cap_plan, cap_plan
 
 
 def test_npmi_cap_not_binding_is_identity(spark):
