@@ -39,15 +39,18 @@ def charpoly_hash(word: Column) -> Column:
     (a, b) -> (a*31+b) % 2147483647)``).  Pure JVM expression —
     whole-stage codegen, no UDF.
 
-    ASCII/BMP assumption (cross-engine parity boundary): Spark's
-    ``split(w, '')`` yields per-UTF-16-code-unit pieces and ``ascii()``
-    the first codepoint, while DuckDB's ``string_split(w, '')`` yields
-    grapheme clusters and ``ord()`` their first codepoint — identical
-    only while the input is single-code-unit characters with no
-    combining sequences, which the fixture corpus is (verified ASCII at
-    every sf; d28's oracle documents the same boundary).  A non-ASCII
-    deployment should NFC-normalize upstream and treat the hash as an
-    engine-local fingerprint, not a cross-engine contract."""
+    Unicode boundary (cross-engine parity, VERIFIED r12 — pinned by
+    ``test_charpoly_non_ascii_boundary``): on the engines in use
+    (Spark 4.x, current DuckDB) BOTH sides split per CODEPOINT —
+    Spark's ``split(w, '')`` does not cut surrogate pairs and
+    ``ascii()`` returns the full codepoint; DuckDB's
+    ``string_split(w, '')`` yields codepoints too (a combining mark is
+    its own piece, not folded into a grapheme cluster).  So the hash
+    agrees cross-engine on combining sequences AND non-BMP characters,
+    not just ASCII.  The REAL residual boundary is normalization:
+    canonically-equivalent strings in different forms (NFC "é" vs NFD
+    "e"+U+0301) hash differently — NFC-normalize upstream (d33) when
+    logically-equal text must collide."""
     chars = F.filter(F.split(word, ""), lambda c: c != F.lit(""))
     return F.aggregate(
         chars,
@@ -145,9 +148,20 @@ def apply_mixture(
     broadcast join + a pure map-side filter — no shuffle of the corpus;
     realized counts are rate·c_s in expectation, not exact (the
     documented trade for a shuffle-free apply; the d46 spec ships
-    target AND realized side by side so the gap is visible)."""
+    target AND realized side by side so the gap is visible).
+
+    The residue is ``pmod(pmod(id, mod) · KNUTH, mod)`` — reducing the
+    id mod ``mod`` FIRST keeps the product under 2^52 for every int64
+    id, where ``id · KNUTH`` alone overflows int64 (silent wrap in
+    Spark, error in DuckDB) for ids above ~3.47e9, breaking the
+    cross-engine bit-identical contract exactly at web-scale id
+    ranges.  The two forms agree wherever both are defined:
+    (id mod m)·K ≡ id·K (mod m)."""
+    residue = F.pmod(
+        F.pmod(F.col(id_col), F.lit(mod)) * F.lit(KNUTH), F.lit(mod)
+    )
     return docs.join(F.broadcast(plan), source_col).filter(
-        F.pmod(F.col(id_col) * F.lit(KNUTH), F.lit(mod)) < F.col("rate_ppm")
+        residue < F.col("rate_ppm")
     )
 
 

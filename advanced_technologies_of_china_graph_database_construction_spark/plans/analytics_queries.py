@@ -672,11 +672,6 @@ SELECT node AS org_id, min(m) AS component FROM reach GROUP BY node
 )
 
 
-# No specs currently staged; new specs register directly (never-gated
-# specs sort first in the staleness-ordered registry, so they take the
-# next driver gate's first slots — zero rows is the weakest signal and
-# gets priority over rotating already-green rows).
-DEFERRED_SPECS: list[QuerySpec] = []
 
 
 # --------------------------------------- g35 multi-source BFS ----------

@@ -276,7 +276,7 @@ WHERE rank <= 3 AND tfidf > 0
 """
 
 
-# a05_knn_graph + DEFERRED_SPECS are declared near the foot of the module
+# a05_knn_graph is declared near the foot of the module
 # (the a05 oracle reuses _COS_AB, defined with the similarity specs).
 
 
@@ -1707,11 +1707,13 @@ w{k + 1} AS (
   FROM w{k}, m{k})"""
 
 
-# Tokenization matches bpe_merges bit-for-bit on the ASCII fixture
-# corpus: lower+trim+\s+-split+drop-empties for words, per-character
-# symbols.  (Spark split(w,'') is per UTF-16 code unit and DuckDB
-# string_split(w,'') per grapheme cluster — identical on ASCII, the
-# documented fixture assumption; see also operators/selection.py.)
+# Tokenization matches bpe_merges bit-for-bit: lower+trim+\s+-split+
+# drop-empties for words, per-character symbols.  (Verified r12: BOTH
+# Spark split(w,'') and DuckDB string_split(w,'') split per CODEPOINT —
+# surrogate pairs stay whole, combining marks are their own piece — so
+# the parity holds beyond ASCII; the residual boundary is normalization
+# form, pinned by test_charpoly_non_ascii_boundary.  See also
+# operators/selection.py charpoly_hash.)
 D28_SQL = (
     """WITH words AS (
   SELECT t AS word, count(*)::BIGINT AS freq
@@ -2944,11 +2946,63 @@ HAVING count(*) >= 8
 """
 
 
-# No specs currently staged; new specs register directly (never-gated
-# specs sort first in the staleness-ordered registry, so they take the
-# next driver gate's first slots — zero rows is the weakest signal and
-# gets priority over rotating already-green rows).
-DEFERRED_SPECS: list[QuerySpec] = []
+# ---------------- d46 temperature-mixture sampling (data mixing) ---------
+
+MIX_BUDGET_DEN = 4
+MIX_MOD = 1_000_000
+
+
+def d46_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (τ=0.5 per XLM-R/mT5): the
+    integer-exact mixing plan per source (targets from floor-sqrt
+    weights over a total-docs/4 budget) PLUS the realized kept-doc
+    count from applying the plan's rate_ppm hash filter — target and
+    realized ship side by side so the expectation-vs-exact gap of the
+    shuffle-free apply is visible, never silent.  The 100 TB upgrade of
+    the reference's uniform concat of per-domain exports
+    (`cleaner.py:206-216`): small sources are up-weighted relative to
+    their raw share.  All arithmetic is bigint (isqrt + div + pmod), so
+    the gate is hash-exact, not tolerance-based."""
+    from ..operators.selection import apply_mixture, temperature_mixture_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = temperature_mixture_plan(docs, budget_den=MIX_BUDGET_DEN, mod=MIX_MOD)
+    realized = (
+        apply_mixture(docs, plan, mod=MIX_MOD)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("realized_docs"))
+    )
+    return plan.join(realized, "source", "left").select(
+        "source",
+        "n_docs",
+        "w_isqrt",
+        "target_docs",
+        "rate_ppm",
+        F.coalesce(F.col("realized_docs"), F.lit(0)).alias("realized_docs"),
+    )
+
+
+D46_SQL = f"""
+WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+w AS (SELECT source, n_docs,
+             CAST(floor(sqrt(n_docs::DOUBLE)) AS BIGINT) AS w_isqrt
+      FROM counts),
+tot AS (SELECT sum(n_docs) AS tot_docs, sum(w_isqrt) AS tot_w FROM w),
+plan AS (
+  SELECT source, n_docs, w_isqrt,
+         least(n_docs, ((tot_docs // {MIX_BUDGET_DEN}) * w_isqrt) // tot_w)
+           AS target_docs
+  FROM w CROSS JOIN tot),
+rated AS (SELECT *, (target_docs * {MIX_MOD}) // n_docs AS rate_ppm FROM plan),
+kept AS (
+  SELECT d.source, count(*) AS realized_docs
+  FROM documents d JOIN rated p USING (source)
+  WHERE ((d.doc_id % {MIX_MOD}) * 2654435761) % {MIX_MOD} < p.rate_ppm
+  GROUP BY d.source)
+SELECT p.source, p.n_docs, p.w_isqrt, p.target_docs, p.rate_ppm,
+       coalesce(k.realized_docs, 0) AS realized_docs
+FROM rated p LEFT JOIN kept k USING (source)
+"""
 
 
 SPECS = [
@@ -3100,4 +3154,11 @@ SPECS = [
     QuerySpec("a10_two_stage_rerank", a10_two_stage_rerank, A10_SQL, "similarity",
               "two-stage ANN: int8 overfetch stage + exact-cosine rerank",
               bench=True),  # rerank cost trend next to a01's brute baseline
+    QuerySpec("a11_filtered_ann", a11_filtered_ann, A11_SQL, "similarity",
+              "metadata-filtered exact ANN: the label predicate reaches the "
+              "candidate parquet scan as a PushedFilter (pre-filter, k fills)"),
+    QuerySpec("d46_temperature_mixture", d46_temperature_mixture, D46_SQL,
+              "selection",
+              "temperature-scaled (τ=0.5) source-mixing plan + realized "
+              "hash-sampled counts, integer-exact"),
 ]

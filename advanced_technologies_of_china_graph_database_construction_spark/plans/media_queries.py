@@ -435,4 +435,3 @@ SPECS.append(
               "gaps-and-islands merge, integer-exact"),
 )
 
-DEFERRED_SPECS: list[QuerySpec] = []

@@ -358,6 +358,12 @@ FROM documents GROUP BY 1
 """
 
 
+# single source of truth for s12's per-file cap: the compact_partitions
+# call and the ceil(n_rows / cap) file-count assertion must use the SAME
+# number or the assertion silently drifts wrong instead of failing loudly
+S12_ROWS_PER_FILE = 100_000
+
+
 def s12_compacted_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction — the maintenance op every APPENDED store
     eventually needs (the e26/e27 micro-batch sinks and the p03
@@ -395,7 +401,9 @@ def s12_compacted_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
             }
 
         before = listing("src0")
-        compacted = compact_partitions(spark, out, ["source"], rows_per_file=100_000)
+        compacted = compact_partitions(
+            spark, out, ["source"], rows_per_file=S12_ROWS_PER_FILE
+        )
         # (b) the healthy partition was not flagged, listed, or rewritten
         assert "src0" not in {r["source"] for r in compacted}, compacted
         assert listing("src0") == before, (before, listing("src0"))
@@ -409,7 +417,7 @@ def s12_compacted_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         bad = [
             r
             for r in stats
-            if r["n_files"] != -(-r["n_rows"] // 100_000)
+            if r["n_files"] != -(-r["n_rows"] // S12_ROWS_PER_FILE)
         ]
         assert not bad, bad
         back = spark.read.parquet(out).select(

@@ -200,4 +200,3 @@ SPECS = [
     ),
 ]
 
-DEFERRED_SPECS: list[QuerySpec] = []

@@ -72,6 +72,49 @@ def partition_file_stats(
     )
 
 
+def _select_flagged(
+    spark: SparkSession,
+    df: DataFrame,
+    pcols: Sequence[str],
+    flagged_keys: Sequence[tuple],
+) -> DataFrame:
+    """Rows of ``df`` belonging to exactly the ``flagged_keys``
+    partitions, selected scale-correctly in both directions:
+
+    - EXACTNESS at large flagged counts: a broadcast LEFT-SEMI join
+      against a small keys frame — O(1) Catalyst nodes regardless of
+      how many partitions are flagged (an OR-of-AND predicate chain
+      grows the plan tree linearly and stalls analysis at 10^4+ flagged
+      partitions, the realistic streaming-store backlog).  eqNullSafe
+      join keys keep NULL partition values (__HIVE_DEFAULT_PARTITION__)
+      matchable — a plain equi-join would silently drop them and the
+      partition would stay flagged-but-never-rewritten forever.
+    - PRUNING at small flagged counts: a null-safe join predicate does
+      not trigger static partition pruning, so the semi-join alone
+      would LIST AND SCAN the whole store to compact a handful of
+      partitions.  A coarse PUSHABLE pre-filter per partition column —
+      one IN node over the flagged non-null values (plus isNull when a
+      flagged key carries NULL) — stays O(1) plan depth, reaches the
+      scan as a PartitionFilter, and prunes the read to the flagged
+      values' cross product; the semi-join then narrows that superset
+      to the exact flagged tuples."""
+    keys_df = spark.createDataFrame(
+        list(flagged_keys), df.select(*pcols).schema
+    ).alias("_keys")
+    store = df.alias("_store")
+    for i, c in enumerate(pcols):
+        vals = sorted({k[i] for k in flagged_keys if k[i] is not None})
+        pred = F.col(c).isin(vals) if vals else F.lit(False)
+        if any(k[i] is None for k in flagged_keys):
+            pred = pred | F.col(c).isNull()
+        store = store.filter(pred)
+    match = None
+    for c in pcols:
+        term = F.col(f"_store.{c}").eqNullSafe(F.col(f"_keys.{c}"))
+        match = term if match is None else (match & term)
+    return store.join(F.broadcast(keys_df), match, "leftsemi")
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
@@ -95,24 +138,7 @@ def compact_partitions(
     if not flagged:
         return []
     df = _read_store(spark, path)
-    # Flagged-partition selection is a broadcast LEFT-SEMI join against
-    # a small keys frame — O(1) Catalyst nodes regardless of how many
-    # partitions are flagged (an OR-of-AND predicate chain would grow
-    # the plan tree linearly and stall analysis at 10^4+ flagged
-    # partitions, the realistic streaming-store backlog).  eqNullSafe
-    # join keys keep NULL partition values (__HIVE_DEFAULT_PARTITION__)
-    # matchable — a plain equi-join would silently drop them and the
-    # partition would stay flagged-but-never-rewritten forever.
-    keys_df = spark.createDataFrame(
-        [tuple(r[c] for c in pcols) for r in flagged],
-        df.select(*pcols).schema,
-    ).alias("_keys")
-    store = df.alias("_store")
-    match = None
-    for c in pcols:
-        term = F.col(f"_store.{c}").eqNullSafe(F.col(f"_keys.{c}"))
-        match = term if match is None else (match & term)
-    picked = store.join(F.broadcast(keys_df), match, "leftsemi")
+    picked = _select_flagged(spark, df, pcols, [tuple(r[c] for c in pcols) for r in flagged])
     # Two-phase rewrite: stage the compacted rows OUTSIDE the store,
     # then dynamic-overwrite from the staged copy.  Spark (correctly)
     # refuses to overwrite a path it is reading from; staging also

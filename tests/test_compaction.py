@@ -179,3 +179,35 @@ def test_many_flagged_partitions_select_via_bounded_plan(spark):
         assert compact_partitions(spark, out, ["grp"], rows_per_file=10_000) == []
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_flagged_selection_prunes_unflagged_partitions(spark):
+    """The few-flagged common case must not scan the whole store: the
+    coarse per-column IN pre-filter reaches the scan as a
+    PartitionFilter, so selecting 2 flagged partitions out of 50 reads
+    2 directories — the semi-join alone (null-safe keys) triggers no
+    static pruning and would list and scan all 50."""
+    from advanced_technologies_of_china_graph_database_construction_spark.sources.compaction import (
+        _select_flagged,
+    )
+
+    out = tempfile.mkdtemp(prefix="test_compact_prune_")
+    try:
+        rows = [(i, f"g{i % 50}", f"p{i}") for i in range(500)]
+        df = spark.createDataFrame(rows, "id long, grp string, payload string")
+        df.write.mode("overwrite").partitionBy("grp").parquet(out)
+        store = spark.read.parquet(out)
+        picked = _select_flagged(spark, store, ["grp"], [("g7",), ("g31",)])
+        plan = picked._jdf.queryExecution().executedPlan().toString()
+        scan = next(
+            l for l in plan.splitlines()
+            if "FileScan parquet" in l and "_keys" not in l
+        )
+        pf = scan.split("PartitionFilters:")[1].split("]")[0]
+        assert "grp" in pf and ("g7" in pf or "IN" in pf.upper()), scan
+        # and the selection is still exact
+        got = {r["grp"] for r in picked.select("grp").distinct().collect()}
+        assert got == {"g7", "g31"}
+        assert picked.count() == 20
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

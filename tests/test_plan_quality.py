@@ -800,3 +800,25 @@ def test_minhash_delta_broadcasts_delta_never_shuffles_standing(spark):
     )
     optimized = capped._jdf.queryExecution().optimizedPlan().toString()
     assert "ResolvedHint" not in optimized, optimized
+
+
+def test_a11_filter_pushed_to_candidate_scan(spark):
+    """a11: PRE-filtering means the label predicate reaches the
+    candidate parquet scan as a PushedFilter — only the qualifying
+    fraction of the corpus is read and scored (post-filtering an
+    unfiltered top-k under-fills k).  The query side broadcasts; the
+    corpus side is never shuffled."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.docs_queries import (
+        a11_filtered_ann,
+    )
+
+    plan = _plan(a11_filtered_ann(spark, SF_CORRECT))
+    scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "embeddings" in l
+    ]
+    assert any(
+        "PushedFilters:" in s and "EqualTo(label,1)" in s for s in scans
+    ), plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -99,3 +99,130 @@ def test_target_like_scores_above_raw_like(spark):
     # doc 5 shares the target docs' vocabulary, doc 3 shares none: the
     # importance weight must rank 5 above 3 (the resampling direction)
     assert got[5] > got[3]
+
+
+# ---------------- temperature mixture (d46 machinery) ---------------------
+
+
+def _mix_docs(spark, counts: dict[str, int], id_start: int = 0, stride: int = 1):
+    rows, i = [], id_start
+    for src, n in counts.items():
+        for _ in range(n):
+            rows.append((i, src))
+            i += stride
+    return spark.createDataFrame(rows, ["doc_id", "source"])
+
+
+def test_mixture_plan_integer_arithmetic(spark):
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.selection import (
+        temperature_mixture_plan,
+    )
+
+    docs = _mix_docs(spark, {"a": 100, "b": 25, "c": 4})
+    got = {
+        r["source"]: (r["n_docs"], r["w_isqrt"], r["target_docs"], r["rate_ppm"])
+        for r in temperature_mixture_plan(docs, budget_den=4).collect()
+    }
+    # budget = 129 div 4 = 32; weights = isqrt: 10, 5, 2 (sum 17)
+    # targets = (32*w) div 17 capped at n_docs; rate = target*1e6 div n
+    assert got == {
+        "a": (100, 10, 18, 180_000),
+        "b": (25, 5, 9, 360_000),
+        "c": (4, 2, 3, 750_000),
+    }
+    # τ=0.5 up-weights small sources: c keeps 75% of its docs, a 18%
+    assert got["c"][3] > got["b"][3] > got["a"][3]
+
+
+def test_mixture_plan_target_capped_at_n_docs(spark):
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.selection import (
+        temperature_mixture_plan,
+    )
+
+    # one source so tiny its isqrt share exceeds its own doc count:
+    # target must be least(n_docs, share) and rate_ppm exactly 1e6
+    docs = _mix_docs(spark, {"big": 10_000, "tiny": 1})
+    got = {
+        r["source"]: (r["target_docs"], r["rate_ppm"])
+        for r in temperature_mixture_plan(docs, budget_den=1).collect()
+    }
+    assert got["tiny"] == (1, 1_000_000)  # keep everything, never > 1e6
+    assert got["big"][0] <= 10_000
+
+
+def test_apply_mixture_matches_python_and_survives_large_ids(spark):
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.selection import (
+        apply_mixture,
+        temperature_mixture_plan,
+    )
+
+    # ids far above 3.47e9: id*KNUTH overflows int64, the reduced form
+    # pmod(pmod(id, mod)*KNUTH, mod) must not (the r11 ADVICE fix)
+    docs = _mix_docs(spark, {"a": 200, "b": 50}, id_start=5_000_000_000, stride=7)
+    plan = temperature_mixture_plan(docs, budget_den=2)
+    kept = apply_mixture(docs, plan)
+    rates = {r["source"]: r["rate_ppm"] for r in plan.collect()}
+    got = sorted(r["doc_id"] for r in kept.collect())
+    exp = sorted(
+        r["doc_id"]
+        for r in docs.collect()
+        if ((r["doc_id"] % 1_000_000) * KNUTH) % 1_000_000 < rates[r["source"]]
+    )
+    assert got == exp and len(got) > 0
+    # kept fraction lands near the planned rate (hash-uniformity sanity)
+    a_kept = sum(1 for r in kept.collect() if r["source"] == "a")
+    assert abs(a_kept / 200 - rates["a"] / 1_000_000) < 0.2
+
+
+# ---------------- non-ASCII boundary (r12: documented → executable) -------
+
+
+def test_charpoly_non_ascii_boundary(spark):
+    """The charpoly_hash / d28-tokenizer cross-engine contract, pinned
+    on exactly the inputs the prose used to exclude: a combining
+    sequence (NFD e+U+0301), a non-BMP char (U+1F600, a surrogate pair
+    in UTF-16), and BMP CJK.  Verified behavior on the engines in use:
+    BOTH Spark's split(w,'') and DuckDB's string_split(w,'') yield
+    per-CODEPOINT pieces (surrogate pairs whole, combining marks their
+    own piece), and Spark's ascii() returns the full codepoint — so the
+    hash and the symbol tokenization agree cross-engine beyond ASCII.
+    If either engine moves to UTF-16 code units or grapheme clusters,
+    this is the test that flags it.  The residual divergence is
+    normalization FORM: NFC vs NFD of the same text hash differently
+    (also pinned)."""
+    import duckdb
+
+    nfd = "é"          # combining sequence, 2 codepoints
+    nfc = "é"           # same text NFC, 1 codepoint
+    emoji = "\U0001F600"     # non-BMP, surrogate pair in UTF-16
+    mixed = "caf" + emoji + nfd
+    words = [nfd, nfc, emoji, mixed, "中文"]
+
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {
+        r["w"]: (r["h"], r["syms"])
+        for r in df.select(
+            "w",
+            charpoly_hash(F.col("w")).alias("h"),
+            F.expr("filter(split(w, ''), s -> s <> '')").alias("syms"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for w in words:
+        # per-codepoint python fold is the shared ground truth
+        assert got[w][0] == py_charpoly(w), (w, got[w][0], py_charpoly(w))
+        oracle_h = con.execute(
+            "SELECT list_reduce(list_transform(string_split(?, ''),"
+            " c -> ord(c)::BIGINT), (a, b) -> (a*31 + b) % 2147483647)",
+            [w],
+        ).fetchone()[0]
+        assert got[w][0] == oracle_h, (w, got[w][0], oracle_h)
+        # d28 symbol tokenization: per-codepoint on both engines
+        assert got[w][1] == list(w), (w, got[w][1])
+        oracle_syms = con.execute(
+            "SELECT list_filter(string_split(?, ''), s -> s <> '')", [w]
+        ).fetchone()[0]
+        assert oracle_syms == list(w), (w, oracle_syms)
+    # the REAL boundary: canonically-equivalent text in different
+    # normalization forms does NOT collide — NFC-normalize upstream
+    assert got[nfd][0] != got[nfc][0]
