@@ -24,6 +24,8 @@ o1<o2<o3 id ordering approximates on this fixture.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -225,6 +227,11 @@ def personalized_pagerank(
     seed_list = list(dict.fromkeys(seeds))
     if not seed_list:
         raise ValueError("personalized_pagerank needs at least one seed")
+    if any(s is None for s in seed_list):
+        # a NULL seed is always a caller bug (e.g. min(src) over an
+        # EMPTY graph — the r12 sf0.1 g33 incident): it would fabricate
+        # a phantom NULL node carrying the whole teleport mass
+        raise ValueError("personalized_pagerank seeds must be non-NULL")
     if weight:
         edges = edges.filter(F.col(weight).isNotNull() & (F.col(weight) > 0))
     spark = edges.sparkSession
@@ -803,7 +810,7 @@ def k_truss(pairs: DataFrame, k: int = 4, n_rounds: int = 2) -> DataFrame:
 
 
 def strongly_connected_components(
-    edges: DataFrame, max_outer: int = 32
+    edges: DataFrame, max_outer: int = 32, stats: dict | None = None
 ) -> DataFrame:
     """(node, component): strongly connected components of the DIRECTED
     graph ``edges(src, dst)``, component = min member id — the directed
@@ -820,8 +827,15 @@ def strongly_connected_components(
 
     1. TRIM: repeatedly assign nodes with in-degree 0 or out-degree 0
        as singleton SCCs (a node missing either direction can't sit on
-       a cycle).  Kills DAG tails/sources in rounds = tail depth; each
-       round is two semi-joins + one anti-join over id pairs.
+       a cycle).  Kills DAG tails/sources in rounds = tail depth.  Each
+       round is ONE degree-flag aggregate (union of endpoint
+       projections, map-side combined) + two semi-joins to shrink the
+       edge frame — the r12 profile showed the previous
+       four-distinct/three-join/four-action round shape was 49% of
+       g39's wall time, pure superstep overhead on id-sized data.
+       Trimmed singletons accumulate LAZILY over the checkpointed
+       per-round degree frames and fold into ``assigned`` once, after
+       the loop.
     2. COLOR: propagate color(v) = max(v, colors of in-neighbors) to
        fixpoint along forward edges, so color(v) = max id that reaches
        v.  The |V|-row color vector is the ONLY per-round shuffle; the
@@ -851,7 +865,24 @@ def strongly_connected_components(
     shuffles the live frontier only; the quadratic worst case (long
     chain of SCCs) is bounded by trim eating all acyclic structure
     first, which is the bulk of real web/citation graphs.
+
+    ``stats``, if supplied, is filled with per-phase superstep counts
+    and wall seconds (outer/trim/color/assign) — the observability face
+    the g39 bench trend reads; it never changes the result.
     """
+    import time as _time
+
+    if stats is not None:
+        stats.update(
+            outer_rounds=0, trim_rounds=0, color_rounds=0, assign_rounds=0,
+            trim_sec=0.0, color_sec=0.0, assign_sec=0.0,
+        )
+
+    def _tick(phase: str, t0: float, rounds: int = 1) -> None:
+        if stats is not None:
+            stats[f"{phase}_rounds"] += rounds
+            stats[f"{phase}_sec"] += _time.time() - t0
+
     e = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
@@ -862,33 +893,55 @@ def strongly_connected_components(
     assigned = spark.createDataFrame([], "node long, component long")
 
     for _ in range(max_outer):
+        if stats is not None:
+            stats["outer_rounds"] += 1
         # --- 1. TRIM ------------------------------------------------
+        # one (node, has_out, has_in) aggregate per round; alive and
+        # trimmed are narrow filters over its checkpoint, so the
+        # fixpoint probe and the singleton accumulation re-read local
+        # blocks instead of re-running joins
+        trimmed_rounds: list[DataFrame] = []
         while True:
-            nodes = (
-                e.select(F.col("src").alias("node"))
-                .unionByName(e.select(F.col("dst").alias("node")))
-                .distinct()
-            )
-            alive = (
-                nodes.join(
-                    e.select(F.col("src").alias("node")).distinct(), "node", "left_semi"
+            _t0 = _time.time()
+            deg = (
+                e.select(
+                    F.col("src").alias("node"),
+                    F.lit(1).alias("has_out"),
+                    F.lit(0).alias("has_in"),
                 )
-                .join(
-                    e.select(F.col("dst").alias("node")).distinct(), "node", "left_semi"
+                .unionByName(
+                    e.select(
+                        F.col("dst").alias("node"),
+                        F.lit(0).alias("has_out"),
+                        F.lit(1).alias("has_in"),
+                    )
+                )
+                .groupBy("node")
+                .agg(
+                    F.max("has_out").alias("has_out"),
+                    F.max("has_in").alias("has_in"),
                 )
                 .localCheckpoint(eager=True)
             )
-            trimmed = nodes.join(alive, "node", "left_anti")
+            both = (F.col("has_out") == 1) & (F.col("has_in") == 1)
+            trimmed = deg.filter(~both).select("node")
             if trimmed.isEmpty():
+                _tick("trim", _t0)
                 break
-            assigned = assigned.unionByName(
-                trimmed.select("node", F.col("node").alias("component"))
-            ).localCheckpoint(eager=True)
+            trimmed_rounds.append(trimmed)
+            alive = deg.filter(both).select("node")
             e = (
                 e.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
                 .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
                 .localCheckpoint(eager=True)
             )
+            _tick("trim", _t0)
+        if trimmed_rounds:
+            assigned = assigned.unionByName(
+                reduce(DataFrame.unionByName, trimmed_rounds).select(
+                    "node", F.col("node").alias("component")
+                )
+            ).localCheckpoint(eager=True)
         if e.isEmpty():
             return assigned
         e_cached = e.repartition("src").persist()
@@ -903,11 +956,15 @@ def strongly_connected_components(
                 .localCheckpoint(eager=True)
             )
             while True:
+                _t0 = _time.time()
                 msgs = (
                     e_cached.join(colors, e_cached.src == colors.node)
                     .groupBy(F.col("dst").alias("node"))
                     .agg(F.max("color").alias("in_color"))
                 )
+                # the change flag rides the checkpointed frame, so the
+                # fixpoint probe is a narrow count over local blocks —
+                # not a second join of the |V| vectors per round
                 new = (
                     colors.join(msgs, "node", "left")
                     .select(
@@ -915,15 +972,15 @@ def strongly_connected_components(
                         F.greatest(
                             "color", F.coalesce("in_color", "color")
                         ).alias("color"),
+                        (F.coalesce("in_color", "color") > F.col("color")).alias(
+                            "chg"
+                        ),
                     )
                     .localCheckpoint(eager=True)
                 )
-                changed = (
-                    new.join(colors.withColumnRenamed("color", "old"), "node")
-                    .filter(F.col("color") != F.col("old"))
-                    .count()
-                )
-                colors = new
+                changed = new.filter("chg").count()
+                colors = new.select("node", "color")
+                _tick("color", _t0)
                 if changed == 0:
                     break
             # --- 3. ASSIGN (all roots walk backward within color) ----
@@ -932,6 +989,7 @@ def strongly_connected_components(
             )
             reached = frontier
             while True:
+                _t0 = _time.time()
                 step = (
                     e_cached.join(frontier, e_cached.dst == frontier.node)
                     .select(F.col("src").alias("node"), "color")
@@ -943,9 +1001,11 @@ def strongly_connected_components(
                     .localCheckpoint(eager=True)
                 )
                 if step.isEmpty():
+                    _tick("assign", _t0)
                     break
                 reached = reached.unionByName(step)
                 frontier = step
+                _tick("assign", _t0)
             comp = reached.groupBy("color").agg(F.min("node").alias("component"))
             assigned = assigned.unionByName(
                 reached.join(comp, "color").select("node", "component")

@@ -215,7 +215,7 @@ G24_SQL = (
 )
 
 
-# --------------------------------------- g25 personalized PPR (DEFERRED) ---
+# --------------------------------------- g25 personalized PPR ---
 
 def g25_related_keywords_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank over the directed doc→keyword graph,
@@ -459,11 +459,19 @@ def g33_weighted_copub_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     strength — the strength-aware related-entity primitive (g25's
     seeded restart × g32's weighted messages).  The helper materializes
     the edge set, so the seed lookup doesn't re-run the co-occurrence
-    join."""
+    join.
+
+    Empty-graph guard (found by the r12 sf0.1 replica): the thresholded
+    co-publication graph is EMPTY at sf0.1, so ``min(src)`` is NULL —
+    seeding PPR with a NULL id fabricated a phantom (NULL, 0.15…) row
+    where the oracle's empty node set yields zero rows.  No orgs → no
+    proximity table; the operator now also rejects NULL seeds outright."""
     from ..operators.analytics import personalized_pagerank
 
     edges = _sym_weighted_copub_edges(spark, sf_dir)
     seed = edges.agg(F.min("src")).first()[0]
+    if seed is None:
+        return spark.createDataFrame([], "org_id long, ppr double")
     ranks = personalized_pagerank(edges, [seed], N_ITER, DAMPING, weight="w")
     return ranks.select(F.col("node").alias("org_id"), "ppr")
 

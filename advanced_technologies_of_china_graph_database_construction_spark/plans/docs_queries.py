@@ -174,7 +174,7 @@ WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5
 """
 
 
-# -------------------------------------------- d24 containment (DEFERRED) ---
+# -------------------------------------------- d24 containment ---
 
 def d24_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric quote/subset near-dup over the synthetic corpus:
@@ -201,7 +201,7 @@ WHERE round(n_inter::DOUBLE / sz, 6) >= 0.8
 """
 
 
-# ------------------------------------------ d25 BM25 search (DEFERRED) ---
+# ------------------------------------------ d25 BM25 search ---
 
 BM25_QUERY_TERMS = ["dup", "vector", "merge"]
 
@@ -248,7 +248,7 @@ LIMIT 10
 """
 
 
-# ------------------------------------- d26 tf-idf top terms (DEFERRED) ---
+# ------------------------------------- d26 tf-idf top terms ---
 
 def d26_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each document's 3 most distinctive terms by tf·ln(N/df) —
@@ -1579,7 +1579,7 @@ SELECT query_id, neighbor_id, sim, rank FROM (
 )
 
 
-# ------------------------------------------- a05 kNN graph (DEFERRED) ---
+# ------------------------------------------- a05 kNN graph ---
 
 def a05_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbor graph over ALL embeddings (the
@@ -1600,7 +1600,7 @@ SELECT vec_id, neighbor_id, sim, rank FROM (
 """
 
 
-# --------------------------------------- d27 snapshot diff (DEFERRED) ---
+# --------------------------------------- d27 snapshot diff ---
 
 def d27_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus diff between two crawl snapshots — the CDC
