@@ -11,15 +11,22 @@ single home cell), so no dedup pass is needed, and the shuffle carries
 (cell, id, lat, lon) — never a quadratic candidate set.
 
 Coordinates are derived from ``c_custkey`` by pure integer arithmetic
-(multiplicative hash mod 10^5 → a 2°×2° box), so both engines compute
-bit-identical doubles; the distance is the planar equirectangular
-approximation with FIXED km-per-degree constants (pure *,+,- in IEEE
-double — deterministic cross-engine, unlike libm trig; adequate at
-city-scale radii, which is what a 10 km join is).  The oracle is the
-brute-force O(n²) self-join over the same points — at the gate sf that
-is ~2.25 M candidate pairs for DuckDB, trivially exact — so a grid bug
-that DROPS a boundary-straddling pair fails the hash, not just a unit
-test.
+(multiplicative hash mod 10^5 → a 2°×2° box) with an EXPLICIT
+``CAST(… AS DOUBLE)`` before the first division, so both engines
+compute bit-identical IEEE doubles; the distance is the planar
+equirectangular approximation with FIXED km-per-degree constants (pure
+*,+,- in IEEE double — deterministic cross-engine, unlike libm trig;
+adequate at city-scale radii, which is what a 10 km join is).  The
+cast is load-bearing (r12 sf0.1 replica finding): without it Spark
+parses ``100000.0`` as a DECIMAL literal and evaluates the whole
+coordinate in exact decimal arithmetic while DuckDB evaluates binary
+doubles — identical after round(…, 6) on every sf0.01 pair, but one
+sf0.1 pair (5509, 10000) landed a half-ulp apart across the rounding
+boundary (6.218963 vs 6.218964) and failed the value hash.  The oracle
+is the brute-force O(n²) self-join over the same points — at the gate
+sf that is ~2.25 M candidate pairs for DuckDB, trivially exact — so a
+grid bug that DROPS a boundary-straddling pair fails the hash, not
+just a unit test.
 """
 
 from __future__ import annotations
@@ -35,10 +42,14 @@ CELL_DEG = 0.11  # ≥ R in both axes: 0.11° lat = 12.2 km, 0.11° lon = 10.5 k
 LAT_KM = 111.32  # km per degree latitude
 LON_KM = 95.4    # km per degree longitude at the box's ~31° reference latitude
 
-# identical expression TEXT on both engines — evaluation order fixed, so
-# the doubles are bit-identical
-_LAT = "30.0 + ((c_custkey * 2654435761) % 100000) / 100000.0 * 2.0"
-_LON = "100.0 + ((c_custkey * 40503) % 100000) / 100000.0 * 2.0"
+# identical expression TEXT on both engines, with the integer residue
+# cast to DOUBLE before any fractional arithmetic — evaluation then
+# stays in IEEE binary double end to end on BOTH engines (Spark would
+# otherwise read the fractional literals as DECIMALs and compute the
+# coordinate in exact decimal — see module docstring), so the doubles
+# are bit-identical
+_LAT = "30.0 + CAST((c_custkey * 2654435761) % 100000 AS DOUBLE) / 100000.0 * 2.0"
+_LON = "100.0 + CAST((c_custkey * 40503) % 100000 AS DOUBLE) / 100000.0 * 2.0"
 _D2 = (
     f"((lat_a - lat_b) * {LAT_KM}) * ((lat_a - lat_b) * {LAT_KM})"
     f" + ((lon_a - lon_b) * {LON_KM}) * ((lon_a - lon_b) * {LON_KM})"

@@ -173,3 +173,24 @@ def test_knn_within_radius_caps_at_k(spark):
         (r["id"], r["neighbor_id"], r["dist_km"], r["rank"]) for r in rows
     )
     assert got_all == _brute_knn(pts, 2)
+
+
+def test_coordinate_exprs_stay_ieee_double(spark):
+    """r12 sf0.1 replica finding, pinned: without the explicit CAST TO
+    DOUBLE, Spark reads the fractional literals as DECIMALs and
+    computes the coordinates in exact decimal arithmetic (DuckDB stays
+    in binary double), and the (5509, 10000) pair rounds a half-ulp
+    apart (6.218963 vs 6.218964).  Pins: the derived columns ARE
+    doubles, and the incident pair's distance is the double-arithmetic
+    value."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.spatial_queries import (
+        _LAT,
+        _LON,
+        radius_pairs,
+    )
+
+    df = spark.createDataFrame([(5509,), (10000,)], "c_custkey long")
+    pts = df.selectExpr("c_custkey AS id", f"{_LAT} AS lat", f"{_LON} AS lon")
+    assert dict(pts.dtypes) == {"id": "bigint", "lat": "double", "lon": "double"}
+    [row] = radius_pairs(pts).collect()
+    assert (row["src"], row["dst"], row["dist_km"]) == (5509, 10000, 6.218964)
