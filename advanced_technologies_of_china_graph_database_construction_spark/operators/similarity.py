@@ -319,6 +319,7 @@ def quantized_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     levels: int = 256,
+    quantized: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, score, rank): top-k by integer dot
     product over the scalar-quantized vectors — quantized ANN search.
@@ -328,8 +329,18 @@ def quantized_topk(
     scan over candidates, one window top-k.  The quantized table feeds
     both the query and candidate branches, so it is materialized once
     (localCheckpoint) instead of re-running the posexplode + stats +
-    re-assembly pipeline per branch."""
-    qt = scalar_quantize(emb, id_col, vec_col, levels).localCheckpoint(eager=True)
+    re-assembly pipeline per branch.
+
+    ``quantized`` is the served-index seam: pass a pre-built
+    ``scalar_quantize`` output (``id``/``qvec``; in production a
+    persisted table, built once like the IVF store) and the query
+    touches only it — no per-query rebuild of the compressed copy.
+    Default ``None`` keeps the self-contained build-and-query shape."""
+    qt = (
+        quantized
+        if quantized is not None
+        else scalar_quantize(emb, id_col, vec_col, levels).localCheckpoint(eager=True)
+    )
     q = qt.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("qvec").alias("qv")
     )
@@ -356,6 +367,7 @@ def two_stage_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     levels: int = 256,
+    quantized: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, sim, rank): production two-stage ANN —
     a cheap int8 first stage overfetches ``k·overfetch`` candidates
@@ -373,9 +385,20 @@ def two_stage_topk(
     scanned map-side, never shuffled, and fetches only candidate rows'
     vectors.  Final top-k is one per-query window over ``k·overfetch``
     rows.  Both rankings order by (rounded score, neighbor id) — the
-    engine-portable total order every ANN face here uses."""
+    engine-portable total order every ANN face here uses.
+
+    ``quantized`` (pre-built ``scalar_quantize`` output) is the served
+    shape: the index is built once offline, each query batch scans only
+    the compressed copy plus the candidate-row rerank — see
+    :func:`quantized_topk`."""
     cands = quantized_topk(
-        emb, query_ids, k=k * overfetch, id_col=id_col, vec_col=vec_col, levels=levels
+        emb,
+        query_ids,
+        k=k * overfetch,
+        id_col=id_col,
+        vec_col=vec_col,
+        levels=levels,
+        quantized=quantized,
     ).select("query_id", "neighbor_id")
     q = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")

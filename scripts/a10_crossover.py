@@ -8,9 +8,18 @@ stages cannot beat one trivial scan of a corpus that fits in a page.
 The design claim is that the compressed first stage wins once the float
 table is too big to scan per query batch.  This script makes that claim
 a measured number: replicate the fixture corpus ×k (vec_id offset per
-copy; timing is the object, not recall), time both faces at each scale
+copy; timing is the object, not recall), time the faces at each scale
 with the bench discipline (noop sink, cache cleared, min of N runs),
 and report the crossover scale.
+
+Two two-stage shapes are timed.  COLD is the a10 spec verbatim: the
+int8 copy is rebuilt inside the query (posexplode + stats + assembly),
+charging the index build to every batch.  SERVED is the production
+shape the operator docstring actually claims — the quantized copy is
+built ONCE outside the timed window (`quantized=` seam, the int8
+analogue of the IVF store) and each batch scans only the compressed
+copy plus the candidate-row rerank.  The crossover number to cite is
+SERVED vs brute.
 
 Usage:
     python scripts/a10_crossover.py [sf_dir] [scales...]
@@ -75,18 +84,60 @@ def main() -> None:
             .localCheckpoint(eager=True)  # scale-up outside the timed window
         )
         brute = timed(spark, lambda: brute_force_topk(emb, ANN_QUERY_IDS, k=10))
-        two = timed(
+        two_cold = timed(
             spark,
             lambda: two_stage_topk(
                 emb, ANN_QUERY_IDS, k=10, overfetch=A10_OVERFETCH
             ),
         )
+        # served shape: index built once, outside the timed window
+        from advanced_technologies_of_china_graph_database_construction_spark.operators.similarity import scalar_quantize
+
+        qt = scalar_quantize(emb).localCheckpoint(eager=True)
+        two_served = timed(
+            spark,
+            lambda: two_stage_topk(
+                emb, ANN_QUERY_IDS, k=10, overfetch=A10_OVERFETCH, quantized=qt
+            ),
+        )
         out["scales"][k * n0] = {
             "brute_sec": brute,
-            "two_stage_sec": two,
-            "two_stage_wins": two < brute,
+            "two_stage_cold_sec": two_cold,
+            "two_stage_served_sec": two_served,
+            "served_wins": two_served < brute,
         }
-        print(f"N={k * n0:>8d}  brute={brute:7.3f}s  two_stage={two:7.3f}s", flush=True)
+        print(
+            f"N={k * n0:>8d}  brute={brute:7.3f}s  cold={two_cold:7.3f}s"
+            f"  served={two_served:7.3f}s",
+            flush=True,
+        )
+        # the I/O claim, measured in bytes not seconds: local[32] keeps
+        # every byte page-cached so runtimes stay CPU-bound, but on a
+        # cluster where the float table exceeds memory the first-stage
+        # scan cost is proportional to bytes read — report the on-disk
+        # (snappy parquet) footprint of each copy at this scale
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="a10x_")
+        emb.select("vec_id", "embedding").write.mode("overwrite").parquet(f"{tmp}/f")
+        qt.write.mode("overwrite").parquet(f"{tmp}/q")
+        du = lambda p: sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        fb, qb = du(f"{tmp}/f"), du(f"{tmp}/q")
+        shutil.rmtree(tmp, ignore_errors=True)
+        out["scales"][k * n0]["float_parquet_bytes"] = fb
+        out["scales"][k * n0]["quantized_parquet_bytes"] = qb
+        print(
+            f"           float={fb / 1e6:8.1f}MB  quantized={qb / 1e6:8.1f}MB"
+            f"  ratio={fb / max(qb, 1):.2f}x",
+            flush=True,
+        )
+        qt.unpersist()
         emb.unpersist()
     print(json.dumps(out))
 

@@ -28,7 +28,20 @@ from pyspark.sql import SparkSession  # noqa: E402
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = SparkSession.builder.master(f"local[{cpus}]").appName("gate-replica").getOrCreate()
+    # Heap size is the ONE conf we allow above defaults: local mode
+    # conflates driver and executor memory, so the 1g default heap
+    # shared by 32 task threads OOMs at sf0.1 on any shuffle-heavy spec
+    # (a real cluster executor has GiBs per few cores).  Memory sizing
+    # is capacity, not semantics — the replica's job is to catch plans
+    # that silently depend on SEMANTIC confs (ANSI mode, timezone,
+    # map-key dedup policy), and those all stay at their defaults here.
+    mem = os.environ.get("GATE_REPLICA_DRIVER_MEM", "1g")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("gate-replica")
+        .config("spark.driver.memory", mem)
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     from advanced_technologies_of_china_graph_database_construction_spark.plans.registry import all_specs

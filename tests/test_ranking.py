@@ -217,3 +217,26 @@ def test_two_stage_rerank_orders_by_exact_cosine(spark):
         rs.sort(key=lambda r: r["rank"])
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         assert rs == sorted(rs, key=lambda r: (-r["sim"], r["neighbor_id"])), q
+
+
+def test_two_stage_served_index_equals_inline_build(spark):
+    """The `quantized=` served-index seam (index built once offline,
+    the production vector-store shape) must return EXACTLY the inline
+    build-and-query result — same ranks, same rounded sims — since the
+    pre-built frame is the same scalar_quantize output the inline path
+    materializes per call."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.similarity import (
+        scalar_quantize,
+        two_stage_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    qt = scalar_quantize(emb).localCheckpoint(eager=True)
+    inline = sorted(map(tuple, two_stage_topk(emb, [0, 1, 2], k=10, overfetch=4).collect()))
+    served = sorted(
+        map(
+            tuple,
+            two_stage_topk(emb, [0, 1, 2], k=10, overfetch=4, quantized=qt).collect(),
+        )
+    )
+    assert served == inline
