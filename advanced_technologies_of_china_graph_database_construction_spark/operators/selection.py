@@ -222,3 +222,52 @@ def dsir_importance_weights(
             F.round(F.sum("log_ratio"), round_digits).alias("weight"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    mod: int = HASH_MOD,
+) -> DataFrame:
+    """(id, arrival): a deterministic weighted sample WITHOUT
+    replacement of ``n`` rows — the selection step that consumes
+    importance weights like :func:`dsir_importance_weights`'s (DSIR's
+    own pipeline resamples by weight after scoring; Efraimidis &
+    Spirakis 2006 is the one-pass distributed formulation).
+
+    The exponential race: each row gets arrival = −ln(u)/w with u
+    uniform on (0, 1]; the n SMALLEST arrivals are a weighted sample
+    without replacement (row i beats row j with probability
+    w_i/(w_i+w_j), applied inductively).  Randomness is the repo's
+    seeded-shuffle discipline (d42) — never ``rand()``: u derives from
+    the Knuth-mixed id, ``(pmod(pmod(id, mod)·KNUTH, mod) + 1) /
+    (mod+1)`` ∈ (0, 1], a pure function of the id, so re-runs, retries
+    and repartitionings select the identical sample and the oracle can
+    replay the arithmetic.  The inner pmod keeps the product in int64
+    for every id (the d46 overflow rule).
+
+    Scale shape: one narrow projection, then ``orderBy(...).limit(n)``
+    — Spark plans that as TakeOrderedAndProject (per-partition top-n,
+    driver merges ≤ n·n_partitions rows); no global sort, no window
+    over a single partition.  Arrivals are rounded (ties broken by id)
+    so the cut is engine-portable; ``ln`` is the d37 precedent for
+    cross-engine transcendentals.  Non-positive weights are floored to
+    1 (a zero-weight doc must not divide by zero; callers wanting hard
+    exclusion should filter first — a floor is visible in the output,
+    a silent drop is not).
+    """
+    if n <= 0:
+        raise ValueError("weighted_sample needs n >= 1")
+    u = (
+        F.pmod(F.pmod(F.col(id_col), F.lit(mod)) * F.lit(KNUTH), F.lit(mod))
+        + F.lit(1)
+    ) / F.lit(float(mod + 1))
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    arrival = F.round(-F.log(u) / w, 9)
+    return (
+        df.select(F.col(id_col), arrival.alias("arrival"))
+        .orderBy(F.asc("arrival"), F.asc(id_col))
+        .limit(n)
+    )

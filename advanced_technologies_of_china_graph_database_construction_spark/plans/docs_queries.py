@@ -3005,6 +3005,38 @@ FROM rated p LEFT JOIN kept k USING (source)
 """
 
 
+# ------------------------------------ d47 weighted sample (ES race) ---
+
+WSAMPLE_N = 200
+
+
+def d47_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sample without replacement — the selection step
+    downstream of every scoring face (d43 DSIR weights, d06 quality):
+    pick WSAMPLE_N docs with probability proportional to weight via the
+    deterministic Efraimidis–Spirakis exponential race
+    (`selection.weighted_sample`).  Weight here = n_chars (long docs
+    carry more training tokens), so the sample is the token-budget-
+    aware draw a curation pipeline actually makes.  Deterministic u
+    from the Knuth-mixed doc_id (d42 discipline, never rand()), so the
+    gate replays the exact cut."""
+    from ..operators.selection import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, n=WSAMPLE_N, weight_col="n_chars")
+
+
+D47_SQL = f"""
+SELECT doc_id,
+       round(-ln((((doc_id % 2147483647) * 2654435761) % 2147483647 + 1)
+                 / 2147483648.0)
+             / greatest(n_chars::DOUBLE, 1.0), 9) AS arrival
+FROM documents
+ORDER BY arrival, doc_id
+LIMIT {WSAMPLE_N}
+"""
+
+
 SPECS = [
     QuerySpec("d29_dup_span_audit", d29_dup_span_audit, D29_SQL, "dedup",
               "exact-substring dedup audit: duplicated 8-gram spans, island-merged"),
@@ -3161,4 +3193,7 @@ SPECS = [
               "selection",
               "temperature-scaled (τ=0.5) source-mixing plan + realized "
               "hash-sampled counts, integer-exact"),
+    QuerySpec("d47_weighted_sample", d47_weighted_sample, D47_SQL, "selection",
+              "deterministic weighted sample w/o replacement (Efraimidis-"
+              "Spirakis exponential race, seeded-hash u, TakeOrdered cut)"),
 ]

@@ -470,6 +470,76 @@ FROM counts
 """
 
 
+# ------------------------------------ e28 binned interval overlap --------
+
+# window length = value minutes, floored and clamped to [1, 30]; the bin
+# width equals the 30-min cap so most windows cover ≤ 2 bins
+E28_CAP_MIN = 30
+E28_BIN_US = E28_CAP_MIN * 60_000_000
+
+
+def e28_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global wall-clock concurrency pairs: every click window × every
+    purchase window that overlap in time, ACROSS users (load/contention
+    analytics — e08's per-user attribution join has user_id as an
+    equi-key; this face has none, the exact shape where a naive
+    inequality join plans as a nested loop).  Windows are half-open
+    [ts, ts + clamp(floor(value), 1, 30) minutes) in integer epoch
+    micros; `operators/intervals.interval_overlap_join` bins the time
+    axis so candidates meet through an equi-join on the bin id and each
+    pair is counted once at its first shared bin.  Output is integer
+    microseconds end to end — no float boundary class."""
+    from ..operators.intervals import interval_overlap_join
+
+    ev = _events(spark, sf_dir)
+    dur_us = (
+        F.least(
+            F.greatest(F.floor(F.col("value")), F.lit(1).cast("long")),
+            F.lit(E28_CAP_MIN).cast("long"),
+        )
+        * F.lit(60_000_000)
+    )
+
+    # tz-free epoch micros: ts is TIMESTAMP_NTZ, and unix_micros(cast)
+    # would reinterpret the wall-clock in the SESSION timezone — a
+    # silent conf dependency the bare-session gate exists to catch.
+    # timestampdiff against the NTZ epoch literal is pure calendar
+    # arithmetic, bit-identical to DuckDB's epoch_us.
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+
+    def win(event_type: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == event_type).select(
+            "event_id",
+            us.alias("start"),
+            (us + dur_us).alias("end"),
+        )
+
+    pairs = interval_overlap_join(
+        win("click"), win("purchase"), bin_width=E28_BIN_US
+    )
+    return pairs.select(
+        F.col("event_id_l").alias("click_id"),
+        F.col("event_id_r").alias("purchase_id"),
+        F.col("overlap").alias("overlap_us"),
+    )
+
+
+E28_SQL = f"""
+WITH w AS (
+  SELECT event_id, event_type,
+         epoch_us(ts) AS s,
+         epoch_us(ts)
+           + least(greatest(CAST(floor(value) AS BIGINT), 1), {E28_CAP_MIN})
+             * 60000000 AS e
+  FROM events WHERE event_type IN ('click', 'purchase'))
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       least(c.e, p.e) - greatest(c.s, p.s) AS overlap_us
+FROM w c JOIN w p
+  ON c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.s < p.e AND p.s < c.e
+"""
+
+
 # ------------------------------------- e15 streaming session face --------
 
 def _append_sentinels(ev: DataFrame, d: str, seen: set, max_ts, base_tick: int = 4) -> None:
@@ -1258,4 +1328,7 @@ SPECS = [
     QuerySpec("e16_streaming_running_totals", e16_streaming_running_totals, E06_SQL,
               "events", "REAL applyInPandasWithState run: GroupState running "
               "totals across micro-batches, final state batch-oracle-gated"),
+    QuerySpec("e28_interval_overlap_join", e28_interval_overlap_join, E28_SQL,
+              "events", "binned batch range join: global click×purchase window "
+              "overlaps with no equi-key, bin equi-join replaces the nested loop"),
 ]

@@ -226,3 +226,96 @@ def test_charpoly_non_ascii_boundary(spark):
     # the REAL boundary: canonically-equivalent text in different
     # normalization forms does NOT collide — NFC-normalize upstream
     assert got[nfd][0] != got[nfc][0]
+
+
+# ---------------- weighted sample (d47: ES exponential race) --------------
+
+def _py_arrival(doc_id: int, w: float, mod: int = 2_147_483_647) -> float:
+    import math
+
+    u = ((doc_id % mod) * 2_654_435_761 % mod + 1) / (mod + 1.0)
+    return round(-math.log(u) / max(w, 1.0), 9)
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.selection import (
+        weighted_sample,
+    )
+
+    rows = [(i, (i * 37) % 500 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [
+        (r["doc_id"], r["arrival"])
+        for r in weighted_sample(df, n=25, weight_col="w").collect()
+    ]
+    expect = sorted(
+        ((i, _py_arrival(i, w)) for i, w in rows),
+        key=lambda t: (t[1], t[0]),
+    )[:25]
+    assert got == expect
+
+
+def test_weighted_sample_is_partitioning_invariant(spark):
+    """The d42 discipline: the cut is a pure function of the ids, so a
+    different partitioning must select the identical sample in the
+    identical order."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.selection import (
+        weighted_sample,
+    )
+
+    rows = [(i, i % 97 + 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    a = weighted_sample(df.repartition(1), n=50, weight_col="w").collect()
+    b = weighted_sample(df.repartition(17, "w"), n=50, weight_col="w").collect()
+    assert a == b
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    """Statistical sanity, deterministic given the fixed hash: rows with
+    1000x the weight must dominate a small sample over a large corpus."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.selection import (
+        weighted_sample,
+    )
+
+    heavy = [(i, 100_000) for i in range(100)]
+    light = [(i, 100) for i in range(100, 2000)]
+    df = spark.createDataFrame(heavy + light, "doc_id long, w long")
+    got = {r["doc_id"] for r in weighted_sample(df, n=40, weight_col="w").collect()}
+    n_heavy = sum(1 for d in got if d < 100)
+    assert n_heavy >= 30, n_heavy
+
+
+def test_weighted_sample_edge_cases(spark):
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.selection import (
+        weighted_sample,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 5), (2, 0), (3, -7)], "doc_id long, w long")
+    # n beyond the corpus returns everything; zero/negative weights are
+    # floored to 1, not dropped and not a divide-by-zero
+    got = weighted_sample(df, n=10, weight_col="w").collect()
+    assert {r["doc_id"] for r in got} == {1, 2, 3}
+    assert all(r["arrival"] is not None and r["arrival"] >= 0 for r in got)
+    with _pytest.raises(ValueError):
+        weighted_sample(df, n=0, weight_col="w")
+
+
+def test_weighted_sample_plans_as_take_ordered(spark):
+    """The cut must be TakeOrderedAndProject (per-partition top-n +
+    driver merge), never a global sort or a single-partition window."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.selection import (
+        weighted_sample,
+    )
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 31 + 1).alias("w")
+    )
+    plan = (
+        weighted_sample(df, n=20, weight_col="w")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
