@@ -271,3 +271,52 @@ def weighted_sample(
         .orderBy(F.asc("arrival"), F.asc(id_col))
         .limit(n)
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    targets: DataFrame,
+    group_col: str,
+    target_col: str = "target_docs",
+    weight_col: str | None = None,
+    id_col: str = "doc_id",
+    mod: int = HASH_MOD,
+) -> DataFrame:
+    """The grouped face of :func:`weighted_sample`: for every group,
+    keep exactly ``target_col`` rows (or all of them when the group is
+    smaller), drawn by the same deterministic exponential race.  This
+    is the EXACT realization of a mixing plan —
+    :func:`apply_mixture`'s shuffle-free rate filter hits its targets
+    only in expectation (its own output ships the target/realized gap
+    precisely because it is nonzero); ranking the race within each
+    group hits them exactly, at the cost of one per-group shuffle.
+
+    ``weight_col=None`` runs the race uniformly (u alone decides — a
+    deterministic per-group simple random sample); otherwise rows win
+    proportionally to their weight, as in :func:`weighted_sample`.
+
+    Scale shape: one hash shuffle on ``group_col`` and a rank window
+    per group — the same layout every per-group top-k face here uses
+    (e05, d16); the targets frame is group-sized and broadcast.  Skewed
+    giant groups bound the window sort; at 100 TB a two-pass threshold
+    refinement could replace the rank, but the window form is the
+    engine-portable contract the oracle replays."""
+    u = (
+        F.pmod(F.pmod(F.col(id_col), F.lit(mod)) * F.lit(KNUTH), F.lit(mod))
+        + F.lit(1)
+    ) / F.lit(float(mod + 1))
+    if weight_col is None:
+        arrival = F.round(-F.log(u), 9)
+    else:
+        w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+        arrival = F.round(-F.log(u) / w, 9)
+    from pyspark.sql.window import Window
+
+    rank_w = Window.partitionBy(group_col).orderBy(F.asc("arrival"), F.asc(id_col))
+    return (
+        df.select(group_col, F.col(id_col), arrival.alias("arrival"))
+        .withColumn("rk", F.row_number().over(rank_w))
+        .join(F.broadcast(targets.select(group_col, target_col)), group_col)
+        .filter(F.col("rk") <= F.col(target_col))
+        .select(group_col, id_col, "arrival")
+    )

@@ -3037,6 +3037,53 @@ LIMIT {WSAMPLE_N}
 """
 
 
+# ------------------------ d48 exact mixture realization (grouped race) ---
+
+def d48_mixture_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d46 temperature-mixture plan realized EXACTLY: d46's
+    shuffle-free rate_ppm filter hits each source's target only in
+    expectation (its output ships the target/realized gap precisely
+    because it is nonzero); here the deterministic per-group exponential
+    race (`selection.weighted_sample_per_group`, uniform weights) ranks
+    every source's docs and keeps exactly target_docs of them — the
+    full kept set is the gated surface, so a single swapped or extra
+    doc fails the hash."""
+    from ..operators.selection import (
+        temperature_mixture_plan,
+        weighted_sample_per_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = temperature_mixture_plan(docs, budget_den=MIX_BUDGET_DEN, mod=MIX_MOD)
+    return weighted_sample_per_group(docs, plan, group_col="source")
+
+
+D48_SQL = f"""
+WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+w AS (SELECT source, n_docs,
+             CAST(floor(sqrt(n_docs::DOUBLE)) AS BIGINT) AS w_isqrt
+      FROM counts),
+tot AS (SELECT sum(n_docs) AS tot_docs, sum(w_isqrt) AS tot_w FROM w),
+plan AS (
+  SELECT source,
+         least(n_docs, ((tot_docs // {MIX_BUDGET_DEN}) * w_isqrt) // tot_w)
+           AS target_docs
+  FROM w CROSS JOIN tot),
+race AS (
+  SELECT source, doc_id,
+         round(-ln((((doc_id % 2147483647) * 2654435761) % 2147483647 + 1)
+                   / 2147483648.0), 9) AS arrival
+  FROM documents),
+ranked AS (
+  SELECT source, doc_id, arrival,
+         row_number() OVER (PARTITION BY source ORDER BY arrival, doc_id) AS rk
+  FROM race)
+SELECT r.source, r.doc_id, r.arrival
+FROM ranked r JOIN plan p USING (source)
+WHERE r.rk <= p.target_docs
+"""
+
+
 SPECS = [
     QuerySpec("d29_dup_span_audit", d29_dup_span_audit, D29_SQL, "dedup",
               "exact-substring dedup audit: duplicated 8-gram spans, island-merged"),
@@ -3196,4 +3243,9 @@ SPECS = [
     QuerySpec("d47_weighted_sample", d47_weighted_sample, D47_SQL, "selection",
               "deterministic weighted sample w/o replacement (Efraimidis-"
               "Spirakis exponential race, seeded-hash u, TakeOrdered cut)"),
+    QuerySpec("d48_mixture_exact_sample", d48_mixture_exact_sample, D48_SQL,
+              "selection",
+              "d46's temperature mixture realized EXACTLY via the per-group "
+              "race: each source keeps precisely target_docs docs, full kept "
+              "set hash-gated"),
 ]

@@ -319,3 +319,55 @@ def test_weighted_sample_plans_as_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_weighted_sample_per_group_exact_counts_and_reference(spark):
+    """Every group keeps exactly min(target, group size) rows, and the
+    kept set is the python-computed race winner set."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.selection import (
+        weighted_sample_per_group,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    targets = spark.createDataFrame(
+        [("a", 10), ("b", 0), ("c", 500)], "source string, target_docs long"
+    )
+    got = weighted_sample_per_group(df, targets, group_col="source").collect()
+    by_g: dict = {}
+    for r in got:
+        by_g.setdefault(r["source"], set()).add(r["doc_id"])
+    # exact target for a, zero for b, whole group when target > size
+    assert len(by_g.get("a", set())) == 10
+    assert "b" not in by_g
+    assert len(by_g["c"]) == 100
+    # python reference for group a (uniform race = smallest -ln(u))
+    import math
+
+    def arr(i):
+        mod = 2_147_483_647
+        u = ((i % mod) * 2_654_435_761 % mod + 1) / (mod + 1.0)
+        return (round(-math.log(u), 9), i)
+
+    a_ids = [i for i, s in rows if s == "a"]
+    expect_a = {i for _, i in sorted(arr(i) for i in a_ids)[:10]}
+    assert by_g["a"] == expect_a
+
+
+def test_weighted_sample_per_group_weighted_mode_biases(spark):
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.selection import (
+        weighted_sample_per_group,
+    )
+
+    heavy = [(i, "s", 100_000) for i in range(50)]
+    light = [(i, "s", 100) for i in range(50, 1000)]
+    df = spark.createDataFrame(heavy + light, "doc_id long, source string, w long")
+    targets = spark.createDataFrame([("s", 20)], "source string, target_docs long")
+    got = {
+        r["doc_id"]
+        for r in weighted_sample_per_group(
+            df, targets, group_col="source", weight_col="w"
+        ).collect()
+    }
+    assert len(got) == 20
+    assert sum(1 for d in got if d < 50) >= 15
