@@ -1,0 +1,92 @@
+"""Deterministic random-walk corpus generation — the graph→sequence
+preprocessing step of DeepWalk / node2vec / metapath2vec: turn a graph
+into walk sequences that an embedding trainer then consumes as
+"sentences".  The reference hands its graph to Neo4j and never trains
+embeddings from structure; at 100 TB this is the standard way structure
+reaches the embedding stack.
+
+"Random" is the repo's seeded discipline (d42/d47 — never ``rand()``):
+the step choice is a pure integer-hash function of (walk_id, current
+node, step, candidate), so re-runs, retries, and repartitionings emit
+the identical corpus, and an unrolled SQL oracle replays every step.
+Including walk_id in the hash is what keeps walks that meet at the
+same node from collapsing into one path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+HASH_MOD = 2_147_483_647
+KNUTH = 2_654_435_761
+STEP_PRIME = 1_000_003
+
+
+def _step_hash(walk_id, node, cand, step: int):
+    """Integer step-choice hash, overflow-safe for any int64 ids: fold
+    the reduced inputs into one small sum FIRST, then Knuth-multiply
+    the folded value (one product ≤ (2^31)·KNUTH < 2^63, the d46 rule).
+    The multiply must come LAST: a per-term linear combination like
+    ``… + cand·17`` is monotone in the candidate over an adjacent id
+    range, which degenerates every step into "pick the smallest
+    neighbor"; multiplying the folded sum scatters adjacent candidates
+    ~KNUTH apart mod 2^31−1."""
+    folded = F.pmod(
+        F.pmod(walk_id, F.lit(HASH_MOD)) * F.lit(31)
+        + F.pmod(node, F.lit(HASH_MOD)) * F.lit(17)
+        + F.pmod(cand, F.lit(HASH_MOD))
+        + F.lit(step * STEP_PRIME),
+        F.lit(HASH_MOD),
+    )
+    return F.pmod(folded * F.lit(KNUTH), F.lit(HASH_MOD))
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    n_steps: int,
+    id_col: str = "node",
+) -> DataFrame:
+    """(walk_id, step, node): one walk per start node over the DIRECTED
+    ``edges(src, dst)``, ``n_steps`` transitions (so ≤ n_steps+1 rows
+    per walk); at each step the walk moves to the out-neighbor with the
+    smallest step hash (ties → smaller candidate id).  A node with no
+    out-neighbor ends its walk early — truncation is visible in the
+    output (fewer rows), never padded.  Pass a symmetrized edge list
+    (`analytics.symmetric_edges`) for undirected walks.
+
+    Scale shape: the classic Pregel frontier loop (the g27/g35 layout)
+    — step t is ONE equi-join of the |starts|-row frontier against the
+    edge list plus a per-walk min window over each node's out-
+    neighborhood; the edge list is never collected, mutated, or
+    re-derived, and the frontier never exceeds |starts| rows.  Walk
+    count scales by choosing ``starts`` (deterministically — e.g. a
+    residue class or a d47 race cut), not by sampling inside the loop.
+    """
+    if n_steps < 1:
+        raise ValueError("deterministic_walks needs n_steps >= 1")
+    cur = starts.select(
+        F.col(id_col).alias("walk_id"),
+        F.lit(0).alias("step"),
+        F.col(id_col).alias("node"),
+    )
+    out = [cur]
+    for t in range(1, n_steps + 1):
+        cands = cur.join(edges, cur["node"] == edges["src"]).select(
+            "walk_id",
+            F.col("dst").alias("cand"),
+            _step_hash(F.col("walk_id"), F.col("node"), F.col("dst"), t).alias("h"),
+        )
+        w = Window.partitionBy("walk_id").orderBy(F.asc("h"), F.asc("cand"))
+        cur = (
+            cands.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("walk_id", F.lit(t).alias("step"), F.col("cand").alias("node"))
+        )
+        out.append(cur)
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

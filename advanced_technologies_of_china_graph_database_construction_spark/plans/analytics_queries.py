@@ -945,6 +945,67 @@ ORDER BY node
 """
 
 
+# ------------------------- g40 deterministic random-walk corpus ----------
+
+WALK_STEPS = 4
+WALK_START_RESIDUE = 7  # starts = doc nodes with src % 100 == 7
+
+
+def g40_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style walk corpus over the symmetrized doc↔keyword
+    graph (metapath2vec's shape: sequences alternate doc, keyword, doc,
+    … — exactly what an embedding trainer consumes as sentences).
+    Starts are the deterministic residue class src % 100 == 7 of doc
+    nodes; WALK_STEPS hash-chosen transitions per walk
+    (`operators/walks.deterministic_walks`).  Integer node ids end to
+    end, every step replayed by the unrolled oracle."""
+    from ..operators.walks import deterministic_walks
+
+    edges = symmetric_edges(_citation_edges(spark, sf_dir))
+    starts = (
+        _citation_edges(spark, sf_dir)
+        .select("src")
+        .distinct()
+        .filter(F.pmod(F.col("src"), F.lit(100)) == WALK_START_RESIDUE)
+        .select(F.col("src").alias("node"))
+    )
+    return deterministic_walks(edges, starts, n_steps=WALK_STEPS)
+
+
+def _g40_step_cte(t: int) -> str:
+    prev = f"s{t - 1}"
+    return f"""
+c{t} AS (
+  SELECT {prev}.walk_id, e.dst AS cand,
+         ((((walk_id % 2147483647) * 31
+            + ({prev}.node % 2147483647) * 17
+            + (e.dst % 2147483647)
+            + {t * 1_000_003}) % 2147483647) * 2654435761) % 2147483647 AS h
+  FROM {prev} JOIN sym e ON e.src = {prev}.node),
+s{t} AS (
+  SELECT walk_id, {t} AS step, cand AS node
+  FROM (SELECT walk_id, cand,
+               row_number() OVER (PARTITION BY walk_id ORDER BY h, cand) AS rn
+        FROM c{t})
+  WHERE rn = 1)"""
+
+
+G40_SQL = (
+    f"""
+WITH edges AS (
+  SELECT DISTINCT l_orderkey AS src, l_partkey + {KW_NODE_OFFSET} AS dst
+  FROM lineitem),
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+starts AS (SELECT DISTINCT src FROM edges WHERE src % 100 = {WALK_START_RESIDUE}),
+s0 AS (SELECT src AS walk_id, 0 AS step, src AS node FROM starts),"""
+    + ",".join(_g40_step_cte(t) for t in range(1, WALK_STEPS + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT walk_id, step, node FROM s{t}" for t in range(0, WALK_STEPS + 1)
+    )
+)
+
+
 SPECS = [
     QuerySpec(
         name="g39_strongly_connected",
@@ -1118,5 +1179,14 @@ SPECS = [
         description="Pregel BFS: shortest-path distances within 4 hops of the "
         "smallest org over the co-publication graph; oracle is the unrolled "
         "frontier relaxation in SQL.",
+    ),
+    QuerySpec(
+        name="g40_walk_corpus",
+        fn=g40_walk_corpus,
+        oracle=G40_SQL,
+        category="analytics",
+        description="DeepWalk-style deterministic random-walk corpus over the "
+        "symmetrized doc↔keyword graph (seeded integer-hash step choice, "
+        "never rand()); oracle is the unrolled per-step argmin in SQL.",
     ),
 ]
