@@ -892,6 +892,27 @@ def strongly_connected_components(
     spark = e.sparkSession
     assigned = spark.createDataFrame([], "node long, component long")
 
+    # every endpoint of the INPUT (self-loops included) must receive a
+    # component.  Two paths silently orphan a node from the loop below:
+    # (a) all its edges vanish in ONE trim round because every neighbor
+    # was trimmed that round (a pure 3-path loses its middle node this
+    # way), and (b) all its edges led into an SCC that was assigned and
+    # peeled.  In both cases the node was never on a cycle — a cycle's
+    # edges only vanish when the cycle itself is assigned — so any node
+    # missing from `assigned` at return time is provably a singleton.
+    universe = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _finish(done: DataFrame) -> DataFrame:
+        missing = universe.join(done.select("node"), "node", "left_anti")
+        return done.unionByName(
+            missing.select("node", F.col("node").alias("component"))
+        )
+
     for _ in range(max_outer):
         if stats is not None:
             stats["outer_rounds"] += 1
@@ -943,7 +964,7 @@ def strongly_connected_components(
                 )
             ).localCheckpoint(eager=True)
         if e.isEmpty():
-            return assigned
+            return _finish(assigned)
         e_cached = e.repartition("src").persist()
         e_cached.count()
         try:
@@ -1019,7 +1040,7 @@ def strongly_connected_components(
             .localCheckpoint(eager=True)
         )
         if e.isEmpty():
-            return assigned
+            return _finish(assigned)
     raise RuntimeError(
         f"strongly_connected_components did not decompose the graph in "
         f"max_outer={max_outer} rounds — raise the backstop (each round "

@@ -61,12 +61,14 @@ def interval_overlap_join(
     ls, rs = suffixes
 
     def floordiv(x, b: int):
-        # integer-exact floor division: F.floor(x / lit) runs a DOUBLE
-        # division that can misround at int64 epoch-micro magnitudes;
-        # (x − pmod(x, b)) is an exact multiple of b and the quotient is
-        # small, so this divide is exact — and pmod keeps it floor (not
-        # truncate-toward-zero) for negative coordinates too
-        return ((x - F.pmod(x, F.lit(b))) / F.lit(b)).cast("long")
+        # integer-exact floor division over the FULL int64 range:
+        # (x − pmod(x, b)) is an exact multiple of b, so integer `div`
+        # is exact, and pmod makes it floor (not truncate-toward-zero)
+        # for negative coordinates too.  A double `/` here — even on
+        # the exact multiple — misrounds once |x| ≥ 2^53 (the cast to
+        # double can shift the quotient across an integer boundary and
+        # silently re-bin an interval, dropping true pairs).
+        return F.call_function("div", x - F.pmod(x, F.lit(b)), F.lit(b))
 
     def binned(df: DataFrame, suffix: str) -> DataFrame:
         cols = [F.col(c).alias(f"{c}{suffix}") for c in df.columns]

@@ -300,7 +300,16 @@ def weighted_sample_per_group(
     (e05, d16); the targets frame is group-sized and broadcast.  Skewed
     giant groups bound the window sort; at 100 TB a two-pass threshold
     refinement could replace the rank, but the window form is the
-    engine-portable contract the oracle replays."""
+    engine-portable contract the oracle replays.
+
+    A group absent from ``targets`` has target 0 — DEFINED, not an
+    accident of join type (the left join + coalesce(0) below): a
+    mixing plan that doesn't budget a source keeps none of it, the
+    same contract a plan row with ``target_docs = 0`` states
+    explicitly.  Callers who consider an unplanned group an ERROR
+    (e.g. a stale plan racing new sources) should validate coverage
+    upstream — this operator's job is to realize the plan it is
+    given."""
     u = (
         F.pmod(F.pmod(F.col(id_col), F.lit(mod)) * F.lit(KNUTH), F.lit(mod))
         + F.lit(1)
@@ -316,7 +325,7 @@ def weighted_sample_per_group(
     return (
         df.select(group_col, F.col(id_col), arrival.alias("arrival"))
         .withColumn("rk", F.row_number().over(rank_w))
-        .join(F.broadcast(targets.select(group_col, target_col)), group_col)
-        .filter(F.col("rk") <= F.col(target_col))
+        .join(F.broadcast(targets.select(group_col, target_col)), group_col, "left")
+        .filter(F.col("rk") <= F.coalesce(F.col(target_col), F.lit(0)))
         .select(group_col, id_col, "arrival")
     )

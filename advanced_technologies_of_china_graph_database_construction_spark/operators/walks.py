@@ -19,8 +19,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-HASH_MOD = 2_147_483_647
-KNUTH = 2_654_435_761
+# the ONE set of cross-engine hash constants (selection.py is the
+# defining site every seeded-hash face imports — a private copy here
+# could silently diverge from the oracle-generation side)
+from .selection import HASH_MOD, KNUTH
+
 STEP_PRIME = 1_000_003
 
 
@@ -84,6 +87,11 @@ def deterministic_walks(
             cands.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("walk_id", F.lit(t).alias("step"), F.col("cand").alias("node"))
+            # superstep materialization (the g27/g35 rule): without it
+            # the final union evaluates step t through t stacked joins —
+            # O(n_steps²) total work and an n_steps-deep plan at
+            # DeepWalk-typical depths (40–80)
+            .localCheckpoint(eager=True)
         )
         out.append(cur)
     res = out[0]

@@ -770,10 +770,28 @@ def _scc_of(spark, edge_list):
 
 def test_scc_known_structure(spark):
     # cycle {0,1,2}, cycle {3,4}, DAG tail 6→5→0, bridge 2→3 (forward
-    # only — must NOT merge the cycles), self-loop 7 (dropped entirely),
-    # duplicate edge (exercises the distinct guard)
+    # only — must NOT merge the cycles), self-loop 7 (its own singleton
+    # SCC — every input endpoint gets a component, the r12 universe
+    # contract), duplicate edge (exercises the distinct guard)
     edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 3), (5, 0), (6, 5), (2, 3), (7, 7), (2, 0)]
-    assert _scc_of(spark, edges) == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 6}
+    assert _scc_of(spark, edges) == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 6, 7: 7}
+
+
+def test_scc_no_node_orphaned_by_simultaneous_trim(spark):
+    """r12 regression (found in review): a node whose EVERY neighbor is
+    trimmed in the same round loses all its edges at once, vanishes from
+    the next degree frame, and was silently dropped from the output —
+    the pure 3-path's middle node is the minimal case.  The same leak
+    hits a node whose only edges led into an assigned-and-peeled SCC.
+    Every input endpoint must come back, each here a singleton."""
+    # (a) middle of a pure path: 1 (no in) and 3 (no out) trim together
+    assert _scc_of(spark, [(1, 2), (2, 3)]) == {1: 1, 2: 2, 3: 3}
+    # (b) both neighbors of 2 trimmed in one round, longer chain
+    assert _scc_of(spark, [(0, 1), (1, 2), (2, 3), (3, 4)]) == {
+        0: 0, 1: 1, 2: 2, 3: 3, 4: 4,
+    }
+    # (c) node 9's only edge leads into a cycle that assigns and peels
+    assert _scc_of(spark, [(9, 1), (1, 2), (2, 1)]) == {9: 9, 1: 1, 2: 1}
 
 
 def test_scc_single_big_cycle_and_pure_dag(spark):

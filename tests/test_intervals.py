@@ -107,3 +107,14 @@ def test_plan_has_no_nested_loop(spark):
     plan = e28_interval_overlap_join(spark, SF_CORRECT)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_extreme_int64_coordinates_bin_exactly(spark):
+    """r12 regression (found in review): a double division on the bin
+    arithmetic misrounds once |coordinate| >= 2^53 and silently re-bins
+    intervals; the integer `div` form must pair these correctly."""
+    base = 2_600_000_000_000_000_123  # >> 2^53
+    left = [(1, base, base + 100), (2, -base, -base + 100)]
+    right = [(10, base + 50, base + 150), (20, -base + 50, -base + 150)]
+    got = _run(spark, left, right, bin_width=7)
+    assert got == {(1, 10): 50, (2, 20): 50}

@@ -371,3 +371,20 @@ def test_weighted_sample_per_group_weighted_mode_biases(spark):
     }
     assert len(got) == 20
     assert sum(1 for d in got if d < 50) >= 15
+
+
+def test_weighted_sample_per_group_unplanned_group_has_target_zero(spark):
+    """A group absent from the targets frame keeps ZERO rows by defined
+    contract (r12 review: previously an accident of the inner join),
+    identical to an explicit target_docs = 0 row."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.selection import (
+        weighted_sample_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "planned"), (2, "planned"), (3, "unplanned")],
+        "doc_id long, source string",
+    )
+    targets = spark.createDataFrame([("planned", 1)], "source string, target_docs long")
+    got = weighted_sample_per_group(df, targets, group_col="source").collect()
+    assert len(got) == 1 and got[0]["source"] == "planned"
