@@ -872,6 +872,49 @@ SELECT query_id, neighbor_id, sim, rank FROM (
 """
 
 
+# ------------------------------------ a12 incremental IVF store append ---
+
+def a12_ivf_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE, the ANN lifecycle's missing face (build a02,
+    train a04, store a07, serve a01–a11 — this is the accrete step):
+    the store is built WITHOUT the vec_id%10==9 decile, that delta is
+    then folded in by `append_ivf_store` (frozen stored quantizer, only
+    touched partitions rewritten), and the a07 batch query runs against
+    the maintained store.  The oracle is IVF search over the FULL
+    corpus — so the gate proves store+append ≡ building from everything
+    at once (the delta never contains ids < 8, so the centroid seed is
+    identical on both paths)."""
+    import shutil
+    import tempfile
+
+    from ..sources.ivf_store import (
+        append_ivf_store,
+        ivf_topk_batch,
+        write_ivf_store,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 9)
+    delta = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 9)
+    root = tempfile.mkdtemp(prefix="a12_ivf_")
+    try:
+        write_ivf_store(base, root, n_centroids=8)
+        append_ivf_store(delta, root)
+        queries = emb.filter(F.col("vec_id") % 40 == 20).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        res = ivf_topk_batch(spark, root, queries, k=5, nprobe=2)
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# The A07 oracle over the FULL corpus with the %40==20 query set: the
+# maintained (base+append) store must answer exactly like a store built
+# from everything at once.
+A12_SQL = A07_SQL.replace("vec_id % 40 = 0", "vec_id % 40 = 20")
+
+
 # --------------------------------------------- d16 curation pipeline ------
 
 CURATION_QUALITY_MIN = 0.7  # sits in a 0.698→0.7026 gap of the score dist
@@ -3248,4 +3291,9 @@ SPECS = [
               "d46's temperature mixture realized EXACTLY via the per-group "
               "race: each source keeps precisely target_docs docs, full kept "
               "set hash-gated"),
+    QuerySpec("a12_ivf_store_append", a12_ivf_store_append, A12_SQL,
+              "similarity",
+              "incremental IVF index maintenance: delta folded into the store "
+              "with the frozen quantizer, only touched partitions rewritten; "
+              "gated ≡ full-corpus IVF search"),
 ]

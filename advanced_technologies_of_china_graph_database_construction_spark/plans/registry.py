@@ -26,22 +26,23 @@ from .spec import QuerySpec
 # bigger unknown) but BEFORE all green ones — see effective_round().
 PLAN_CHANGED_REGATE: set[str] = set()
 
-# r12 gate-budget note (honest math): the front of the gate order is 6
+# r12 gate-budget note (honest math): the front of the gate order is 7
 # never-gated specs (a11 + d46, registered just after the r11 record;
-# d47 + d48 + e28 + g40, new this round) + 3 plan-drift pins (d44's
-# pre-collect row_number cap; x01/x02's IEEE-double coordinate cast) +
-# the 3 r7 carries g10/g11/g12 (leading their cohort exactly as the
-# r11 verdict required) = 12, leaving 38 slots for the 49-spec
-# r8-stale cohort.  The LAST ELEVEN r8 specs in gate order roll to
-# r13: g26_doc_keyword_hits, g27_reach_distances,
-# s07_orc_partitioned_roundtrip, g13_cooccurring_keywords,
-# g14_copublishing_orgs, g15_org_topics,
+# d47 + d48 + a12 + e28 + g40, new this round) + 4 plan-drift pins
+# (d44's pre-collect row_number cap; x01/x02's IEEE-double coordinate
+# cast; g39's orphaned-node universe fix) + the 3 r7 carries
+# g10/g11/g12 (leading their cohort exactly as the r11 verdict
+# required) = 14, leaving 36 slots for the 49-spec r8-stale cohort.
+# The LAST THIRTEEN r8 specs in gate order roll to r13:
+# g30_copub_components, g25_related_keywords_ppr, g26_doc_keyword_hits,
+# g27_reach_distances, s07_orc_partitioned_roundtrip,
+# g13_cooccurring_keywords, g14_copublishing_orgs, g15_org_topics,
 # g16_related_authors_via_keywords, g17_alias_expanded_docs,
 # g18_fulltext_and, g19_fulltext_or, g20_motif_author_keyword_reach —
-# ten graph-family faces over the same edge tables as the g01-g09
+# twelve graph-family faces over the same edge tables as the g01-g09
 # specs re-gated in r11 plus the ORC roundtrip, and every one of the
-# eleven was re-proved against its oracle at sf0.1 by this round's
-# full 200-spec replica (`COVERAGE.md` §Round-12 records), so the
+# thirteen was re-proved against its oracle at sf0.1 by this round's
+# full-registry replica (`COVERAGE.md` §Round-12 records), so the
 # carry is driver-record-stale, not evidence-stale.  [r11 note,
 # resolved: the three r7 carries re-gate at the very front this round.]
 

@@ -160,3 +160,53 @@ def ivf_topk_batch(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def append_ivf_store(
+    delta: DataFrame,
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """O(|delta|) index maintenance — the lifecycle face the other
+    incremental paths (p03 ER, d45 MinHash, g38 components, e27
+    partitioned CDC) give their domains: fold a batch of new vectors
+    into an EXISTING store without retraining or rewriting it.
+
+    The quantizer is FROZEN: delta vectors are assigned with the STORED
+    centroids (the production contract — retraining re-shuffles every
+    bucket and invalidates what serving already read; drift is handled
+    by an explicit rebuild, never silently).  Only the partitions the
+    delta touches are rewritten (per-write dynamic partition overwrite,
+    the e27/s10 discipline): each touched bucket is re-emitted as its
+    surviving existing rows plus the delta rows, so a re-delivered id
+    upserts (delta wins via anti-join) instead of duplicating.
+    Untouched partitions' files stay byte-identical on disk.
+
+    Scale shape: assignment is |delta| × n_centroids (centroids
+    broadcast); the only store reads are the touched partitions
+    (partition-pruned scan); nothing standing re-clusters, re-shuffles,
+    or re-writes."""
+    spark = delta.sparkSession
+    cent = spark.read.parquet(f"{root}/centroids")
+    assign = ivf_assign(
+        delta, cent.count(), id_col, vec_col, centroids=cent
+    )
+    ddf = delta.join(assign, id_col).localCheckpoint(eager=True)
+    touched = sorted(
+        r["centroid_id"] for r in ddf.select("centroid_id").distinct().collect()
+    )  # bounded by n_centroids — driver-side routing like the point lookup
+    existing = (
+        spark.read.parquet(f"{root}/vectors")
+        .filter(F.col("centroid_id").isin(touched))
+        .join(ddf.select(id_col), id_col, "left_anti")  # re-delivery: delta wins
+    )
+    merged = existing.unionByName(ddf.select(existing.columns)).localCheckpoint(
+        eager=True
+    )  # materialized BEFORE the overwrite touches the files it was read from
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("centroid_id")
+        .parquet(f"{root}/vectors")
+    )

@@ -94,3 +94,70 @@ def test_batch_plan_no_collect_and_dynamic_pruning(spark, store):
         if "PartitionFilters" in l and "dynamicpruning" in l and "centroid_id" in l
     ]
     assert pruned, plan
+
+
+# ----------------------- append (incremental index maintenance) ----------
+
+def _file_state(root):
+    import os
+
+    out = {}
+    for r, _, fs in os.walk(f"{root}/vectors"):
+        for f in fs:
+            if f.endswith(".parquet"):
+                p = os.path.join(r, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_append_equals_full_build(spark, tmp_path):
+    """store(base) + append(delta) must answer queries exactly like a
+    store built from the full corpus at once (same frozen centroid
+    seed — the delta excludes ids < 8)."""
+    from pyspark.sql import functions as F
+    from advanced_technologies_of_china_graph_database_construction_spark.sources.ivf_store import append_ivf_store
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    full_root, inc_root = str(tmp_path / "full"), str(tmp_path / "inc")
+    write_ivf_store(emb, full_root, n_centroids=8)
+    write_ivf_store(emb.filter(F.col("vec_id") % 10 != 9), inc_root, n_centroids=8)
+    append_ivf_store(emb.filter(F.col("vec_id") % 10 == 9), inc_root)
+    want = _rows(ivf_topk_from_store(spark, full_root, QUERY_IDS, k=5, nprobe=2))
+    got = _rows(ivf_topk_from_store(spark, inc_root, QUERY_IDS, k=5, nprobe=2))
+    assert got == want
+
+
+def test_append_redelivered_id_upserts_and_untouched_partitions_intact(spark, tmp_path):
+    """A re-delivered vec_id must end up ONCE with the delta's vector
+    (delta wins), and partitions the delta doesn't touch must keep
+    byte-identical files (size+mtime unchanged)."""
+    from pyspark.sql import functions as F
+    from advanced_technologies_of_china_graph_database_construction_spark.sources.ivf_store import append_ivf_store
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    root = str(tmp_path / "store")
+    write_ivf_store(emb, root, n_centroids=8)
+    before = _file_state(root)
+    # re-deliver one existing vector with a RECOGNIZABLE new payload:
+    # its own embedding again (assignment unchanged → same partition)
+    # plus a fresh id far outside the corpus
+    some = emb.filter(F.col("vec_id") == 100).select("vec_id", "embedding", "label")
+    fresh = some.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding", "label"
+    )
+    append_ivf_store(some.unionByName(fresh), root)
+    vectors = spark.read.parquet(f"{root}/vectors")
+    assert vectors.filter(F.col("vec_id") == 100).count() == 1
+    assert vectors.filter(F.col("vec_id") == 10_000_100).count() == 1
+    after = _file_state(root)
+    touched_parts = {
+        r["centroid_id"]
+        for r in vectors.filter(
+            F.col("vec_id").isin([100, 10_000_100])
+        ).select("centroid_id").collect()
+    }
+    for rel, st in before.items():
+        part = int(rel.split("centroid_id=")[1].split("/")[0])
+        if part not in touched_parts:
+            assert after.get(rel) == st, rel
