@@ -711,17 +711,17 @@ def test_ktruss_keeps_zero_support_edges_when_threshold_allows(spark):
 
 def _kosaraju(edge_list):
     """Reference SCC: iterative Kosaraju, component = min member id.
-    Self-loop-only nodes excluded (the operator drops self-loops and
-    takes its node set from the surviving edge endpoints)."""
+    Node set = EVERY input endpoint, self-loop-only nodes included as
+    singletons (the operator's r12 universe contract)."""
     from collections import defaultdict
 
     g, rg, nodes = defaultdict(list), defaultdict(list), set()
     for a, b in edge_list:
+        nodes.update((a, b))
         if a == b:
             continue
         g[a].append(b)
         rg[b].append(a)
-        nodes.update((a, b))
     seen, order = set(), []
     for s in nodes:
         if s in seen:
@@ -805,9 +805,12 @@ def test_scc_single_big_cycle_and_pure_dag(spark):
 def test_scc_matches_kosaraju_on_random_graphs(spark):
     import random
 
-    for seed in (0, 1, 2):
+    # dense (mostly one big SCC) AND sparse (mostly paths/trees — the
+    # regime where the r12 trim-orphan leak lived; dense graphs almost
+    # never produce a node whose whole neighborhood trims at once)
+    for seed, n_edges in ((0, 60), (1, 60), (2, 60), (3, 18), (4, 18), (5, 12)):
         rnd = random.Random(seed)
-        edges = {(rnd.randrange(24), rnd.randrange(24)) for _ in range(60)}
+        edges = {(rnd.randrange(24), rnd.randrange(24)) for _ in range(n_edges)}
         edges = [(a, b) for a, b in edges if a != b]
         assert _scc_of(spark, edges) == _kosaraju(edges), f"seed={seed}"
 
