@@ -858,3 +858,53 @@ def test_ppr_rejects_null_seed_and_g33_empty_graph_yields_zero_rows(spark):
     # checking the guard's output contract directly
     out = g33_weighted_copub_ppr(spark, SF_CORRECT)
     assert [f.name for f in out.schema.fields] == ["org_id", "ppr"]
+
+
+def test_kcore_matches_reference_on_random_graphs(spark):
+    """r12 hardening (the SCC lesson): structured fixtures mask leak
+    shapes that random SPARSE graphs hit — run the synchronous peeling
+    against the python reference on random dense AND sparse pair sets."""
+    import random
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import (
+        k_core,
+        symmetric_edges,
+    )
+
+    for seed, n_pairs, k in ((0, 40, 3), (1, 40, 2), (2, 12, 2), (3, 12, 3)):
+        rnd = random.Random(seed)
+        pairs = {tuple(sorted((rnd.randrange(16), rnd.randrange(16)))) for _ in range(n_pairs)}
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        got = {r.node: r.degree for r in k_core(symmetric_edges(df), k, 3).collect()}
+        assert got == _kcore_reference(pairs, k, 3), f"seed={seed} k={k}"
+
+
+def _ktruss_reference(edges, k, rounds):
+    es = set(edges)
+    for _ in range(rounds):
+        adj = {}
+        for u, v in es:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        sup = {(u, v): len(adj[u] & adj[v]) for u, v in es}
+        es = {e for e in es if sup[e] >= k - 2}
+    adj = {}
+    for u, v in es:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    return {(u, v): len(adj[u] & adj[v]) for u, v in es}
+
+
+def test_ktruss_matches_reference_on_random_graphs(spark):
+    import random
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import k_truss
+
+    for seed, n_pairs, k in ((0, 45, 4), (1, 45, 3), (2, 14, 3), (3, 14, 4)):
+        rnd = random.Random(100 + seed)
+        pairs = {tuple(sorted((rnd.randrange(14), rnd.randrange(14)))) for _ in range(n_pairs)}
+        pairs = sorted((a, b) for a, b in pairs if a != b)
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        got = {(r["src"], r["dst"]): r["support"] for r in k_truss(df, k, 2).collect()}
+        assert got == _ktruss_reference(pairs, k, 2), f"seed={seed} k={k}"
