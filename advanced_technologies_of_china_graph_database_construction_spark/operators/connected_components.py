@@ -124,6 +124,7 @@ def connected_components(
     if driver_threshold and cur.count() <= driver_threshold:
         return _driver_union_find(edges.sparkSession, cur.toPandas())
     prev_sig = _signature(cur)
+    converged = False
     for _ in range(max_iter):
         ss = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         # Converged when a full large-star/small-star round leaves the
@@ -137,9 +138,20 @@ def connected_components(
         sig = _signature(ss)
         if sig == prev_sig and ss.exceptAll(cur).isEmpty():
             cur = ss
+            converged = True
             break
         cur = ss
         prev_sig = sig
+    if not converged:
+        # the star extraction below is only meaningful on a converged
+        # star forest — falling through would return plausible-looking
+        # WRONG labels (the SCC backstop rule: raise, never truncate)
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            f"large-star/small-star rounds — raise max_iter (round count "
+            f"is O(log² n), so this is a pathological input, not a "
+            f"livelock)"
+        )
     # After convergence edges form stars (node -> component min).
     comp = cur.groupBy("src").agg(F.min("dst").alias("component"))
     roots = cur.select(F.col("dst").alias("src")).distinct().join(comp, "src", "left_anti")

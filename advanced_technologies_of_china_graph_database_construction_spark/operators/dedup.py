@@ -76,8 +76,13 @@ def char_shingles(
 
     The shingle hash is a base-256 codepoint polynomial of the n
     characters: portable integer arithmetic, no engine hash function
-    involved.
+    involved.  ``n`` is bounded at 7: the polynomial's top weight is
+    256^(n-1), so n ≥ 8 overflows int64 — silently (numpy wrap) on this
+    side and as ARITHMETIC_OVERFLOW in an ANSI SQL mirror, breaking the
+    bit-for-bit oracle contract; reject loudly instead.
     """
+    if not 1 <= n <= 7:
+        raise ValueError(f"char_shingles n={n}: base-256 polynomial needs 1 <= n <= 7 (int64)")
     hasher = _shingle_hash_udf(n)
     out = df.select("doc_id", F.explode(hasher(F.col(text_col))).alias("shingle_hash"))
     return out.distinct() if dedup_set else out
@@ -87,9 +92,13 @@ def char_shingles(
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Groups of byte-identical documents: (text_hash, n_docs,
-    min_doc_id) for groups with ≥ 2 members (D1-family, distributed)."""
+    min_doc_id) for groups with ≥ 2 members (D1-family, distributed).
+    NULL texts are excluded before hashing: md5(NULL) is NULL and a
+    groupBy would collapse every NULL-text row into one phantom
+    "byte-identical" group of documents sharing no content at all."""
     return (
-        df.select(F.md5(F.col(text_col)).alias("text_hash"), "doc_id")
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col)).alias("text_hash"), "doc_id")
         .groupBy("text_hash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .filter(F.col("n_docs") >= 2)
@@ -488,6 +497,14 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
+    # Verification accepts on the ROUNDED jaccard (HALF_UP, 6 digits —
+    # the SQL-oracle contract below), so a pair with true J in
+    # [t − 5e-7, t) still belongs in the output.  Every pruning bound
+    # therefore uses t_prune = t − 1e-6: pruning may only ever keep
+    # EXTRA candidates (verification decides), never drop a pair the
+    # rounded filter would accept.
+    t_prune = threshold - 1e-6
+
     # Materialize the shingle set once: three downstream branches (global
     # frequencies, prefix ranking, verification index) would otherwise
     # re-run the explode+distinct subtree per branch.
@@ -503,7 +520,7 @@ def ngram_jaccard_pairs(
     prefix = (
         ranked.withColumn("pos", F.row_number().over(worder))
         .withColumn("sz", F.count("*").over(wdoc))
-        .filter(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .filter(F.col("pos") <= F.col("sz") - F.ceil(F.lit(t_prune) * F.col("sz")) + 1)
     )
     a = prefix.select(
         F.col("doc_id").alias("src"), "shingle_hash", F.col(block_col).alias("blk"),
@@ -515,12 +532,12 @@ def ngram_jaccard_pairs(
         F.col("pos").alias("pos_b"), F.col("sz").alias("sz_b"),
     )
     # Length filter: J ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|).
-    length_ok = F.least("sz_a", "sz_b") >= F.lit(threshold) * F.greatest("sz_a", "sz_b")
+    length_ok = F.least("sz_a", "sz_b") >= F.lit(t_prune) * F.greatest("sz_a", "sz_b")
     # Positional filter: at the first shared prefix shingle, the overlap
     # can't exceed 1 + min(remaining_a, remaining_b); J ≥ t needs overlap
     # ≥ ⌈t/(1+t)·(|A|+|B|)⌉. A true match always survives via its
     # earliest collision row, so per-row pruning never drops a match.
-    alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("sz_a") + F.col("sz_b")))
+    alpha = F.ceil(F.lit(t_prune / (1.0 + t_prune)) * (F.col("sz_a") + F.col("sz_b")))
     ubound = 1 + F.least(F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b"))
     cands = (
         a.join(
@@ -544,7 +561,10 @@ def ngram_jaccard_pairs(
     sets = sh.groupBy("doc_id").agg(F.collect_list("shingle_hash").alias("arr"))
     sa = sets.select(F.col("doc_id").alias("src"), F.col("arr").alias("arr_a"))
     sb = sets.select(F.col("doc_id").alias("dst"), F.col("arr").alias("arr_b"))
-    if df.count() <= broadcast_threshold_docs:
+    # gate on the CHECKPOINTED frame (a block scan) — df.count() would
+    # re-run the full source lineage just to size the hint
+    n_docs = sh.select("doc_id").distinct().count()
+    if n_docs <= broadcast_threshold_docs:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     joined = cands.join(sa, "src").join(sb, "dst")
     inter = F.size(F.array_intersect("arr_a", "arr_b")).cast("double")
@@ -564,6 +584,7 @@ def containment_pairs(
     block_col: str = "source",
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    broadcast_threshold_docs: int = 2_000_000,
 ) -> DataFrame:
     """(src, dst, containment) where containment = |S(src) ∩ S(dst)| /
     |S(dst)| ≥ threshold — the fraction of dst's 3-gram set contained in
@@ -616,8 +637,14 @@ def containment_pairs(
         .agg(F.count("*").alias("n_inter"))
     )
     dst_size = sizes.select(F.col("doc_id").alias("dst"), F.col("set_size").alias("dst_size"))
+    # per-doc table: broadcast only under the doc-count cap (the module's
+    # standard gate — an unconditional hint would force a corpus-sized
+    # driver materialization at the 10^9-doc scale this file targets);
+    # past the cap the size join degrades to a shuffle keyed by doc id
+    if sizes.count() <= broadcast_threshold_docs:
+        dst_size = F.broadcast(dst_size)
     return (
-        inter.join(F.broadcast(dst_size), "dst")
+        inter.join(dst_size, "dst")
         .select(
             "src",
             "dst",

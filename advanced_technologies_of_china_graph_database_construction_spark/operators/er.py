@@ -224,10 +224,25 @@ def lsh_similarity_pairs(
     probe job that otherwise runs at plan-build time to size the
     hyperplanes.
     """
+    if bands < 1 or n_planes % bands != 0:
+        # the reshape in band_keys would otherwise raise an opaque
+        # ValueError inside an executor mid-job — and silently ignore
+        # the leftover hyperplanes the caller paid for
+        raise ValueError(
+            f"lsh_similarity_pairs: bands={bands} must divide n_planes={n_planes}"
+        )
     rows_per_band = n_planes // bands
     spark = emb.sparkSession
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        probe = emb.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        if probe is None:
+            # empty (or all-NULL-vector) input: no pairs, same typed
+            # frame the exact path returns — not a TypeError at plan
+            # build
+            return spark.createDataFrame(
+                [], f"src long, dst long, sim double"
+            )
+        dim = len(probe[0])
     planes = _hyperplanes(dim, n_planes, seed)
     bc = spark.sparkContext.broadcast(planes)
 
@@ -596,16 +611,23 @@ def symdelete_delta_pairs(
     # this is the single shuffle of the candidate step); it also collapses
     # a cross/dd overlap when an id was re-delivered on both sides
     cands = cross.unionByName(dd).distinct()
-    na = (
-        s_names.select(F.col("id").alias("src"), F.col("name").alias("name_a"))
-        .unionByName(
-            d_names.select(F.col("id").alias("src"), F.col("name").alias("name_a"))
-        )
-        .distinct()  # an id on both sides must not fan out the verify join
+    # Name lookup for the src side: the union covers standing ∪ delta
+    # ids WITHOUT a distinct — deduping the union would shuffle the
+    # corpus-sized standing vocabulary every refresh, exactly the
+    # O(|standing|) work this operator exists to avoid.  Instead the
+    # delta-sized verified-candidate frame is BROADCAST (the docstring
+    # contract), the corpus side is scanned map-side, and the only
+    # duplicates a re-delivered id can produce (same sid ⇒ same name on
+    # the er08/p03 path; exact duplicate rows in general) are collapsed
+    # by a distinct at CANDS scale after the join.
+    na = s_names.select(F.col("id").alias("src"), F.col("name").alias("name_a")).unionByName(
+        d_names.select(F.col("id").alias("src"), F.col("name").alias("name_a"))
     )
     nb = d_names.select(F.col("id").alias("dst"), F.col("name").alias("name_b"))
     return (
-        cands.join(na, "src")
+        F.broadcast(cands)
+        .join(na, "src")
+        .distinct()
         .join(F.broadcast(nb), "dst")
         .select("src", "dst", F.levenshtein("name_a", "name_b").alias("distance"))
         .filter(F.col("distance") <= 1)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -790,3 +791,57 @@ def test_minhash_delta_redelivered_id_with_new_partner_single_orientation(spark)
     rows = D.minhash_delta_near_dups(standing, delta, min_matching=6).collect()
     pairs = [(r["src"], r["dst"]) for r in rows]
     assert sorted(pairs) == [(3, 5)], pairs  # once, canonical orientation
+
+
+# ----------------- r12 review-fix guards (loud contracts) -----------------
+
+def test_char_shingles_rejects_overflowing_n(spark):
+    """n >= 8 overflows the base-256 int64 polynomial (silent numpy wrap
+    vs ARITHMETIC_OVERFLOW in an ANSI SQL mirror) — reject loudly."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.dedup import char_shingles
+
+    df = spark.createDataFrame([(1, "abcdefghij")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="1 <= n <= 7"):
+        char_shingles(df, n=8)
+    assert char_shingles(df, n=7).count() == 4  # 10 - 7 + 1
+
+
+def test_exact_dup_groups_excludes_null_text(spark):
+    """Two NULL-text rows share md5(NULL)=NULL — they must NOT be
+    reported as a byte-identical duplicate group."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.dedup import exact_dup_groups
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, "same")],
+        "doc_id long, text string",
+    )
+    got = exact_dup_groups(df).collect()
+    assert len(got) == 1 and got[0]["min_doc_id"] == 3
+
+
+def test_lsh_pairs_validates_bands_and_handles_empty_input(spark):
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.er import lsh_similarity_pairs
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="must divide"):
+        lsh_similarity_pairs(emb, 0.9, id_col="vec_id", vec_col="embedding",
+                             n_planes=32, bands=7)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = lsh_similarity_pairs(empty, 0.9, id_col="vec_id", vec_col="embedding")
+    assert out.count() == 0 and set(out.columns) == {"src", "dst", "sim"}
+
+
+def test_connected_components_raises_on_iteration_exhaustion(spark):
+    """The star extraction is only meaningful on a converged star
+    forest — exhausting max_iter must raise (the SCC backstop rule),
+    never return plausible-looking wrong labels."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(40)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1, driver_threshold=0)
+    # and a sane budget converges fine on the same graph
+    got = connected_components(chain, driver_threshold=0)
+    assert got.filter("component != 0").count() == 0
