@@ -59,13 +59,23 @@ def asof_join(
 
     ``right_cols`` must not collide with left column names (pre-alias the
     right side).  ``tiebreak`` orders right rows that share a timestamp
-    (largest wins).  ``tolerance`` (an INTERVAL literal string, e.g.
-    ``"30 minutes"``) rejects matches older than ``left_ts - tolerance``.
+    (largest wins).  With ``tiebreak=None`` the payload struct itself is
+    the tiebreak (field-wise comparison, largest wins) — a constant
+    would leave two right rows sharing (key, ts) in a nondeterministic
+    order, so the surviving payload could differ per run/partitioning
+    (the r12 review find); payloads containing unorderable types (maps)
+    need an explicit ``tiebreak``.  ``tolerance`` (an INTERVAL literal
+    string, e.g. ``"30 minutes"``) rejects matches older than
+    ``left_ts - tolerance``.
     """
     on = list(on)
     right_cols = list(right_cols)
     payload_cols = right_cols if right_ts in right_cols else [right_ts, *right_cols]
-    tb = F.col(tiebreak) if tiebreak else F.lit(0)
+    tb = (
+        F.col(tiebreak)
+        if tiebreak
+        else F.struct(*[F.col(c) for c in payload_cols])
+    )
     r = right.select(
         *on,
         F.col(right_ts).alias(_TS),

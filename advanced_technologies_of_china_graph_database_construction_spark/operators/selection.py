@@ -70,7 +70,11 @@ def _doc_features(docs: DataFrame, text_col: str, n_buckets: int) -> DataFrame:
     recomputed per consumer — two cheap narrow codegen scans — rather
     than eagerly materialized to executor storage).  The explode and
     hash are map-side; no shuffle here."""
-    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != F.lit(""))
+    from .textops import nonempty_tokens
+
+    # THE token convention (textops.nonempty_tokens), lowercased — the
+    # same defining site NPMI and the gram family use (r12 review)
+    toks = nonempty_tokens(F.lower(F.col(text_col)))
     d = docs.select(
         "doc_id", "is_t", F.transform(toks, charpoly_hash).alias("hs")
     )
@@ -178,6 +182,13 @@ def dsir_importance_weights(
     ``is_target``; raw = every row).  Higher weight = more target-like;
     callers keep the top mass (the d43 spec takes top-50).
 
+    Documents with ZERO tokens produce no feature rows and therefore NO
+    output row — a stated exclusion (r12 review), not an accident: a
+    zero-feature doc has no evidence either way, and emitting weight 0
+    would rank it above every genuinely negative-scored document.
+    Callers joining weights back to the corpus should left-join and
+    decide the no-evidence policy explicitly.
+
     Plan: ONE ≤n_buckets-row flagged aggregate (map-side combined —
     the target flag rides the feature rows, so there is no target-id
     join and nothing corpus-fraction-sized is ever broadcast), totals
@@ -224,6 +235,14 @@ def dsir_importance_weights(
     )
 
 
+def _effective_weight(weight_col: str):
+    """NULL/non-positive → 1.0 (visible substitution, never a silent
+    drop or a NULL arrival that sorts first); positive weights —
+    fractional included — pass through unchanged."""
+    w = F.col(weight_col).cast("double")
+    return F.when(w.isNull() | (w <= 0), F.lit(1.0)).otherwise(w)
+
+
 def weighted_sample(
     df: DataFrame,
     n: int,
@@ -253,10 +272,13 @@ def weighted_sample(
     driver merges ≤ n·n_partitions rows); no global sort, no window
     over a single partition.  Arrivals are rounded (ties broken by id)
     so the cut is engine-portable; ``ln`` is the d37 precedent for
-    cross-engine transcendentals.  Non-positive weights are floored to
-    1 (a zero-weight doc must not divide by zero; callers wanting hard
-    exclusion should filter first — a floor is visible in the output,
-    a silent drop is not).
+    cross-engine transcendentals.  NULL and non-positive weights are
+    replaced by 1 (a zero-weight doc must not divide by zero; callers
+    wanting hard exclusion should filter first — a substitution is
+    visible in the output, a silent drop is not); POSITIVE fractional
+    weights pass through untouched — clamping them (the r12 review
+    find: ``greatest(w, 1)``) would erase every weight in (0, 1) and
+    silently degrade e.g. DSIR-scaled draws to uniform.
     """
     if n <= 0:
         raise ValueError("weighted_sample needs n >= 1")
@@ -264,7 +286,7 @@ def weighted_sample(
         F.pmod(F.pmod(F.col(id_col), F.lit(mod)) * F.lit(KNUTH), F.lit(mod))
         + F.lit(1)
     ) / F.lit(float(mod + 1))
-    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    w = _effective_weight(weight_col)
     arrival = F.round(-F.log(u) / w, 9)
     return (
         df.select(F.col(id_col), arrival.alias("arrival"))
@@ -317,8 +339,7 @@ def weighted_sample_per_group(
     if weight_col is None:
         arrival = F.round(-F.log(u), 9)
     else:
-        w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
-        arrival = F.round(-F.log(u) / w, 9)
+        arrival = F.round(-F.log(u) / _effective_weight(weight_col), 9)
     from pyspark.sql.window import Window
 
     rank_w = Window.partitionBy(group_col).orderBy(F.asc("arrival"), F.asc(id_col))

@@ -26,6 +26,18 @@ from pyspark.sql import types as T
 from ..functions.vectors import arrow_cosine_rounded, as_double, cosine_rounded
 from .er import _round_half_up, replicate_block_pairs
 
+def _rank_topk(scored: DataFrame, k: int, score_col: str = "sim") -> DataFrame:
+    """The ONE ranking contract every ANN face shares (r12 reuse fix —
+    previously five hand-maintained copies): per query, rank by
+    (rounded score desc, neighbor id asc) — the engine-portable total
+    order — and cut to the top k."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(score_col), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
 
 def brute_force_topk(
     emb: DataFrame,
@@ -47,8 +59,7 @@ def brute_force_topk(
         # rounding as the JVM expression; measured ~30% faster at sf0.1)
         .select("query_id", "neighbor_id", arrow_cosine_rounded(F.col("qv"), F.col("nv")).alias("sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _rank_topk(scored, k)
 
 
 def filtered_topk(
@@ -93,8 +104,7 @@ def filtered_topk(
             arrow_cosine_rounded(F.col("qv"), F.col("nv")).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _rank_topk(scored, k)
 
 
 def ivf_assign(
@@ -170,8 +180,7 @@ def ivf_topk(
             arrow_cosine_rounded(F.col("qv"), F.col("nv")).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _rank_topk(cands, k)
 
 
 def knn_graph(
@@ -355,8 +364,7 @@ def quantized_topk(
         .join(cand, F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", score.alias("score"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _rank_topk(scored, k, score_col="score")
 
 
 def two_stage_topk(
@@ -412,7 +420,4 @@ def two_stage_topk(
             arrow_cosine_rounded(F.col("qv"), F.col("nv")).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return rescored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return _rank_topk(rescored, k)

@@ -47,6 +47,12 @@ def nonempty_tokens(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
+    """RAW whitespace-split size — the d09 estimator face, reported
+    side by side with `regex_token_count` as two cheap budget
+    estimators.  Split contract: an empty/whitespace-only doc counts 1
+    (the [''] artifact of split) — callers filtering or normalizing by
+    token count should use `nonempty_tokens` (quality_features does,
+    since r12)."""
     return F.size(ws_tokens(text))
 
 
@@ -83,17 +89,25 @@ def predict_lang(text: Column) -> Column:
 
 
 def _quality_cols(text: Column) -> dict[str, Column]:
+    # n_tokens follows the NONEMPTY convention (r12): the raw split
+    # counts an empty doc as 1 phantom token, which both misleads
+    # min-length filters and (with n_chars=0) made punct_ratio 0/0 =
+    # NaN — and NaN sorts ABOVE every double in a descending Spark
+    # sort, ranking empty docs as top quality.  Denominators floor at
+    # 1 so the empty doc's ratios are defined zeros.
     n_chars = F.length(text)
-    n_toks = token_count(text)
+    n_toks = F.size(nonempty_tokens(text))
+    chars_div = F.greatest(n_chars, F.lit(1)).cast("double")
+    toks_div = F.greatest(n_toks, F.lit(1)).cast("double")
     letters = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
     punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
     stop_en = stopword_count(text, LANG_STOPWORDS["en"])
-    punct_ratio = F.round(punct.cast("double") / n_chars.cast("double"), 6)
-    stop_ratio = F.round(stop_en.cast("double") / n_toks.cast("double"), 6)
+    punct_ratio = F.round(punct.cast("double") / chars_div, 6)
+    stop_ratio = F.round(stop_en.cast("double") / toks_div, 6)
     return {
         "n_chars_computed": n_chars,
         "n_tokens": n_toks,
-        "avg_token_len": F.round(letters.cast("double") / n_toks.cast("double"), 6),
+        "avg_token_len": F.round(letters.cast("double") / toks_div, 6),
         "punct_ratio": punct_ratio,
         "stopword_ratio": stop_ratio,
         "quality_score": F.round(
@@ -203,8 +217,11 @@ def chunk_documents(
     ``keep_cols`` carries extra document columns (e.g. the source) onto
     every chunk row without a join back.
     """
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be smaller than chunk_tokens")
+    if not 0 <= overlap < chunk_tokens:
+        # a NEGATIVE overlap silently makes stride > chunk_tokens and
+        # drops the tokens between chunks — the exact contract violation
+        # ("every token lands in >= 1 chunk") this guard exists for
+        raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
     toks = nonempty_tokens(F.col(text_col))
     n = F.size(F.col("__toks"))
@@ -372,9 +389,9 @@ def _npmi_capped_words(
     count over the same window partitioning — no second shuffle."""
     from pyspark.sql import Window
 
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != F.lit("")
-    )
+    # THE token convention (nonempty_tokens), lowercased — one defining
+    # site, not a third inline copy that could drift (r12 review)
+    toks = nonempty_tokens(F.lower(F.col(text_col)))
     words = docs.select("doc_id", F.explode(F.array_distinct(toks)).alias("w"))
     vocab = (
         words.groupBy("w")

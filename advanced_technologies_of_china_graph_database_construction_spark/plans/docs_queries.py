@@ -292,19 +292,19 @@ D06_SQL = f"""
 WITH feats AS (
   SELECT doc_id,
          length(text) AS n_chars_computed,
-         length(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS n_tokens,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS letters,
          length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
          length(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                             t -> t IN ({_EN_STOPS}))) AS stops
   FROM documents)
 SELECT doc_id, n_chars_computed, n_tokens,
-       round(letters::DOUBLE / n_tokens, 6) AS avg_token_len,
-       round(punct::DOUBLE / n_chars_computed, 6) AS punct_ratio,
-       round(stops::DOUBLE / n_tokens, 6) AS stopword_ratio,
+       round(letters::DOUBLE / greatest(n_tokens, 1), 6) AS avg_token_len,
+       round(punct::DOUBLE / greatest(n_chars_computed, 1), 6) AS punct_ratio,
+       round(stops::DOUBLE / greatest(n_tokens, 1), 6) AS stopword_ratio,
        round(least(1.0, n_tokens / 100.0) * 0.5
-             + (1.0 - round(punct::DOUBLE / n_chars_computed, 6)) * 0.3
-             + round(stops::DOUBLE / n_tokens, 6) * 0.2, 6) AS quality_score
+             + (1.0 - round(punct::DOUBLE / greatest(n_chars_computed, 1), 6)) * 0.3
+             + round(stops::DOUBLE / greatest(n_tokens, 1), 6) * 0.2, 6) AS quality_score
 FROM feats
 """
 
@@ -948,7 +948,7 @@ def d16_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NTOKS = r"length(string_split_regex(trim(text), '\s+'))"
+_NTOKS = r"len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))"
 
 D16_SQL = rf"""
 WITH {{corpus}},
@@ -960,10 +960,10 @@ scored AS (
   SELECT *,
          round(least(1.0, {_NTOKS} / 100.0) * 0.5
                + (1.0 - round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
-                              / length(text), 6)) * 0.3
+                              / greatest(length(text), 1), 6)) * 0.3
                + round(length(list_filter(string_split_regex(trim(lower(text)), '\s+'),
                                           t -> t IN ({{en_stops}})))::DOUBLE
-                       / {_NTOKS}, 6) * 0.2, 6) AS q,
+                       / greatest({_NTOKS}, 1), 6) * 0.2, 6) AS q,
          {{s_de}} AS s_de, {{s_en}} AS s_en, {{s_es}} AS s_es,
          {{s_fr}} AS s_fr, {{s_zh}} AS s_zh
   FROM deduped),

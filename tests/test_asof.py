@@ -85,3 +85,27 @@ def test_single_shuffle_plan(spark):
     # one exchange for the window (plus AQE reuse), no join node at all
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_default_tiebreak_is_deterministic_on_exact_ts_ties(spark):
+    """r12 review fix: with tiebreak=None two right rows sharing
+    (key, ts) used to tie completely in the window order (constant
+    _TB), so the surviving payload was partitioning-dependent.  The
+    payload struct is now the tiebreak — largest field-wise wins,
+    identically on every run and partitioning."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 100, 5.0), (1, 100, 7.0)], "k long, rts long, price double"
+    )
+    for parts in (1, 7):
+        out = asof_join(
+            left.repartition(parts),
+            right.repartition(parts),
+            on=["k"],
+            left_ts="ts",
+            right_ts="rts",
+            right_cols=["price"],
+        ).collect()
+        assert len(out) == 1 and out[0]["price"] == 7.0, out

@@ -388,3 +388,37 @@ def test_weighted_sample_per_group_unplanned_group_has_target_zero(spark):
     targets = spark.createDataFrame([("planned", 1)], "source string, target_docs long")
     got = weighted_sample_per_group(df, targets, group_col="source").collect()
     assert len(got) == 1 and got[0]["source"] == "planned"
+
+
+def test_weighted_sample_preserves_fractional_weights(spark):
+    """r12 review fix: greatest(w, 1) erased every weight in (0,1),
+    silently degrading fractional-weight draws (e.g. DSIR-scaled) to
+    uniform.  Scale invariance is the witness: weights {0.5, 1.0, ...}
+    must select exactly like {5, 10, ...} (the race depends only on
+    relative weights), and NOT like the uniform draw."""
+    import math
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.selection import (
+        weighted_sample,
+    )
+
+    rows = [(i, ((i * 13) % 10 + 1) / 10.0) for i in range(300)]
+    small = spark.createDataFrame(rows, "doc_id long, w double")
+    big = spark.createDataFrame([(i, w * 10) for i, w in rows], "doc_id long, w double")
+    sel_small = [r["doc_id"] for r in weighted_sample(small, 30, "w").collect()]
+    sel_big = [r["doc_id"] for r in weighted_sample(big, 30, "w").collect()]
+    assert sel_small == sel_big
+    # and it differs from the uniform (weight-ignoring) draw
+    uni = spark.createDataFrame([(i, 1.0) for i, _ in rows], "doc_id long, w double")
+    sel_uni = [r["doc_id"] for r in weighted_sample(uni, 30, "w").collect()]
+    assert sel_small != sel_uni
+    # python reference with the corrected rule (w <= 0 or NULL -> 1.0)
+    mod = 2_147_483_647
+
+    def arr(i, w):
+        u = ((i % mod) * 2_654_435_761 % mod + 1) / (mod + 1.0)
+        return round(-math.log(u) / (w if w > 0 else 1.0), 9)
+
+    expect = [i for _, i in sorted((arr(i, w), i) for i, w in rows)[:30]]
+    assert sel_small == sorted(sel_small, key=lambda d: (arr(d, dict(rows)[d]), d))
+    assert set(sel_small) == set(expect)
