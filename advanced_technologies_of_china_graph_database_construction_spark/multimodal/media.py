@@ -714,8 +714,11 @@ def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
 def sample_frames(media: DataFrame, step_ms: int = 1000) -> DataFrame:
     """Frame sampling for video: explode metadata-derived frame offsets
     (0, step, 2*step, ... < duration).  The per-frame decode is the
-    stubbed seam; the offsets/explode/partitioning are real."""
-    video = media.filter(F.col("kind") == "video")
+    stubbed seam; the offsets/explode/partitioning are real.
+    A ZERO-duration clip yields no frames — the sequence's greatest(d−1,
+    0) floor would otherwise emit a phantom offset-0 frame for media
+    with no content (r12 review; the oracle mirrors the filter)."""
+    video = media.filter((F.col("kind") == "video") & (F.col("duration_ms") > 0))
     offsets = F.sequence(
         F.lit(0).cast("long"),
         F.greatest(F.col("duration_ms") - 1, F.lit(0).cast("long")),
@@ -756,6 +759,11 @@ def quiet_segments(media: DataFrame, window: int = 16) -> DataFrame:
     comparison is bit-identical to the SQL oracle's avg-vs-avg; every
     output is an integer count.  The tail frame keeps its own (shorter)
     denominator.  Same mapInPandas seam, same dead-letter channel."""
+    if window < 1:
+        # the sibling decode operators' convention (sampled_frame_stats,
+        # resized_image_stats): reject at the driver, not an opaque
+        # numpy error per task after a full scan
+        raise ValueError("quiet_segments needs window >= 1")
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

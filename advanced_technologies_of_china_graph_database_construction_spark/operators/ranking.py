@@ -28,14 +28,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textops import ws_tokens
+from .textops import nonempty_tokens
 
 BM25_K1 = 1.2
 BM25_B = 0.75
 
 
 def _tokens(text_col: str):
-    return F.filter(ws_tokens(F.lower(F.col(text_col))), lambda t: t != F.lit(""))
+    # THE token convention (textops.nonempty_tokens), lowercased — the
+    # defining site shared with grams/NPMI/DSIR, not a local copy
+    return nonempty_tokens(F.lower(F.col(text_col)))
 
 
 def _term_tf(text_col: str, term: str):
@@ -67,6 +69,13 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("bm25_topk needs at least one query term")
+    # document tokens are lowercased, so terms must be too — a verbatim
+    # uppercase term would silently match zero documents (r12 review)
+    query_terms = [t.lower() for t in query_terms]
+    # NULL-text rows: dl and every tf evaluate to NULL (size of a NULL
+    # array), avg/sum skip them identically in Spark and the SQL
+    # oracle, and `score > 0` drops their NULL score — so they are
+    # consistently excluded, never ranked (test-pinned).
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(_tokens(text_col)).cast("double").alias("dl"),

@@ -68,7 +68,7 @@ M03_SQL = """
 SELECT doc_id + 5000000 AS media_id,
        ((greatest(n_chars * 10 - 1, 0)) // 100000 + 1)::BIGINT AS n_frames,
        ((greatest(n_chars * 10 - 1, 0)) // 100000 * 100000)::BIGINT AS last_offset_ms
-FROM documents WHERE doc_id % 3 = 2
+FROM documents WHERE doc_id % 3 = 2 AND n_chars > 0
 """
 
 

@@ -6,11 +6,16 @@ lacks natively (SURVEY.md §2.11: the reference's only custom-compute
 seams are pandas-shaped — embedding / LLM enrichment — and this is the
 same seam applied to streaming state).
 
-Scale notes: state is partitioned by user_id (the group key), lives in
-the state store per partition, and is bounded by the processing-time
-timeout — at 1000 executors each task holds only its hash range of
-users.  Batch fallback (``running_totals_batch``) computes the same
-answer with a window spec, which is what the DuckDB oracle checks.
+Scale notes: state is partitioned by user_id (the group key) and lives
+in the state store per partition — at 1000 executors each task holds
+only its hash range of users.  The gated faces run with
+``GroupStateTimeout.NoTimeout`` (finite replayed sources, every key's
+final state IS the answer); a production deployment over an unbounded
+key space must switch to a processing-time timeout so idle keys expire
+— state here is bounded by the KEY SPACE, not by time, and the
+operator exposes exactly the timeout knob that changes that.  Batch
+fallback (``running_totals_batch``) computes the same answer with a
+window spec, which is what the DuckDB oracle checks.
 """
 
 from __future__ import annotations
@@ -148,6 +153,11 @@ def packing_stream(toks: DataFrame, budget: int) -> DataFrame:
     retroactively re-order, which is the standard packing-stream caveat —
     feed it an ordered ingest, e.g. file-source with one file per
     ingest-order chunk)."""
+    if budget <= 0:
+        # fail at the driver: the stream face would ZeroDivisionError
+        # inside an executor mid-batch, the batch face would emit
+        # silent NULL bins — neither is a contract (r12 review)
+        raise ValueError("packing needs a positive token budget")
     return toks.groupBy("source").applyInPandasWithState(
         _pack_stream_fn(budget),
         outputStructType=PACK_OUTPUT_SCHEMA,
@@ -160,6 +170,8 @@ def packing_stream(toks: DataFrame, budget: int) -> DataFrame:
 def packing_batch(toks: DataFrame, budget: int) -> DataFrame:
     """Batch equivalent of :func:`packing_stream` — the same cumulative
     window as the d14 spec, emitting per-document bins."""
+    if budget <= 0:
+        raise ValueError("packing needs a positive token budget")
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")

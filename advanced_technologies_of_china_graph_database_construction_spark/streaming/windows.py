@@ -168,7 +168,10 @@ def interval_join(
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(upper))
     )
     return l.join(r, cond, how).select(
-        F.col("k").alias("user_id"), "l_event_id", "r_event_id", "l_ts", "r_ts",
+        # the key column keeps the CALLER'S name — a hardcoded
+        # "user_id" alias mislabeled results for any non-default key
+        # (r12 review)
+        F.col("k").alias(key), "l_event_id", "r_event_id", "l_ts", "r_ts",
         "l_value", "r_value",
     )
 

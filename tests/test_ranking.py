@@ -240,3 +240,19 @@ def test_two_stage_served_index_equals_inline_build(spark):
         )
     )
     assert served == inline
+
+
+def test_bm25_case_insensitive_terms_and_null_text_excluded(spark):
+    """r12 review fixes: an uppercase query term must match the
+    lowercased corpus (was a silent zero-match), and NULL-text rows are
+    consistently excluded from both ranking and corpus stats."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.ranking import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "vector search engine"), (2, "graph engine"), (3, None)],
+        "doc_id long, text string",
+    )
+    upper = {r["doc_id"]: r["score"] for r in bm25_topk(docs, ["Vector"], k=10).collect()}
+    lower = {r["doc_id"]: r["score"] for r in bm25_topk(docs, ["vector"], k=10).collect()}
+    assert upper == lower and set(upper) == {1}
+    assert 3 not in upper
