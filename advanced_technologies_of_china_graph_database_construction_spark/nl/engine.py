@@ -35,17 +35,11 @@ FALLBACK_LIMIT = 100  # fallback cap L2 (`neo4j_query_executor.py:389`)
 
 # ------------------------------------------------------------- templates ---
 
-def _docs_of_entity(g: GraphModel, entity: DataFrame, id_col: str, rel: str,
-                    reverse: bool = False) -> DataFrame:
+def _docs_of_entity(g: GraphModel, entity: DataFrame, id_col: str, rel: str) -> DataFrame:
     e = g.edges_of(rel)
-    if reverse:
-        j = F.broadcast(entity).join(e, entity[id_col] == e.dst).join(
-            g.docs, e.src == g.docs.doc_id
-        )
-    else:
-        j = F.broadcast(entity).join(e, entity[id_col] == e.src).join(
-            g.docs, e.dst == g.docs.doc_id
-        )
+    j = F.broadcast(entity).join(e, entity[id_col] == e.src).join(
+        g.docs, e.dst == g.docs.doc_id
+    )
     return j.select("title", "year", "label")
 
 
@@ -68,6 +62,15 @@ def t_authors_of_doc(g: GraphModel, title: str) -> DataFrame:
 def t_docs_by_keyword(g: GraphModel, keyword: str) -> DataFrame:
     # J9 alias semantics: resolve the surface form to its canonical id
     # once, then match every keyword sharing that canonical.
+    #
+    # Row multiplicity is PARITY-BY-DESIGN (r12 review decision): the
+    # reference's own Cypher templates carry no DISTINCT
+    # (`neo4j_query_executor.py:272-278` — OPTIONAL MATCH alias, MATCH
+    # edge, RETURN p.title LIMIT 10), so a doc matching via k AND via
+    # an alias returns once per match there too.  Deduping here would
+    # diverge from the surface this engine replicates; the co-occurrence
+    # and per-year counting templates below inherit the same row
+    # semantics for the same reason.
     k = g.kw_alias.join(
         g.keywords.filter(F.col("name") == keyword), "keyword_id"
     ).select("canonical_id")
@@ -400,7 +403,11 @@ def answer(
     # regex conjunction/disjunction, `neo4j_query_executor.py:414-441`)
     tokens = [w for t in p.terms for w in t.split()]
     if tokens:
-        stages.append(("fallback_and", fulltext_search(spark, sf_dir, tokens, True)))
+        # when the template stage already WAS the AND-fulltext over
+        # exactly these tokens (single-word terms), fallback_and would
+        # re-run a byte-identical full scan — skip straight to OR
+        if not (p.template == FALLBACK_TEMPLATE and tokens == p.terms):
+            stages.append(("fallback_and", fulltext_search(spark, sf_dir, tokens, True)))
         stages.append(("fallback_or", fulltext_search(spark, sf_dir, tokens, False)))
     for stage, df in stages:
         rows = df.collect()

@@ -90,12 +90,20 @@ def taxonomy_df(spark: SparkSession) -> DataFrame:
 def default_classifier(pdf: pd.DataFrame) -> pd.DataFrame:
     """Deterministic stand-in for the LLM call: topic from text length.
     A real deployment swaps in an async LLM client with the same
-    signature (per-partition concurrency, tenacity-style retries)."""
+    signature (per-partition concurrency, tenacity-style retries).
+    NULL text routes to the dead-letter channel (error column) — the
+    naive str.len() % path raised inside mapInPandas on the NaN and
+    killed the stage, defeating the dead-letter design (r12 review)."""
+    lens = pdf["text"].str.len()
+    null_mask = lens.isna()
+    topic = (lens.fillna(0) % len(TAXONOMY) + 1).astype("int32")
     return pd.DataFrame(
         {
             "doc_id": pdf["doc_id"],
-            "topic_id": (pdf["text"].str.len() % len(TAXONOMY) + 1).astype("int32"),
-            "error": pd.Series([None] * len(pdf), dtype="object"),
+            "topic_id": topic.where(~null_mask, other=-1),
+            "error": pd.Series(
+                ["null text" if m else None for m in null_mask], dtype="object"
+            ),
         }
     )
 

@@ -25,6 +25,7 @@ doc_id, which is the natural bucketing key for the edges table.
 
 from __future__ import annotations
 
+import hashlib
 import os
 from dataclasses import dataclass
 
@@ -115,7 +116,17 @@ def build_graph(spark: SparkSession, sf_dir: str, *, use_cache: bool = True) -> 
         return cached
     from ..sources.graph_store import read_graph, write_graph
 
-    root = os.path.join(_STORE_ROOT, os.path.basename(os.path.abspath(sf_dir)))
+    # the store directory keys on basename PLUS an abspath digest: two
+    # datasets both named "sf0.1" under different parents must not share
+    # (and clobber) one store root while a live GraphModel still lazily
+    # reads it (r12 review).  Writer-writer races between SESSIONS are
+    # out of scope — the marker protocol below serves single-writer
+    # local caching; concurrent builders of the SAME dataset write
+    # identical content, and the fingerprint re-check heals a torn mix
+    # on the next build.
+    ap = os.path.abspath(sf_dir)
+    digest = hashlib.md5(ap.encode()).hexdigest()[:10]
+    root = os.path.join(_STORE_ROOT, f"{os.path.basename(ap)}-{digest}")
     marker = os.path.join(root, _STORE_MARKER)
     fingerprint = _source_fingerprint(sf_dir)
     if not (os.path.exists(marker) and open(marker).read().strip() == fingerprint):

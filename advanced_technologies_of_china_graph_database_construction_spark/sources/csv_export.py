@@ -39,7 +39,14 @@ def render_list_literal(col: Column) -> Column:
 
 
 def _write(df: DataFrame, path: str) -> None:
-    df.write.mode("overwrite").option("header", True).csv(path)
+    # escape = '"' makes Spark's CSV RFC4180 (the '""' doubling
+    # neo4j-admin/LOAD CSV parse); the default backslash escape wrote
+    # fields neo4j misparses and mangled the reference's own exports on
+    # read (r12 review).  This is the FIELD-quoting layer — the
+    # IN-VALUE '"' doubling of render_list_literal is the reference's
+    # separate list-literal convention (utils.py:90-97) and stacks on
+    # top, exactly as the reference's csv.writer output does.
+    df.write.mode("overwrite").option("header", True).option("escape", '"').csv(path)
 
 
 def write_node_csvs(g: GraphModel, out_dir: str) -> dict[str, str]:
@@ -124,7 +131,7 @@ def read_node_csv(spark: SparkSession, path: str) -> DataFrame:
     reference's own exported artifacts (`data/neo4j_csv_import/*_nodes.
     csv`) as well as `write_node_csvs` output, which is the interop
     contract a user migrating off the reference relies on."""
-    df = spark.read.option("header", True).csv(path)
+    df = spark.read.option("header", True).option("escape", '"').csv(path)
     if ":ID" not in df.columns or ":LABEL" not in df.columns:
         raise ValueError(
             f"not a neo4j-admin node CSV (missing :ID/:LABEL): {df.columns}"
@@ -142,7 +149,7 @@ def read_relationship_csv(
     ``:START_ID(Label),:END_ID(Label),:TYPE`` back as
     ``((src, dst, rel_type), (start_label, end_label))`` — endpoint
     labels parsed from the scoped header, shape violations raised."""
-    df = spark.read.option("header", True).csv(path)
+    df = spark.read.option("header", True).option("escape", '"').csv(path)
     start = next((c for c in df.columns if c.startswith(":START_ID")), None)
     end = next((c for c in df.columns if c.startswith(":END_ID")), None)
     if start is None or end is None or ":TYPE" not in df.columns:

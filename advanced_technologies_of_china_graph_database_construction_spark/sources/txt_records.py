@@ -215,8 +215,15 @@ def clean_records(parsed: DataFrame, rec_col: str = "rec") -> DataFrame:
         raw = strip_trailing_semi(get(field))
         cols.append(lenient_int(raw).alias(name))
         cols.append(raw.alias(f"{name}_raw"))
-    for field in ("Abstract", "Journal", "Pages", "DOI", "URL", "Publisher", "Place Published"):
-        name = field.lower().replace(" ", "_")
+    # driven by SCALAR_FIELDS so the constant and the projection can't
+    # drift (r12 review: ISBN/ISSN and Date were silently dropped while
+    # the constant claimed passthrough — isbn_issn IS a reference doc
+    # property, csv_extractor.py:57); Title / Reference Type are
+    # handled above as title/ref_type/label
+    for field in SCALAR_FIELDS:
+        if field in ("Title", "Reference Type"):
+            continue
+        name = "isbn_issn" if field == "ISBN/ISSN" else field.lower().replace(" ", "_")
         cols.append(norm_ws(get(field)).alias(name))
     return parsed.select(*cols)
 

@@ -59,3 +59,28 @@ def test_topic_rels_csv(spark, tmp_path):
     assert back.columns == ["paperTitle", "paperLabel", "topicName"]
     # F12: parenthetical gloss stripped
     assert back.select("topicName").distinct().collect()[0][0] == "lithography"
+
+
+def test_quoted_values_roundtrip_rfc4180(spark, tmp_path):
+    """r12 review fix: Spark's default backslash escape wrote fields
+    neo4j-admin (RFC4180) misparses and corrupted quoted values when
+    reading the reference's own exports.  A value containing '\"' and a
+    comma must round-trip byte-exact, and the on-disk bytes must use
+    RFC4180 '\"\"' doubling, never a backslash."""
+    from advanced_technologies_of_china_graph_database_construction_spark.sources.csv_export import (
+        _write,
+        read_node_csv,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 'say "hi", ok'), (2, "plain")], 'id long, v string'
+    ).select(F.col("id").alias(":ID"), F.lit("K").alias(":LABEL"), "v")
+    path = str(tmp_path / "nodes")
+    _write(df, path)
+    import glob
+
+    raw = "".join(open(f).read() for f in glob.glob(f"{path}/*.csv"))
+    assert '"say ""hi"", ok"' in raw and "\\" not in raw
+    back = {r["id"]: r["v"] for r in read_node_csv(spark, path).collect()}
+    assert back["1"] == 'say "hi", ok' and back["2"] == "plain"
