@@ -77,17 +77,28 @@ def arrow_cosine_rounded(a: Column, b: Column, digits: int = 6) -> Column:
         a_list, b_list = av.tolist(), bv.tolist()
         valid = [
             i for i, (x, y) in enumerate(zip(a_list, b_list))
-            if x is not None and y is not None
+            if x is not None and y is not None and len(x) == len(y)
         ]
+        # length-mismatched pairs are NULL, matching the JVM twin
+        # (zip_with null-pads the shorter side, the fold yields NULL) —
+        # np.stack on a ragged batch would otherwise kill the task
+        # (r12 review)
         out = np.full(len(a_list), np.nan)
-        if valid:
-            ma = np.stack([a_list[i] for i in valid]).astype(np.float64)
-            mb = np.stack([b_list[i] for i in valid]).astype(np.float64)
+        from itertools import groupby
+
+        # one vectorized pass per distinct pair length (normally one):
+        # a batch mixing vector widths must not crash np.stack
+        for _, grp in groupby(
+            sorted(valid, key=lambda i: len(a_list[i])), key=lambda i: len(a_list[i])
+        ):
+            idx = list(grp)
+            ma = np.stack([a_list[i] for i in idx]).astype(np.float64)
+            mb = np.stack([b_list[i] for i in idx]).astype(np.float64)
             num = np.einsum("ij,ij->i", ma, mb)
             den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
             with np.errstate(divide="ignore", invalid="ignore"):
                 scaled = num / den * scale
-            out[valid] = (
+            out[idx] = (
                 np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5))
                 / scale
             )

@@ -10,7 +10,7 @@ web-scale vector-index trainer (IVF/PQ coarse quantizers); here it is
 expressed as pure DataFrame aggregations:
 
 - **assignment** is a broadcast crossJoin against the k centroids plus
-  one ``max_by`` aggregation — the vector table is never shuffled,
+  one ``min_by`` aggregation — the vector table is never shuffled,
   partial aggregation runs map-side, and ties break to the smallest
   centroid id on the *rounded* similarity so every engine picks the
   same winner;
@@ -45,7 +45,7 @@ def assign_to_centroids(
     """(id, centroid_id, sim): nearest centroid by rounded cosine.
 
     ``centroids`` is (centroid_id, cv) and is broadcast — the vector
-    table stays where it is; argmax is a map-side-combinable ``max_by``
+    table stays where it is; argmax is a map-side-combinable ``min_by``
     (no row_number window, no per-key shuffle of the n×k score rows
     beyond the final partial-merge).
     """
@@ -59,7 +59,11 @@ def assign_to_centroids(
         )
     )
     return scored.groupBy(id_col).agg(
-        F.expr("max_by(centroid_id, struct(sim, -centroid_id))").alias("centroid_id"),
+        # min over (-sim, id): best sim, ties to the SMALLEST id — and
+        # type-agnostic, where negating the id (the old max_by form)
+        # broke on non-numeric id spaces seed_centroids advertises
+        # (ANSI cast error, or NULL-struct nondeterminism; r12 review)
+        F.expr("min_by(centroid_id, struct(-sim, centroid_id))").alias("centroid_id"),
         F.max("sim").alias("sim"),
     )
 

@@ -57,8 +57,39 @@ def zorder_write(df: DataFrame, a: str, b: str, path: str, n_files: int = 32,
     files by Z-key range.  ``repartitionByRange`` on the key gives each
     file a contiguous Z-range, hence a bounded min/max envelope in both
     dimensions; readers then prune files on either column's statistics.
-    One shuffle — the same cost as any sorted write."""
-    z = zorder_key(F.col(a), F.col(b), bits)
+    One shuffle — the same cost as any sorted write (plus one tiny
+    min/max aggregate for the normalization below).
+
+    Values are NORMALIZED into [0, 2^bits) from each column's observed
+    min/max before interleaving (r12 review): feeding raw wide-range
+    keys to ``zorder_key`` clusters on the LOW bits only — rows 5, 261,
+    517 share a Z-key at bits=8 — so every file spans nearly the full
+    raw domain and pruning never skips anything, the operator's entire
+    purpose.  The scale division runs in float64: exactness is not a
+    contract here (any monotone bucketing clusters correctly), only
+    monotonicity is, and that holds for ranges within float64's 2^53
+    integer window."""
+    lo_a, hi_a, lo_b, hi_b = (
+        df.agg(
+            F.min(F.col(a).cast("long")),
+            F.max(F.col(a).cast("long")),
+            F.min(F.col(b).cast("long")),
+            F.max(F.col(b).cast("long")),
+        ).first()
+    )
+
+    def scaled(col: str, lo: int, hi: int):
+        rng = max((hi or 0) - (lo or 0), 0) + 1
+        return F.least(
+            F.lit(2**bits - 1),
+            F.floor(
+                (F.col(col).cast("long") - F.lit(lo or 0))
+                * F.lit(float(2**bits))
+                / F.lit(float(rng))
+            ),
+        )
+
+    z = zorder_key(scaled(a, lo_a, hi_a), scaled(b, lo_b, hi_b), bits)
     (
         df.withColumn("__z", z)
         .repartitionByRange(n_files, "__z")

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..functions import vectors as V
 
@@ -28,9 +29,15 @@ def gram_stats(vecs: DataFrame, vec_col: str = "embedding"):
     an array column, via per-partition numpy partials (module
     docstring).  The ``collect`` is bounded by the partition count —
     one (1 + d + d²)-double row each — not by |rows|."""
+    # NULL vectors are in-contract degenerate inputs (the cosine paths
+    # treat them as expected) — filter them here rather than letting a
+    # mixed batch crash np.asarray or an all-NULL batch smear NaN into
+    # the Gram fold (r12 review); the probe also must not give up just
+    # because the FIRST row happens to be NULL.
+    vecs = vecs.filter(F.col(vec_col).isNotNull())
     head = vecs.select(vec_col).first()
-    if head is None or head[0] is None:
-        raise ValueError("gram_stats needs at least one vector")
+    if head is None:
+        raise ValueError("gram_stats needs at least one non-null vector")
     d = len(head[0])
 
     def part(batches):

@@ -131,12 +131,12 @@ def ivf_assign(
             arrow_cosine_rounded(F.col("v"), F.col("cv")).alias("sim"),
         )
     )
-    # argmax as an aggregation (max_by over (sim, -centroid_id): best
+    # argmax as an aggregation (min_by over (-sim, centroid_id): best
     # sim, ties to the smallest centroid) — partial aggregation runs
     # map-side over the crossJoin output, so the n×C row set never
     # shuffles the way the old row_number window forced it to.
     return scored.groupBy(id_col).agg(
-        F.expr("max_by(centroid_id, struct(sim, -centroid_id))").alias("centroid_id")
+        F.expr("min_by(centroid_id, struct(-sim, centroid_id))").alias("centroid_id")
     )
 
 

@@ -23,7 +23,11 @@ def s01_salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over the hottest key in the fixture
     (a handful of event_type values carry the whole table)."""
     events = load_table(spark, sf_dir, "events")
-    out = salted_count(events, "event_type", {"total_value": F.col("value")})
+    # salt on event_id: unique, so exact-duplicate hot-key rows still
+    # spread (and the salt is retry-stable — see operators/skew.py)
+    out = salted_count(
+        events, "event_type", {"total_value": F.col("value")}, salt_cols=["event_id"]
+    )
     return out.select(
         "event_type", "count", F.round("total_value", 2).alias("total_value")
     )
@@ -44,7 +48,7 @@ def s02_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_user_events"))
     )
-    return salted_join(events, totals, "user_id")
+    return salted_join(events, totals, "user_id", salt_cols=["event_id"])
 
 
 S02_SQL = """

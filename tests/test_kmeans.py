@@ -133,7 +133,8 @@ def test_kmeans_plan_broadcasts_centroids_no_window(spark):
     plan = _plan(kmeans_assignments(emb, k=8, iters=1))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "Window" not in plan, plan
-    assert "partial_max_by" in plan or "partial_maxby" in plan.lower(), plan
+    # min_by since r12 (type-agnostic tie-break); still map-side partial
+    assert "partial_min_by" in plan or "partial_minby" in plan.lower(), plan
 
 
 def test_centroid_update_partial_aggregates_before_shuffle(spark):

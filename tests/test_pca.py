@@ -57,5 +57,28 @@ def test_projection_variance_is_lambda1(spark):
 
 def test_gram_stats_rejects_empty(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
-    with pytest.raises(ValueError, match="at least one vector"):
+    with pytest.raises(ValueError, match="at least one non-null vector"):
+        gram_stats(empty)
+
+
+def test_gram_stats_tolerates_null_vectors(spark):
+    """r12 review fix: a NULL embedding row crashed np.asarray (or an
+    all-NULL batch smeared NaN into the Gram fold), and a NULL FIRST
+    row failed the probe even with data behind it.  NULLs are filtered;
+    stats must equal the null-free computation."""
+    import numpy as np
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.pca import gram_stats
+
+    rows = [(None,), ([1.0, 2.0],), ([3.0, 4.0],), (None,), ([5.0, 6.0],)]
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    n, mean, cov = gram_stats(df)
+    assert n == 3
+    x = np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])
+    assert np.allclose(mean, x.mean(axis=0))
+    assert np.allclose(cov, (x.T @ x) / 3 - np.outer(x.mean(axis=0), x.mean(axis=0)))
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([(None,)], "embedding array<double>")
+    with _pytest.raises(ValueError, match="non-null"):
         gram_stats(empty)

@@ -845,3 +845,23 @@ def test_connected_components_raises_on_iteration_exhaustion(spark):
     # and a sane budget converges fine on the same graph
     got = connected_components(chain, driver_threshold=0)
     assert got.filter("component != 0").count() == 0
+
+
+def test_arrow_cosine_handles_ragged_and_mixed_width_batches(spark):
+    """r12 review fix: a single length-mismatched pair crashed the
+    whole Arrow batch; it must yield NULL exactly like the JVM twin
+    (zip_with null-pads, the fold goes NULL), and same-width pairs in
+    the same batch must still score."""
+    from advanced_technologies_of_china_graph_database_construction_spark.functions.vectors import (
+        arrow_cosine_rounded,
+    )
+
+    rows = [
+        ([1.0, 0.0], [1.0, 0.0]),          # 1.0
+        ([1.0, 0.0, 0.0], [1.0, 0.0]),     # ragged -> NULL
+        ([0.0, 2.0, 0.0], [0.0, 1.0, 0.0]),# width-3 pair -> 1.0
+        (None, [1.0, 0.0]),                # NULL -> NULL
+    ]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    got = [r["sim"] for r in df.select(arrow_cosine_rounded(F.col("a"), F.col("b")).alias("sim")).collect()]
+    assert got == [1.0, None, 1.0, None]

@@ -117,3 +117,27 @@ def test_zorder_write_clusters_files_in_both_dims(spark, tmp_path):
     )
     assert len(envelopes) >= 4
     assert all(r["a_spread"] <= 16 and r["b_spread"] <= 16 for r in envelopes)
+
+
+def test_zorder_write_normalizes_wide_ranges(spark, tmp_path):
+    """r12 review fix: raw wide-range keys fed to the bit interleave
+    cluster on LOW bits only (rows 5, 261, 517 share a Z-key at
+    bits=8), so no file is ever pruned.  With min/max normalization,
+    each file's envelope must cover a narrow slice of the raw domain."""
+    import glob
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.layout import zorder_write
+
+    # 32x32 grid scaled far beyond 2^8 in both dimensions
+    rows = [(i * 7919, j * 6151) for i in range(32) for j in range(32)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = str(tmp_path / "z")
+    zorder_write(df, "a", "b", out, n_files=16, bits=5)
+    spans = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        pf = spark.read.parquet(f)
+        mm = pf.agg({"a": "min"}).first()[0], pf.agg({"a": "max"}).first()[0]
+        spans.append(mm[1] - mm[0])
+    full = 31 * 7919
+    # every file must cover well under the full domain in dimension a
+    assert spans and all(s <= full * 0.6 for s in spans), spans
