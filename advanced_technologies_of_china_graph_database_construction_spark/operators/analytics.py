@@ -141,7 +141,14 @@ def pagerank(
     # reduction reads a precomputed has_out flag carried on the rank
     # vector instead of running an |V|⋈|V| anti-join per iteration.
     if weight:
-        edges = edges.filter(F.col(weight).isNotNull() & (F.col(weight) > 0))
+        edges = edges.filter(
+            F.col(weight).isNotNull()
+            & ~F.isnan(F.col(weight).cast("double"))
+            # NaN compares GREATER than every double in Spark SQL, so a
+            # literal NaN weight passes `> 0` and poisons every
+            # downstream rank/distance (r12 review)
+            & (F.col(weight) > 0)
+        )
     edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -161,6 +168,19 @@ def pagerank(
     ).select("node", F.coalesce("has_out", F.lit(False)).alias("has_out")
     ).localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    try:
+        ranks = _pagerank_loop(
+            nodes, edges, ranks, n, n_iter, damping, dangling
+        )
+    finally:
+        # a superstep failure must not leave |E| pinned in the block
+        # manager for the session's life (the multi_source_bfs guard,
+        # applied everywhere in r12)
+        edges.unpersist()
+    return ranks.select("node", F.round("rank", 6).alias("pagerank"))
+
+
+def _pagerank_loop(nodes, edges, ranks, n, n_iter, damping, dangling):
     for _ in range(n_iter):
         msgs = edges.join(ranks, edges.src == ranks.node).select(
             F.col("dst").alias("node"),
@@ -193,8 +213,7 @@ def pagerank(
                 (base + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))).alias("rank"),
             )
         ranks = ranks.localCheckpoint(eager=True)
-    edges.unpersist()  # final superstep is checkpointed; cache no longer needed
-    return ranks.select("node", F.round("rank", 6).alias("pagerank"))
+    return ranks
 
 
 def personalized_pagerank(
@@ -233,7 +252,14 @@ def personalized_pagerank(
         # a phantom NULL node carrying the whole teleport mass
         raise ValueError("personalized_pagerank seeds must be non-NULL")
     if weight:
-        edges = edges.filter(F.col(weight).isNotNull() & (F.col(weight) > 0))
+        edges = edges.filter(
+            F.col(weight).isNotNull()
+            & ~F.isnan(F.col(weight).cast("double"))
+            # NaN compares GREATER than every double in Spark SQL, so a
+            # literal NaN weight passes `> 0` and poisons every
+            # downstream rank/distance (r12 review)
+            & (F.col(weight) > 0)
+        )
     spark = edges.sparkSession
     node_type = edges.schema["src"].dataType
     sdf = spark.createDataFrame(
@@ -272,6 +298,14 @@ def personalized_pagerank(
         .localCheckpoint(eager=True)
     )
     ranks = nodes_r.select("node", "r", "has_out", F.col("r").alias("rank"))
+    try:
+        ranks = _ppr_loop(nodes_r, edges, ranks, n_iter, damping)
+    finally:
+        edges.unpersist()  # superstep-failure safe (r12: the msbfs guard)
+    return ranks.select("node", F.round("rank", 6).alias("ppr"))
+
+
+def _ppr_loop(nodes_r, edges, ranks, n_iter, damping):
     for _ in range(n_iter):
         msgs = edges.join(ranks, edges.src == ranks.node).select(
             F.col("dst").alias("node"),
@@ -296,8 +330,7 @@ def personalized_pagerank(
                 ).alias("rank"),
             )
         ).localCheckpoint(eager=True)
-    edges.unpersist()  # final superstep is checkpointed; cache no longer needed
-    return ranks.select("node", F.round("rank", 6).alias("ppr"))
+    return ranks
 
 
 def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
@@ -307,7 +340,9 @@ def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
 
     Deterministic contract: init label(v)=v; each round every node
     takes its neighbors' most frequent label, ties to the smallest —
-    ``max_by(label, (count, -label))``, the same superstep shape as
+    ``min_by(label, (-count, label))`` — type-agnostic for string node
+    ids, where negating the label broke determinism (r12 review, the
+    kmeans argmax rule) — the same superstep shape as
     ``pagerank`` (join = scatter, two-level groupBy = gather/apply),
     so one round is two shuffles and fixed ``n_iter`` keeps it
     SQL-oracle-able.  Isolated nodes keep their own label via the left
@@ -328,18 +363,25 @@ def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     labels = nodes.withColumn("label", F.col("node"))
+    try:
+        labels = _lpa_loop(nodes, edges, labels, n_iter)
+    finally:
+        edges.unpersist()  # superstep-failure safe (r12: the msbfs guard)
+    return labels
+
+
+def _lpa_loop(nodes, edges, labels, n_iter):
     for _ in range(n_iter):
         msgs = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "label"
         )
         counts = msgs.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
         winner = counts.groupBy("node").agg(
-            F.expr("max_by(label, struct(c, -label))").alias("label")
+            F.expr("min_by(label, struct(-c, label))").alias("label")
         )
         labels = nodes.join(winner, "node", "left").select(
             "node", F.coalesce(winner.label, F.col("node")).alias("label")
         ).localCheckpoint(eager=True)
-    edges.unpersist()  # final labels are checkpointed; cache no longer needed
     return labels
 
 
@@ -402,25 +444,28 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     e_dst = edges.repartition("dst").persist()
     e_src.count(), e_dst.count()  # materialize both caches pre-loop
     hub = nodes.withColumn("hub", F.lit(1.0))
-    for _ in range(n_iter):
-        a_raw = (
-            e_src.join(hub, e_src.src == hub.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("hub").alias("__a"))
-        )
-        auth = nodes.join(a_raw, "node", "left").select(
-            "node", F.coalesce("__a", F.lit(0.0)).alias("a")
-        ).localCheckpoint(eager=True)
-        h_raw = (
-            e_dst.join(auth, e_dst.dst == auth.node)
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("a").alias("__h"))
-        )
-        hub = nodes.join(h_raw, "node", "left").select(
-            "node", F.coalesce("__h", F.lit(0.0)).alias("hub")
-        ).localCheckpoint(eager=True)
-    e_src.unpersist()  # hub/auth are checkpointed; caches no longer needed
-    e_dst.unpersist()
+    try:
+        for _ in range(n_iter):
+            a_raw = (
+                e_src.join(hub, e_src.src == hub.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub").alias("__a"))
+            )
+            auth = nodes.join(a_raw, "node", "left").select(
+                "node", F.coalesce("__a", F.lit(0.0)).alias("a")
+            ).localCheckpoint(eager=True)
+            h_raw = (
+                e_dst.join(auth, e_dst.dst == auth.node)
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("a").alias("__h"))
+            )
+            hub = nodes.join(h_raw, "node", "left").select(
+                "node", F.coalesce("__h", F.lit(0.0)).alias("hub")
+            ).localCheckpoint(eager=True)
+    finally:
+        # superstep-failure safe (r12: the msbfs guard everywhere)
+        e_src.unpersist()
+        e_dst.unpersist()
     asum = auth.agg(F.sum("a").alias("__as"))
     hsum = hub.agg(F.sum("hub").alias("__hs"))
     return (
@@ -550,7 +595,14 @@ def bfs_distances(
     with positive weights.
     """
     if weight:
-        edges = edges.filter(F.col(weight).isNotNull() & (F.col(weight) > 0))
+        edges = edges.filter(
+            F.col(weight).isNotNull()
+            & ~F.isnan(F.col(weight).cast("double"))
+            # NaN compares GREATER than every double in Spark SQL, so a
+            # literal NaN weight passes `> 0` and poisons every
+            # downstream rank/distance (r12 review)
+            & (F.col(weight) > 0)
+        )
     # Scatter-key cache, not checkpoint — see _hoisted_edge_frame: the
     # relax step joins on edges.src every round; the cached layout keeps
     # the |E| side exchange-free so only the scatter side shuffles.
@@ -560,9 +612,17 @@ def bfs_distances(
     )
     edges.count()
     zero = F.lit(0.0) if weight else F.lit(0)
+    if source is None:
+        # the g33 incident shape (min(src) over an empty graph): a NULL
+        # source is always a caller bug and would silently yield empty
+        raise ValueError("bfs_distances source must be non-NULL")
+    src_row = edges.sparkSession.createDataFrame([(source,)], ["node"])
     dist = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
+        # an edge-less source still owns its (source, 0) row — the
+        # per-seed semantics multi_source_bfs documents as shared
+        .unionByName(src_row)
         .distinct()
         .select(
             "node",
@@ -583,35 +643,37 @@ def bfs_distances(
             .agg(F.min("cand").alias("cand"))
         )
 
-    if until_converged:
-        frontier = dist.filter(F.col("dist").isNotNull())
-        improved = (
-            F.when(F.col("cand").isNull(), F.lit(False))
-            .when(F.col("dist").isNull(), F.lit(True))
-            .otherwise(F.col("cand") < F.col("dist"))
-        )
-        while True:
-            stepped = (
-                dist.join(candidates(frontier), "node", "left")
-                .select(
-                    "node",
-                    F.least(F.col("dist"), F.col("cand")).alias("dist"),
-                    improved.alias("__improved"),
+    try:
+        if until_converged:
+            frontier = dist.filter(F.col("dist").isNotNull())
+            improved = (
+                F.when(F.col("cand").isNull(), F.lit(False))
+                .when(F.col("dist").isNull(), F.lit(True))
+                .otherwise(F.col("cand") < F.col("dist"))
+            )
+            while True:
+                stepped = (
+                    dist.join(candidates(frontier), "node", "left")
+                    .select(
+                        "node",
+                        F.least(F.col("dist"), F.col("cand")).alias("dist"),
+                        improved.alias("__improved"),
+                    )
+                    .localCheckpoint(eager=True)
                 )
-                .localCheckpoint(eager=True)
-            )
-            frontier = stepped.filter("__improved").select("node", "dist")
-            dist = stepped.select("node", "dist")
-            if frontier.count() == 0:  # exact fixpoint witness
-                break
-    else:
-        for _ in range(max_hops):
-            dist = (
-                dist.join(candidates(dist), "node", "left")
-                .select("node", F.least(F.col("dist"), F.col("cand")).alias("dist"))
-                .localCheckpoint(eager=True)
-            )
-    edges.unpersist()  # dist is checkpointed per relax; cache no longer needed
+                frontier = stepped.filter("__improved").select("node", "dist")
+                dist = stepped.select("node", "dist")
+                if frontier.count() == 0:  # exact fixpoint witness
+                    break
+        else:
+            for _ in range(max_hops):
+                dist = (
+                    dist.join(candidates(dist), "node", "left")
+                    .select("node", F.least(F.col("dist"), F.col("cand")).alias("dist"))
+                    .localCheckpoint(eager=True)
+                )
+    finally:
+        edges.unpersist()  # superstep-failure safe (r12: the msbfs guard)
     return dist.filter(F.col("dist").isNotNull())
 
 

@@ -96,6 +96,15 @@ def nb_predict(
 ) -> DataFrame:
     """(id, predicted): argmax-class per document under the model.
 
+    Stated exclusions (r12 review — contracts, not accidents): a
+    document whose text tokenizes to ZERO tokens produces no (id,
+    word) rows and therefore NO prediction row (the prior-only argmax
+    carries no token evidence; callers joining predictions back decide
+    the no-evidence policy, the DSIR rule).  Symmetrically, a TRAINING
+    class whose documents hold zero tokens never enters ``floors`` and
+    so never competes at predict time — an evidence-free class is not
+    a hypothesis; train it with at least one token to score it.
+
     Every document is scored against every class (the class list rides
     in via the tiny ``floors`` frame — one row per class, broadcast):
     per token occurrence, the observed log-prob or the class floor;

@@ -113,22 +113,40 @@ def find(g: GraphModel, pattern: str, attrs: bool = True) -> DataFrame:
     terms = _parse(pattern)
     families = _infer_families(terms)
 
-    out: DataFrame | None = None
-    for t in terms:
-        hop = g.edges_of(t.rel).select(
+    def hop_of(t) -> DataFrame:
+        e = g.edges_of(t.rel)
+        if t.src == t.dst:
+            # repeated variable = equality constraint (the GraphFrames
+            # rule): match self-loops instead of building a frame with
+            # two identical columns that breaks every later reference
+            # (r12 review)
+            return e.filter(F.col("src") == F.col("dst")).select(
+                F.col("src").alias(f"{t.src}_id")
+            )
+        return e.select(
             F.col("src").alias(f"{t.src}_id"), F.col("dst").alias(f"{t.dst}_id")
         )
-        if out is None:
-            out = hop
-            continue
-        shared = [c for c in hop.columns if c in out.columns]
-        # cartesian patterns are a user error at any scale — require overlap
-        if not shared:
+
+    # connectivity is a property of the WHOLE pattern, not of the
+    # caller's term order (r12 review): greedily pick any remaining term
+    # sharing a variable with what's joined so far; only if NO remaining
+    # term connects is the pattern truly cartesian.
+    remaining = list(terms)
+    out = hop_of(remaining.pop(0))
+    while remaining:
+        for i, t in enumerate(remaining):
+            hop = hop_of(t)
+            shared = [c for c in hop.columns if c in out.columns]
+            if shared:
+                out = out.join(hop, shared)
+                remaining.pop(i)
+                break
+        else:
+            t = remaining[0]
             raise ValueError(
                 f"motif term ({t.src})-[:{t.rel}]->({t.dst}) shares no "
-                "variable with the preceding terms (cartesian product)"
+                "variable with the rest of the pattern (cartesian product)"
             )
-        out = out.join(hop, shared)
 
     if attrs:
         for var, family in families.items():

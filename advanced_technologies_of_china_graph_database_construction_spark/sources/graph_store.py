@@ -14,9 +14,13 @@ Layout:
                                 of Neo4j's per-type relationship chains
 ```
 
-Scale notes (100 TB): edge files within a `rel_type=` partition are
-written pre-repartitioned on `src`, so downstream doc↔edge joins start
-from a co-partitioned layout; node dims stay broadcast-size per label.
+Scale notes (100 TB): rel-type filters prune edge partitions at read
+time (the load-bearing layout property, `.explain`-verified in tests);
+edge files are clustered by `src` WITHIN a partition, which helps
+row-group locality but is NOT a join co-partitioning — plain parquet
+carries no bucketing metadata, so joins re-shuffle the edge side
+(co-location at rest is the s09 `bucketBy` table face).  Node dims
+stay broadcast-size per label.
 Writes are idempotent overwrites (the reference's MERGE-for-idempotency
 and error-log retry loop, S8/S9, are subsumed by deterministic output +
 task retries).
@@ -32,14 +36,23 @@ from ..operators.graph import GraphModel
 _NODE_FAMILIES = ("docs", "authors", "keywords", "orgs", "addresses", "topics")
 
 
-def write_graph(g: GraphModel, root: str, edge_files_per_type: int = 4) -> None:
+def write_graph(g: GraphModel, root: str, edge_partitions: int = 24) -> None:
     """Persist the graph model: node datasets (docs partitioned by label)
-    plus one edges dataset partitioned by ``rel_type``."""
+    plus one edges dataset partitioned by ``rel_type``.
+
+    ``edge_partitions`` is TOTAL writer parallelism across all rel
+    types (r12 review: the old name ``edge_files_per_type`` claimed a
+    per-type count the repartition never delivered — a hash over
+    (rel_type, src) into N partitions is N tasks total).  The read
+    layout contract is partition PRUNING on rel_type only; a plain
+    parquet round-trip carries no bucketing metadata, so downstream
+    joins re-shuffle the edge side regardless — co-location at rest
+    needs the s09 ``bucketBy`` table face, not this store."""
     g.docs.write.mode("overwrite").partitionBy("label").parquet(f"{root}/nodes/docs")
     for fam in _NODE_FAMILIES[1:]:
         getattr(g, fam).write.mode("overwrite").parquet(f"{root}/nodes/{fam}")
     (
-        g.edges.repartition(edge_files_per_type, "rel_type", "src")
+        g.edges.repartition(edge_partitions, "rel_type", "src")
         .write.mode("overwrite")
         .partitionBy("rel_type")
         .parquet(f"{root}/edges")

@@ -39,10 +39,13 @@ def save_records_json(df: DataFrame, path: str) -> None:
 
 def load_records_json(spark: SparkSession, path: str) -> DataFrame:
     """Reload with the persisted schema — no inference pass over the
-    data (one less full scan, deterministic types)."""
+    data (one less full scan, deterministic types).  FAILFAST: a file
+    whose contents no longer match the sidecar schema raises instead of
+    PERMISSIVE-nulling the drifted column — the loud failure the module
+    contract promises (r12 review)."""
     with open(os.path.join(path, _SCHEMA_FILE)) as fh:
         schema = T.StructType.fromJson(json.load(fh))
-    return spark.read.schema(schema).json(path)
+    return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 
 
 def save_mapping_json(mapping: DataFrame, path: str,

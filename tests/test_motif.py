@@ -68,3 +68,31 @@ def test_bad_patterns_raise(spark):
         motif.find(g, "(a)-[:AUTHORED]->(d); (x)-[:AUTHORED]->(y)")
     with pytest.raises(ValueError, match="bound to both"):
         motif.find(g, "(a)-[:AUTHORED]->(d); (d)-[:AUTHORED]->(k)")
+
+
+def test_motif_self_loop_and_order_independent_connectivity(spark):
+    """r12 review fixes: a repeated variable matches self-loops (the
+    GraphFrames equality rule) instead of crashing on duplicate
+    columns, and a connected pattern is accepted in ANY term order."""
+    import pytest as _pytest
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.motif import find
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.graph import build_graph
+
+    from .conftest import SF_CORRECT
+
+    g = build_graph(spark, SF_CORRECT)
+    # self-typed relationship: (k)-[:ALIAS_OF]->(k) = self-loop aliases
+    df = find(g, "(k)-[:ALIAS_OF]->(k)", attrs=False)
+    assert df.columns == ["k_id"]
+    df.count()  # executes without ambiguous-reference errors
+    # connected pattern whose SECOND term shares nothing with the first
+    out_of_order = find(
+        g,
+        "(a)-[:AUTHORED]->(d); (d2)-[:HAS_KEYWORD]->(k); (a)-[:AUTHORED]->(d2)",
+        attrs=False,
+    )
+    assert set(out_of_order.columns) >= {"a_id", "d_id", "d2_id", "k_id"}
+    # truly disconnected still raises
+    with _pytest.raises(ValueError, match="cartesian"):
+        find(g, "(a)-[:AUTHORED]->(d); (x)-[:HAS_KEYWORD]->(y)", attrs=False)
