@@ -237,10 +237,19 @@ def lsh_similarity_pairs(
         probe = emb.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
         if probe is None:
             # empty (or all-NULL-vector) input: no pairs, same typed
-            # frame the exact path returns — not a TypeError at plan
-            # build
+            # frame the non-empty path returns — src/dst keep the ACTUAL
+            # id column type (string ids previously got `long` here and
+            # a different schema than the non-empty path; r12 ADVICE)
+            id_type = emb.schema[id_col].dataType
             return spark.createDataFrame(
-                [], f"src long, dst long, sim double"
+                [],
+                T.StructType(
+                    [
+                        T.StructField("src", id_type),
+                        T.StructField("dst", id_type),
+                        T.StructField("sim", T.DoubleType()),
+                    ]
+                ),
             )
         dim = len(probe[0])
     planes = _hyperplanes(dim, n_planes, seed)

@@ -58,11 +58,15 @@ def assign_to_centroids(
             cosine_rounded(F.col("v"), F.col("cv")).alias("sim"),
         )
     )
-    return scored.groupBy(id_col).agg(
+    return scored.filter(F.col("sim").isNotNull()).groupBy(id_col).agg(
         # min over (-sim, id): best sim, ties to the SMALLEST id — and
         # type-agnostic, where negating the id (the old max_by form)
         # broke on non-numeric id spaces seed_centroids advertises
-        # (ANSI cast error, or NULL-struct nondeterminism; r12 review)
+        # (ANSI cast error, or NULL-struct nondeterminism; r12 review).
+        # NULL sims (degenerate centroid — cosine NULL in-contract) are
+        # filtered, not ranked: NULL sorts first in the struct, so one
+        # degenerate centroid would otherwise win every argmax AND
+        # desynchronize from the max("sim") beside it (r12 ADVICE).
         F.expr("min_by(centroid_id, struct(-sim, centroid_id))").alias("centroid_id"),
         F.max("sim").alias("sim"),
     )

@@ -160,7 +160,13 @@ def apply_mixture(
     Spark, error in DuckDB) for ids above ~3.47e9, breaking the
     cross-engine bit-identical contract exactly at web-scale id
     ranges.  The two forms agree wherever both are defined:
-    (id mod m)·K ≡ id·K (mod m)."""
+    (id mod m)·K ≡ id·K (mod m).
+
+    NEGATIVE ids are in-contract since r13: Spark ``pmod`` is
+    non-negative for all ids, and the registered oracles mirror it as
+    ``(id % m + m) % m`` — plain SQL ``%`` (negative for negative
+    operands) would silently diverge; keep the pmod form in any new
+    oracle (pinned by ``test_selection_negative_id_parity``)."""
     residue = F.pmod(
         F.pmod(F.col(id_col), F.lit(mod)) * F.lit(KNUTH), F.lit(mod)
     )
@@ -278,7 +284,10 @@ def weighted_sample(
     visible in the output, a silent drop is not); POSITIVE fractional
     weights pass through untouched — clamping them (the r12 review
     find: ``greatest(w, 1)``) would erase every weight in (0, 1) and
-    silently degrade e.g. DSIR-scaled draws to uniform.
+    silently degrade e.g. DSIR-scaled draws to uniform.  Negative ids
+    are in-contract: ``pmod`` is non-negative for all ids and the
+    oracle mirrors it as ``(id % m + m) % m`` (see
+    :func:`apply_mixture`).
     """
     if n <= 0:
         raise ValueError("weighted_sample needs n >= 1")
@@ -290,7 +299,11 @@ def weighted_sample(
     arrival = F.round(-F.log(u) / w, 9)
     return (
         df.select(F.col(id_col), arrival.alias("arrival"))
-        .orderBy(F.asc("arrival"), F.asc(id_col))
+        # asc_nulls_last: Spark asc is NULLS FIRST, so a NULL id (NULL u
+        # → NULL arrival) would unconditionally enter EVERY sample and
+        # diverge from the oracle, whose ORDER BY defaults NULLS LAST
+        # (r12 ADVICE) — NULL-id rows now lose to every real arrival
+        .orderBy(F.asc_nulls_last("arrival"), F.asc_nulls_last(id_col))
         .limit(n)
     )
 
@@ -331,7 +344,8 @@ def weighted_sample_per_group(
     explicitly.  Callers who consider an unplanned group an ERROR
     (e.g. a stale plan racing new sources) should validate coverage
     upstream — this operator's job is to realize the plan it is
-    given."""
+    given.  Negative ids: same pmod contract as
+    :func:`weighted_sample`."""
     u = (
         F.pmod(F.pmod(F.col(id_col), F.lit(mod)) * F.lit(KNUTH), F.lit(mod))
         + F.lit(1)
@@ -342,7 +356,11 @@ def weighted_sample_per_group(
         arrival = F.round(-F.log(u) / _effective_weight(weight_col), 9)
     from pyspark.sql.window import Window
 
-    rank_w = Window.partitionBy(group_col).orderBy(F.asc("arrival"), F.asc(id_col))
+    # NULLS LAST for the same reason as weighted_sample's orderBy: a
+    # NULL-id arrival must never outrank a real one (oracle parity)
+    rank_w = Window.partitionBy(group_col).orderBy(
+        F.asc_nulls_last("arrival"), F.asc_nulls_last(id_col)
+    )
     return (
         df.select(group_col, F.col(id_col), arrival.alias("arrival"))
         .withColumn("rk", F.row_number().over(rank_w))

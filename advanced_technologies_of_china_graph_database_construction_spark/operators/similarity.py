@@ -135,7 +135,11 @@ def ivf_assign(
     # sim, ties to the smallest centroid) — partial aggregation runs
     # map-side over the crossJoin output, so the n×C row set never
     # shuffles the way the old row_number window forced it to.
-    return scored.groupBy(id_col).agg(
+    # NULL sims (degenerate centroid: zero-norm/NULL/ragged vector —
+    # cosine returns NULL in-contract) are FILTERED, not ranked: a NULL
+    # first struct field sorts FIRST ascending, so an unfiltered NULL-sim
+    # centroid would win the argmax for every vector (r12 ADVICE).
+    return scored.filter(F.col("sim").isNotNull()).groupBy(id_col).agg(
         F.expr("min_by(centroid_id, struct(-sim, centroid_id))").alias("centroid_id")
     )
 

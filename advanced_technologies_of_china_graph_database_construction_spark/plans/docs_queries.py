@@ -3032,15 +3032,24 @@ w AS (SELECT source, n_docs,
       FROM counts),
 tot AS (SELECT sum(n_docs) AS tot_docs, sum(w_isqrt) AS tot_w FROM w),
 plan AS (
+  -- CAST: sum() yields HUGEINT and // propagates it, so without the
+  -- casts target_docs/rate_ppm ship as HUGEINT → pandas float64 while
+  -- Spark ships BIGINT → int64, and the driver's value hash serializes
+  -- the two differently even though every value is equal (the r12
+  -- gate's only-ever red row; values verified identical cell-for-cell)
   SELECT source, n_docs, w_isqrt,
-         least(n_docs, ((tot_docs // {MIX_BUDGET_DEN}) * w_isqrt) // tot_w)
-           AS target_docs
+         CAST(least(n_docs, ((tot_docs // {MIX_BUDGET_DEN}) * w_isqrt) // tot_w)
+              AS BIGINT) AS target_docs
   FROM w CROSS JOIN tot),
-rated AS (SELECT *, (target_docs * {MIX_MOD}) // n_docs AS rate_ppm FROM plan),
+rated AS (SELECT *, CAST((target_docs * {MIX_MOD}) // n_docs AS BIGINT) AS rate_ppm
+          FROM plan),
 kept AS (
   SELECT d.source, count(*) AS realized_docs
   FROM documents d JOIN rated p USING (source)
-  WHERE ((d.doc_id % {MIX_MOD}) * 2654435761) % {MIX_MOD} < p.rate_ppm
+  -- (x % m + m) % m = Spark pmod for ALL ids, negative included — plain
+  -- % is negative for negative ids and would diverge from the operator
+  WHERE (((d.doc_id % {MIX_MOD} + {MIX_MOD}) % {MIX_MOD}) * 2654435761) % {MIX_MOD}
+        < p.rate_ppm
   GROUP BY d.source)
 SELECT p.source, p.n_docs, p.w_isqrt, p.target_docs, p.rate_ppm,
        coalesce(k.realized_docs, 0) AS realized_docs
@@ -3071,7 +3080,9 @@ def d47_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D47_SQL = f"""
 SELECT doc_id,
-       round(-ln((((doc_id % 2147483647) * 2654435761) % 2147483647 + 1)
+       -- (x % m + m) % m = Spark pmod for all ids (see D46_SQL note)
+       round(-ln((((doc_id % 2147483647 + 2147483647) % 2147483647)
+                  * 2654435761 % 2147483647 + 1)
                  / 2147483648.0)
              / greatest(n_chars::DOUBLE, 1.0), 9) AS arrival
 FROM documents
@@ -3114,7 +3125,9 @@ plan AS (
   FROM w CROSS JOIN tot),
 race AS (
   SELECT source, doc_id,
-         round(-ln((((doc_id % 2147483647) * 2654435761) % 2147483647 + 1)
+         -- (x % m + m) % m = Spark pmod for all ids (see D46_SQL note)
+         round(-ln((((doc_id % 2147483647 + 2147483647) % 2147483647)
+                    * 2654435761 % 2147483647 + 1)
                    / 2147483648.0), 9) AS arrival
   FROM documents),
 ranked AS (

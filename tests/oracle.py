@@ -1,6 +1,14 @@
 """Local replica of the driver's correctness gate: run the Spark query
 and the DuckDB oracle SQL on the same parquet tables, compare row count,
 schema (column names), and an order-insensitive value comparison.
+
+TYPE-FAITHFUL since r13: the driver's value hash serializes the pandas
+representation, so an oracle that ships HUGEINT (DuckDB ``sum()`` →
+float64 via ``.df()``) against a Spark BIGINT (int64) hash-mismatches at
+the driver even when every value compares equal — exactly how d46 passed
+three local replicas and then failed the r12 gate (``6.0 == 6`` is True
+in Python).  ``_norm_cell`` therefore tags every numeric with its TYPE
+KIND (int vs float) so a representation drift fails HERE first.
 """
 
 from __future__ import annotations
@@ -8,6 +16,7 @@ from __future__ import annotations
 import math
 
 import duckdb
+import numpy as np
 
 from advanced_technologies_of_china_graph_database_construction_spark.catalog import TABLES
 
@@ -22,12 +31,18 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _norm_cell(v):
     if v is None:
         return None
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 6)
+            return ("f", "NaN")
+        return ("f", round(float(v), 6))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
     if hasattr(v, "isoformat"):
         return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_norm_cell(x) for x in v)
     return v
 
 

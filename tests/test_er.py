@@ -460,3 +460,19 @@ def test_symdelete_delta_pairs_tolerates_id_overlap(spark):
     # alphb pairs with alpha exactly once (the cross and delta-internal
     # candidate collapse in the post-union distinct); no (1,1,0) self-pair
     assert got == [(1, 3, 1)]
+
+
+def test_lsh_empty_input_keeps_id_type(spark):
+    """r12 ADVICE: the empty/all-NULL early return hardcoded
+    `src long, dst long`, so string-id inputs got a DIFFERENT schema on
+    the empty path than the non-empty path."""
+    from pyspark.sql import types as T
+
+    empty = spark.createDataFrame(
+        [], "vec_id string, embedding array<double>"
+    )
+    out = lsh_similarity_pairs(empty, 0.9)
+    assert out.count() == 0
+    assert out.schema["src"].dataType == T.StringType()
+    assert out.schema["dst"].dataType == T.StringType()
+    assert out.schema["sim"].dataType == T.DoubleType()

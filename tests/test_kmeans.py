@@ -146,3 +146,43 @@ def test_centroid_update_partial_aggregates_before_shuffle(spark):
     emb = load_table(spark, SF_CORRECT, "embeddings")
     plan = _plan(kmeans_centroids(emb, k=8, iters=1))
     assert "partial_avg" in plan, plan
+
+
+def test_degenerate_centroid_filtered_not_ranked(spark):
+    """r12 ADVICE: a zero-norm centroid scores NULL cosine, and a NULL
+    first struct field sorts FIRST ascending — so an unfiltered min_by
+    argmax let one degenerate centroid win EVERY assignment (and the
+    max('sim') beside it reported a sim that didn't match the pick).
+    Degenerate scores are filtered before the argmax."""
+    from pyspark.sql import functions as F
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.kmeans import (
+        assign_to_centroids,
+    )
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (99, [0.0, 0.0])],
+        "centroid_id long, cv array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["centroid_id"], r["sim"])
+        for r in assign_to_centroids(emb, cent).collect()
+    }
+    assert got == {1: (0, 1.0), 2: (1, 1.0)}
+
+    ivf = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(emb, centroids=cent).collect()}
+    assert ivf == {1: 0, 2: 1}
+
+    # an all-degenerate VECTOR (NULL sim vs every centroid) yields no
+    # row — filtered, not ranked, same convention
+    emb2 = emb.union(
+        spark.createDataFrame([(3, [0.0, 0.0])], "vec_id long, embedding array<double>")
+    )
+    assert 3 not in {r["vec_id"] for r in assign_to_centroids(emb2, cent).collect()}
+    assert 3 not in {r["vec_id"] for r in ivf_assign(emb2, centroids=cent).collect()}

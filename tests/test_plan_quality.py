@@ -240,7 +240,10 @@ def test_ivf_assign_partial_aggregates_mapside(spark):
 
     emb = load_table(spark, SF_CORRECT, "embeddings")
     plan = _plan(ivf_assign(emb))
-    assert "partial_max_by" in plan or "partial_maxby" in plan.lower(), plan
+    # e139e78 switched the argmax to min_by(centroid_id, struct(-sim, id))
+    # — the pinned PROPERTY (map-side partial aggregation, no Window)
+    # is unchanged, only the aggregate's name moved
+    assert "partial_min_by" in plan or "partial_minby" in plan.lower(), plan
     assert "Window" not in plan, plan
 
 

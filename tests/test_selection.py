@@ -422,3 +422,77 @@ def test_weighted_sample_preserves_fractional_weights(spark):
     expect = [i for _, i in sorted((arr(i, w), i) for i, w in rows)[:30]]
     assert sel_small == sorted(sel_small, key=lambda d: (arr(d, dict(rows)[d]), d))
     assert set(sel_small) == set(expect)
+
+
+def test_weighted_sample_null_id_never_outranks_real_rows(spark):
+    """r12 ADVICE: Spark asc is NULLS FIRST, so a NULL id (NULL u ->
+    NULL arrival) used to enter EVERY sample unconditionally and diverge
+    from the oracle's NULLS-LAST default.  NULL-id rows must now lose to
+    every real arrival, in both the global and the per-group face."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.selection import (
+        weighted_sample,
+        weighted_sample_per_group,
+    )
+
+    rows = [(i, 1) for i in range(50)] + [(None, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_sample(df, n=10, weight_col="w").collect()
+    assert len(got) == 10 and all(r["doc_id"] is not None for r in got)
+
+    grows = [(i, "s") for i in range(50)] + [(None, "s")]
+    gdf = spark.createDataFrame(grows, "doc_id long, source string")
+    targets = spark.createDataFrame([("s", 5)], "source string, target_docs long")
+    gg = weighted_sample_per_group(gdf, targets, group_col="source").collect()
+    assert len(gg) == 5 and all(r["doc_id"] is not None for r in gg)
+
+
+def test_selection_negative_id_parity(spark):
+    """Negative ids are in-contract (r13): Spark pmod and the oracles'
+    ``(id % m + m) % m`` form agree for ALL ids — plain SQL ``%`` is
+    negative for negative operands and would silently diverge.  Replays
+    the registered D47 arithmetic in DuckDB over a negative-id corpus
+    and checks apply_mixture's residue against the pmod ground truth."""
+    import duckdb
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.selection import (
+        apply_mixture,
+        temperature_mixture_plan,
+        weighted_sample,
+    )
+
+    rows = [(i, abs(i) % 50 + 1) for i in range(-200, 200, 3)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [
+        (r["doc_id"], r["arrival"])
+        for r in weighted_sample(df, n=30, weight_col="w").collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, w BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    exp = con.execute(
+        """
+        SELECT doc_id,
+               round(-ln((((doc_id % 2147483647 + 2147483647) % 2147483647)
+                          * 2654435761 % 2147483647 + 1) / 2147483648.0)
+                     / greatest(w::DOUBLE, 1.0), 9) AS arrival
+        FROM t ORDER BY arrival, doc_id LIMIT 30
+        """
+    ).fetchall()
+    assert got == [(d, a) for d, a in exp]
+    assert any(d < 0 for d, _ in got)  # negative ids actually exercised
+
+    # apply_mixture's keep residue vs the pmod ground truth
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(-300, 300)],
+        "doc_id long, source string",
+    )
+    plan = temperature_mixture_plan(docs, budget_den=2)
+    rates = {r["source"]: r["rate_ppm"] for r in plan.collect()}
+    kept = sorted(r["doc_id"] for r in apply_mixture(docs, plan).collect())
+    m = 1_000_000
+    expect = sorted(
+        i
+        for i in range(-300, 300)
+        if (((i % m) + m) % m) * KNUTH % m < rates["a" if i % 2 else "b"]
+    )
+    assert kept == expect and any(i < 0 for i in kept)
