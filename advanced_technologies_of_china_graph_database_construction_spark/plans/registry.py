@@ -26,25 +26,22 @@ from .spec import QuerySpec
 # bigger unknown) but BEFORE all green ones — see effective_round().
 PLAN_CHANGED_REGATE: set[str] = set()
 
-# r12 gate-budget note (honest math): the front of the gate order is 7
-# never-gated specs (a11 + d46, registered just after the r11 record;
-# d47 + d48 + a12 + e28 + g40, new this round) + 4 plan-drift pins
-# (d44's pre-collect row_number cap; x01/x02's IEEE-double coordinate
-# cast; g39's orphaned-node universe fix) + the 3 r7 carries
-# g10/g11/g12 (leading their cohort exactly as the r11 verdict
-# required) = 14, leaving 36 slots for the 49-spec r8-stale cohort.
-# The LAST THIRTEEN r8 specs in gate order roll to r13:
-# g30_copub_components, g25_related_keywords_ppr, g26_doc_keyword_hits,
-# g27_reach_distances, s07_orc_partitioned_roundtrip,
-# g13_cooccurring_keywords, g14_copublishing_orgs, g15_org_topics,
-# g16_related_authors_via_keywords, g17_alias_expanded_docs,
-# g18_fulltext_and, g19_fulltext_or, g20_motif_author_keyword_reach —
-# twelve graph-family faces over the same edge tables as the g01-g09
-# specs re-gated in r11 plus the ORC roundtrip, and every one of the
-# thirteen was re-proved against its oracle at sf0.1 by this round's
-# full-registry replica (`COVERAGE.md` §Round-12 records), so the
-# carry is driver-record-stale, not evidence-stale.  [r11 note,
-# resolved: the three r7 carries re-gate at the very front this round.]
+# r13 gate-budget note (honest math; the r12 note predicted 13 specs
+# would roll but 28 review-pass drift pins preempted the r8 cohort —
+# this round deliberately registers NO new specs and keeps plan churn
+# to the three ADVICE fixes so the budget lands on the stale records).
+# Front of the r13 gate order: d46 (its r12 row failed hash on the
+# oracle's HUGEINT representation — cast fixed this round — so it
+# sorts as never-green) + this round's drift pins (the NULL-sim argmax
+# filter in ivf_assign/assign_to_centroids routes through the a02/a03/
+# a04/a07/a12/d19 family; the NULLS-LAST orderBy through d47/d48 —
+# the exact set is whatever scripts/plan_fingerprints.py records at
+# round end, expected ≤9).  That leaves ~40 of the 50 slots for the
+# 27-spec r8-stale cohort (e11–e16, g13–g20, g25–g30, g35/g36, m04,
+# n07–n09, s07 — all re-proved by the r12 sf0.1 AND sf0.01 full-registry
+# replicas, so record-stale, not evidence-stale), which re-gates IN
+# FULL, and the remainder rolls into the r9 cohort.  Done-bar from the
+# r12 verdict: nothing staler than r9 in CORRECTNESS_r13's union.
 
 
 def effective_round(

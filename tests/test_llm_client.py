@@ -376,3 +376,29 @@ def test_http_transport_against_loopback_server():
         assert len(received) == 4
     finally:
         server.shutdown()
+
+
+def test_http_transport_connection_refused_is_retryable():
+    """Connection-level failures (server down, DNS, reset) map to
+    RetryableTransportError — the degradation contract the adapters
+    build on (r11/r12 verdict carry: the live-adapter seam must
+    degrade, not crash, on a dead endpoint)."""
+    import socket
+
+    from advanced_technologies_of_china_graph_database_construction_spark.nl.llm_client import (
+        RetryableTransportError,
+        http_transport,
+    )
+
+    # grab a port and close it so nothing listens there
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    transport = http_transport(f"http://127.0.0.1:{port}/v1")
+    with pytest.raises(RetryableTransportError):
+        transport({"model": "m", "messages": [], "timeout": 0.5})
+    # and the full adapter stack degrades instead of propagating
+    client = LLMClient(transport, model="m", max_retries=2, sleep=lambda s: None)
+    plan = llm_compiler(client)('Find "x" docs', "CAT")
+    assert plan.template == FALLBACK_TEMPLATE
