@@ -32,11 +32,10 @@ PLAN_CHANGED_REGATE: set[str] = set()
 # to the three ADVICE fixes so the budget lands on the stale records).
 # Front of the r13 gate order: d46 (its r12 row failed hash on the
 # oracle's HUGEINT representation — cast fixed this round — so it
-# sorts as never-green) + this round's drift pins (the NULL-sim argmax
-# filter in ivf_assign/assign_to_centroids routes through the a02/a03/
-# a04/a07/a12/d19 family; the NULLS-LAST orderBy through d47/d48 —
-# the exact set is whatever scripts/plan_fingerprints.py records at
-# round end, expected ≤9).  That leaves ~40 of the 50 slots for the
+# sorts as never-green) + this round's SIX drift pins (recorded by
+# scripts/plan_fingerprints.py on the final tree: a02/a03/a04/d19 from
+# the NULL-sim argmax filter in ivf_assign/assign_to_centroids, d47/d48
+# from the NULLS-LAST orderBy).  That leaves 43 of the 50 slots for the
 # 27-spec r8-stale cohort (e11–e16, g13–g20, g25–g30, g35/g36, m04,
 # n07–n09, s07 — all re-proved by the r12 sf0.1 AND sf0.01 full-registry
 # replicas, so record-stale, not evidence-stale), which re-gates IN
