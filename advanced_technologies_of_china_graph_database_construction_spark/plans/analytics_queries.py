@@ -332,6 +332,12 @@ def g27_reach_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = symmetric_edges(_copub_pairs(spark, sf_dir))
     source = edges.agg(F.min("src")).first()[0]
+    if source is None:
+        # the g33 empty-graph guard (found by the r13 sf0.1 replica —
+        # the copub graph is EMPTY there): no orgs → zero rows, exactly
+        # what the oracle's empty node set yields; the operator itself
+        # rejects NULL sources outright
+        return spark.createDataFrame([], "org_id long, dist int")
     return bfs_distances(edges, source, MAX_HOPS).select(
         F.col("node").alias("org_id"), "dist"
     )
@@ -526,6 +532,10 @@ def g34_weighted_reach_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _sym_weighted_copub_edges(spark, sf_dir)
     source = edges.agg(F.min("src")).first()[0]
+    if source is None:
+        # g33's empty-graph guard (r13 sf0.1 replica find): empty copub
+        # graph → zero rows, matching the oracle's empty node set
+        return spark.createDataFrame([], "org_id long, dist double")
     d = bfs_distances(edges, source, MAX_HOPS, weight="w")
     return d.select(F.col("node").alias("org_id"), F.round("dist", 6).alias("dist"))
 

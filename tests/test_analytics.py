@@ -908,3 +908,28 @@ def test_ktruss_matches_reference_on_random_graphs(spark):
         df = spark.createDataFrame(pairs, "src long, dst long")
         got = {(r["src"], r["dst"]): r["support"] for r in k_truss(df, k, 2).collect()}
         assert got == _ktruss_reference(pairs, k, 2), f"seed={seed} k={k}"
+
+
+def test_g27_g34_empty_graph_yield_typed_zero_rows(spark, monkeypatch):
+    """The r13 sf0.1 replica find — the same incident class as g33 one
+    round later: the thresholded co-publication graph is EMPTY at
+    sf0.1, min(src) is NULL, and the r12 NULL-source guard in
+    bfs_distances turned both reach specs into a ValueError where the
+    oracle's empty node set yields zero rows.  Both specs now return a
+    typed empty frame on an empty graph (exercised for real by
+    monkeypatching the edge builders empty)."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans import (
+        analytics_queries as aq,
+    )
+
+    empty_pairs = spark.createDataFrame([], "src long, dst long")
+    empty_weighted = spark.createDataFrame([], "src long, dst long, w long")
+    monkeypatch.setattr(aq, "_copub_pairs", lambda s, d: empty_pairs)
+    monkeypatch.setattr(aq, "_sym_weighted_copub_edges", lambda s, d: empty_weighted)
+
+    g27 = aq.g27_reach_distances(spark, SF_CORRECT)
+    assert g27.schema.simpleString() == "struct<org_id:bigint,dist:int>"
+    assert g27.count() == 0
+    g34 = aq.g34_weighted_reach_distances(spark, SF_CORRECT)
+    assert g34.schema.simpleString() == "struct<org_id:bigint,dist:double>"
+    assert g34.count() == 0
