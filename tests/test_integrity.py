@@ -103,3 +103,60 @@ def test_xor_and_sum_folds_agree_on_null_bearing_groups(spark):
         ).fetchall()
     }
     assert got == want
+
+
+# ------------------- replica gate fidelity (tests/oracle.py) --------------
+
+
+def test_replica_norm_cell_is_type_faithful():
+    """r12's d46 incident, pinned at the replica layer: the driver's
+    value hash serializes the pandas representation, so an oracle
+    shipping HUGEINT/DECIMAL (float64 via .df()) against Spark's BIGINT
+    (int64) fails the driver even when every value compares equal in
+    Python (6.0 == 6).  _norm_cell must therefore tag numerics with
+    their type KIND — int and int-valued float must normalize
+    DIFFERENTLY — while staying stable for dates, NaN, strings, arrays
+    and None."""
+    import datetime
+    import math
+
+    import numpy as np
+
+    from tests.oracle import _norm_cell
+
+    # the d46 class: int-valued float != int
+    assert _norm_cell(6.0) != _norm_cell(6)
+    assert _norm_cell(np.float64(6.0)) == _norm_cell(6.0)
+    assert _norm_cell(np.int64(6)) == _norm_cell(6)
+    # bool is not int (python bool subclasses int — order matters)
+    assert _norm_cell(True) != _norm_cell(1)
+    # floats still rounded at 6 places; NaN normalized and equal to NaN
+    assert _norm_cell(0.1234569) == _norm_cell(0.1234571)
+    assert _norm_cell(float("nan")) == _norm_cell(np.float64("nan"))
+    assert _norm_cell(float("nan")) != _norm_cell(0.0)
+    # None, dates, strings, nested arrays
+    assert _norm_cell(None) is None
+    d = datetime.date(2026, 8, 16)
+    assert _norm_cell(d) == d.isoformat()
+    assert _norm_cell("x") == "x"
+    assert _norm_cell([1, 2.0]) == _norm_cell(np.array([1, 2.0], dtype=object))
+    assert _norm_cell([1]) != _norm_cell([1.0])
+
+
+def test_replica_compare_catches_kind_mismatch(spark):
+    """End-to-end: a Spark BIGINT column vs a DuckDB HUGEINT oracle
+    (sum() over BIGINT) must FAIL the replica compare even though every
+    value is equal — exactly what the r12 driver gate saw on d46."""
+    import duckdb
+    import pytest
+
+    from tests.oracle import compare
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x BIGINT)")
+    con.execute("INSERT INTO t VALUES (2), (4)")
+    sdf = spark.createDataFrame([(6,)], "s bigint")
+    with pytest.raises(AssertionError, match="value mismatch"):
+        compare(sdf, con, "SELECT sum(x) AS s FROM t")  # HUGEINT -> float64
+    # and the cast form passes
+    compare(sdf, con, "SELECT CAST(sum(x) AS BIGINT) AS s FROM t")
