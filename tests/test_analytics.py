@@ -933,3 +933,75 @@ def test_g27_g34_empty_graph_yield_typed_zero_rows(spark, monkeypatch):
     g34 = aq.g34_weighted_reach_distances(spark, SF_CORRECT)
     assert g34.schema.simpleString() == "struct<org_id:bigint,dist:double>"
     assert g34.count() == 0
+
+
+def test_triangle_count_matches_bruteforce_on_random_graphs(spark):
+    """r13 hardening (the k-core/SCC random-graph discipline applied to
+    the one analytics face that had only positivity/bound pins): exact
+    triangle counts vs itertools brute force on random pair sets —
+    sparse, dense, and with a few isolated nodes."""
+    import itertools
+    import random as _random
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import (
+        triangle_count,
+    )
+
+    for seed, n, m in ((0, 12, 30), (1, 9, 16), (2, 15, 60), (3, 20, 25)):
+        rnd = _random.Random(seed)
+        pairs: set = set()
+        while len(pairs) < m:
+            a, b = rnd.randrange(n), rnd.randrange(n)
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+        expect = sum(
+            1
+            for x, y, z in itertools.combinations(range(n), 3)
+            if (x, y) in pairs and (y, z) in pairs and (x, z) in pairs
+        )
+        df = spark.createDataFrame(sorted(pairs), "src long, dst long")
+        got = triangle_count(df).first()["n_triangles"]
+        assert got == expect, (seed, got, expect)
+
+
+def test_label_propagation_matches_python_on_random_graphs(spark):
+    """r13 hardening: synchronous LPA vs a python reference on random
+    directed AND symmetrized graphs — exact contract replay (init
+    label=v, per round each node takes its IN-neighbors' most frequent
+    label, ties to the smallest, no-inbound keeps its current label)."""
+    import random as _random
+    from collections import Counter
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import (
+        label_propagation,
+    )
+
+    def ref(edge_list, n_iter):
+        nodes = sorted({v for e in edge_list for v in e})
+        inn = {v: [] for v in nodes}
+        for s, d in edge_list:
+            inn[d].append(s)
+        labels = {v: v for v in nodes}
+        for _ in range(n_iter):
+            new = {}
+            for v in nodes:
+                msgs = [labels[s] for s in inn[v]]
+                if not msgs:
+                    new[v] = labels[v]
+                else:
+                    c = Counter(msgs)
+                    new[v] = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            labels = new
+        return labels
+
+    for seed, n, m, sym in ((0, 14, 35, True), (1, 10, 20, False), (2, 18, 50, True), (3, 8, 24, False)):
+        rnd = _random.Random(seed)
+        pairs: set = set()
+        while len(pairs) < m:
+            a, b = rnd.randrange(n), rnd.randrange(n)
+            if a != b:
+                pairs.add((a, b))
+        edge_list = sorted(pairs | {(b, a) for a, b in pairs}) if sym else sorted(pairs)
+        df = spark.createDataFrame(edge_list, "src long, dst long")
+        got = {r["node"]: r["label"] for r in label_propagation(df, n_iter=3).collect()}
+        assert got == ref(edge_list, 3), (seed, sym)

@@ -109,3 +109,64 @@ def test_default_tiebreak_is_deterministic_on_exact_ts_ties(spark):
             right_cols=["price"],
         ).collect()
         assert len(out) == 1 and out[0]["price"] == 7.0, out
+
+
+def test_asof_join_matches_pandas_merge_asof_on_random_data(spark):
+    """r13 hardening: the backward as-of join vs pandas merge_asof on
+    random keyed series — with and without tolerance.  Right-side
+    (key, ts) pairs are unique so both engines' tie rules are moot and
+    the comparison is pure as-of semantics (ties have their own pins
+    above)."""
+    import numpy as np
+    import pandas as pd
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.asof import (
+        asof_join,
+    )
+
+    base = pd.Timestamp("2026-01-01")
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed)
+        keys = ["a", "b", "c"]
+        right_rows = []
+        for k in keys:
+            for t in rng.choice(10_000, size=25, replace=False):
+                right_rows.append(
+                    (
+                        k,
+                        (base + pd.Timedelta(seconds=int(t))).to_pydatetime(),
+                        float(round(rng.rand(), 6)),
+                    )
+                )
+        left_rows = [
+            (
+                int(i),
+                keys[rng.randint(len(keys))],
+                (base + pd.Timedelta(seconds=int(rng.randint(-100, 10_500)))).to_pydatetime(),
+            )
+            for i in range(120)
+        ]
+        rdf = spark.createDataFrame(right_rows, "k string, rts timestamp, val double")
+        ldf = spark.createDataFrame(left_rows, "rid long, k string, lts timestamp")
+
+        rpd = pd.DataFrame(right_rows, columns=["k", "rts", "val"]).sort_values("rts")
+        lpd = pd.DataFrame(left_rows, columns=["rid", "k", "lts"]).sort_values("lts")
+
+        for tol_spark, tol_pd in ((None, None), ("60 seconds", pd.Timedelta("60s"))):
+            got = {
+                r["rid"]: r["val"]
+                for r in asof_join(
+                    ldf, rdf, on=["k"], left_ts="lts", right_ts="rts",
+                    right_cols=["val"], tolerance=tol_spark,
+                ).collect()
+            }
+            exp_df = pd.merge_asof(
+                lpd, rpd, left_on="lts", right_on="rts", by="k",
+                direction="backward", allow_exact_matches=True,
+                **({"tolerance": tol_pd} if tol_pd is not None else {}),
+            )
+            exp = {
+                int(r.rid): (None if pd.isna(r.val) else float(r.val))
+                for r in exp_df.itertuples(index=False)
+            }
+            assert got == exp, (seed, tol_spark)
