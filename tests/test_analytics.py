@@ -1005,3 +1005,104 @@ def test_label_propagation_matches_python_on_random_graphs(spark):
         df = spark.createDataFrame(edge_list, "src long, dst long")
         got = {r["node"]: r["label"] for r in label_propagation(df, n_iter=3).collect()}
         assert got == ref(edge_list, 3), (seed, sym)
+
+
+def test_hits_matches_python_on_random_graphs(spark):
+    """r13 hardening: fixed-iteration HITS (deferred normalization) vs
+    an exact python replay on random directed graphs — auth from
+    current hubs, hubs from the NEW auths, one final L1 normalize,
+    round 6."""
+    import random as _random
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import (
+        hits,
+    )
+
+    def ref(edge_list, n_iter):
+        nodes = sorted({v for e in edge_list for v in e})
+        hub = {v: 1.0 for v in nodes}
+        auth = {v: 0.0 for v in nodes}
+        for _ in range(n_iter):
+            auth = {v: sum(hub[s] for s, d in edge_list if d == v) for v in nodes}
+            hub = {v: sum(auth[d] for s, d in edge_list if s == v) for v in nodes}
+        hs, as_ = sum(hub.values()), sum(auth.values())
+        return {
+            v: (round(hub[v] / hs, 6), round(auth[v] / as_, 6)) for v in nodes
+        }
+
+    for seed, n, m in ((0, 12, 30), (1, 8, 14), (2, 16, 48)):
+        rnd = _random.Random(seed)
+        pairs: set = set()
+        while len(pairs) < m:
+            a, b = rnd.randrange(n), rnd.randrange(n)
+            if a != b:
+                pairs.add((a, b))
+        df = spark.createDataFrame(sorted(pairs), "src long, dst long")
+        got = {
+            r["node"]: (r["hub"], r["authority"]) for r in hits(df, n_iter=3).collect()
+        }
+        exp = ref(sorted(pairs), 3)
+        assert set(got) == set(exp)
+        for v in exp:
+            assert got[v][0] == pytest.approx(exp[v][0], abs=2e-6), (seed, v)
+            assert got[v][1] == pytest.approx(exp[v][1], abs=2e-6), (seed, v)
+
+
+def test_pagerank_matches_python_on_random_graphs(spark):
+    """r13 hardening: fixed-iteration PageRank vs an exact python
+    replay on random directed graphs — drop AND redistribute dangling
+    modes, unweighted and weighted; init 1/n, msg = rank*w/outdeg,
+    rank' = (1-d)/n + d*(dangling_mass/n if redistribute) + d*sum,
+    round 6 at the end."""
+    import random as _random
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import (
+        pagerank,
+    )
+
+    def ref(edge_list, n_iter, damping, dangling, weights=None):
+        w = weights or {e: 1.0 for e in edge_list}
+        nodes = sorted({v for e in edge_list for v in e})
+        n = len(nodes)
+        outw = {v: sum(w[(s, d)] for s, d in edge_list if s == v) for v in nodes}
+        rank = {v: 1.0 / n for v in nodes}
+        for _ in range(n_iter):
+            sums = {v: 0.0 for v in nodes}
+            for s, d in edge_list:
+                sums[d] += rank[s] * w[(s, d)] / outw[s]
+            dm = sum(rank[v] for v in nodes if outw[v] == 0)
+            extra = damping * dm / n if dangling == "redistribute" else 0.0
+            rank = {
+                v: (1.0 - damping) / n + extra + damping * sums[v] for v in nodes
+            }
+        return {v: round(r, 6) for v, r in rank.items()}
+
+    for seed, n, m in ((0, 12, 28), (1, 9, 15), (2, 15, 45)):
+        rnd = _random.Random(seed)
+        pairs: set = set()
+        while len(pairs) < m:
+            a, b = rnd.randrange(n), rnd.randrange(n)
+            if a != b:
+                pairs.add((a, b))
+        edge_list = sorted(pairs)
+        weights = {e: float(rnd.randint(1, 9)) for e in edge_list}
+        udf_ = spark.createDataFrame(edge_list, "src long, dst long")
+        wdf = spark.createDataFrame(
+            [(s, d, weights[(s, d)]) for s, d in edge_list], "src long, dst long, w double"
+        )
+        for mode in ("drop", "redistribute"):
+            got = {
+                r["node"]: r["pagerank"]
+                for r in pagerank(udf_, n_iter=3, dangling=mode).collect()
+            }
+            exp = ref(edge_list, 3, 0.85, mode)
+            assert set(got) == set(exp), (seed, mode)
+            for v in exp:
+                assert got[v] == pytest.approx(exp[v], abs=2e-6), (seed, mode, v)
+        gotw = {
+            r["node"]: r["pagerank"]
+            for r in pagerank(wdf, n_iter=3, dangling="redistribute", weight="w").collect()
+        }
+        expw = ref(edge_list, 3, 0.85, "redistribute", weights)
+        for v in expw:
+            assert gotw[v] == pytest.approx(expw[v], abs=2e-6), (seed, "weighted", v)
