@@ -1106,3 +1106,62 @@ def test_pagerank_matches_python_on_random_graphs(spark):
         expw = ref(edge_list, 3, 0.85, "redistribute", weights)
         for v in expw:
             assert gotw[v] == pytest.approx(expw[v], abs=2e-6), (seed, "weighted", v)
+
+
+def test_personalized_pagerank_matches_python_on_random_graphs(spark):
+    """r13 hardening: PPR vs an exact python replay on random directed
+    graphs — init rank = seed distribution r, rank' = (1-d)*r +
+    d*(sum_msgs + dangling_mass*r), multiple seeds (one isolated),
+    unweighted and weighted."""
+    import random as _random
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import (
+        personalized_pagerank,
+    )
+
+    def ref(edge_list, seeds, n_iter, damping, weights=None):
+        w = weights or {e: 1.0 for e in edge_list}
+        nodes = sorted({v for e in edge_list for v in e} | set(seeds))
+        r = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+        outw = {v: sum(w[(s, d)] for s, d in edge_list if s == v) for v in nodes}
+        rank = dict(r)
+        for _ in range(n_iter):
+            sums = {v: 0.0 for v in nodes}
+            for s, d in edge_list:
+                sums[d] += rank[s] * w[(s, d)] / outw[s]
+            dm = sum(rank[v] for v in nodes if outw[v] == 0)
+            rank = {
+                v: (1.0 - damping) * r[v] + damping * (sums[v] + dm * r[v])
+                for v in nodes
+            }
+        return {v: round(x, 6) for v, x in rank.items()}
+
+    for seed_i, n, m in ((0, 12, 28), (1, 9, 15), (2, 15, 45)):
+        rnd = _random.Random(seed_i)
+        pairs: set = set()
+        while len(pairs) < m:
+            a, b = rnd.randrange(n), rnd.randrange(n)
+            if a != b:
+                pairs.add((a, b))
+        edge_list = sorted(pairs)
+        weights = {e: float(rnd.randint(1, 9)) for e in edge_list}
+        seeds = [0, 1, n + 100]  # n+100 is isolated: holds its teleport share
+        udf_ = spark.createDataFrame(edge_list, "src long, dst long")
+        wdf = spark.createDataFrame(
+            [(s, d, weights[(s, d)]) for s, d in edge_list], "src long, dst long, w double"
+        )
+        got = {
+            r_["node"]: r_["ppr"]
+            for r_ in personalized_pagerank(udf_, seeds, n_iter=3).collect()
+        }
+        exp = ref(edge_list, seeds, 3, 0.85)
+        assert set(got) == set(exp), seed_i
+        for v in exp:
+            assert got[v] == pytest.approx(exp[v], abs=2e-6), (seed_i, v)
+        gotw = {
+            r_["node"]: r_["ppr"]
+            for r_ in personalized_pagerank(wdf, seeds, n_iter=3, weight="w").collect()
+        }
+        expw = ref(edge_list, seeds, 3, 0.85, weights)
+        for v in expw:
+            assert gotw[v] == pytest.approx(expw[v], abs=2e-6), (seed_i, "w", v)
