@@ -48,6 +48,14 @@ def assign_to_centroids(
     table stays where it is; argmax is a map-side-combinable ``min_by``
     (no row_number window, no per-key shuffle of the n×k score rows
     beyond the final partial-merge).
+
+    Degenerate-vector contract: a vector whose similarity to EVERY
+    centroid is NULL (zero-norm, NULL, or length-mismatched input —
+    cosine returns NULL in-contract for all of these) produces **no
+    output row**: NULL sims are filtered before the argmax, so an
+    all-NULL score set leaves nothing to aggregate.  Callers needing
+    full id coverage must LEFT-join this result back to their id set;
+    the drop is visible (fewer rows), never a fabricated assignment.
     """
     scored = (
         emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))

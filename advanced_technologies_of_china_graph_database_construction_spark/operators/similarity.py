@@ -118,7 +118,14 @@ def ivf_assign(
 
     ``centroids`` (centroid_id, cv) plugs in a trained quantizer —
     ``operators/kmeans.kmeans_centroids`` produces exactly this shape;
-    the default is the training-free first-``n_centroids`` seed."""
+    the default is the training-free first-``n_centroids`` seed.
+
+    Degenerate-vector contract: a vector whose similarity to EVERY
+    centroid is NULL (zero-norm, NULL, or length-mismatched — cosine
+    returns NULL in-contract) produces **no output row**: NULL sims
+    are filtered before the argmax.  Callers needing every vec_id in
+    the output must LEFT-join back to the id set; the drop is visible
+    (fewer rows), never a fabricated assignment."""
     cent = centroids if centroids is not None else emb.filter(
         F.col(id_col) < n_centroids
     ).select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv"))

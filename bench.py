@@ -258,11 +258,18 @@ def main() -> None:
         "sf": sf_val,
         "env": _env_fingerprint(),
     }
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-        "w",
-    ) as f:
-        json.dump(detail, f, indent=1)
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+            ),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:
+        # the sidecar is best-effort: on a read-only checkout the ~1 kB
+        # stdout contract line below must still print (r13 ADVICE)
+        print(f"BENCH_DETAIL.json write failed: {e}", file=sys.stderr)
     print(
         json.dumps(
             {

@@ -13,6 +13,7 @@ KIND (int vs float) so a representation drift fails HERE first.
 
 from __future__ import annotations
 
+import decimal
 import math
 
 import duckdb
@@ -39,6 +40,14 @@ def _norm_cell(v):
         return ("f", round(float(v), 6))
     if isinstance(v, (int, np.integer)):
         return ("i", int(v))
+    if isinstance(v, decimal.Decimal):
+        # DuckDB DECIMAL columns surface as object-dtype Decimals via
+        # .df(), and the DRIVER hashes that pandas representation — so a
+        # DECIMAL oracle vs a Spark double/bigint must FAIL here, with
+        # the same explicit kind-tag signal as the HUGEINT case (r13
+        # ADVICE), not a confusing raw-value diff.  Distinct kind "d":
+        # normalizing Decimal like float would HIDE the driver mismatch.
+        return ("d", round(float(v), 6))
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (list, tuple, np.ndarray)):
@@ -46,10 +55,23 @@ def _norm_cell(v):
     return v
 
 
+def _sort_key(v):
+    """Deterministic total order over NORMALIZED cells — sorting by the
+    value itself (not ``repr``): two distinct normalized values must
+    never sort ambiguously, and mixed None/str/tuple cells must not
+    raise on comparison (r13 verdict nit)."""
+    if v is None:
+        return (0, "")
+    if isinstance(v, tuple):
+        # kind-tagged numerics ("b"/"f"/"i"/"d", x) and nested arrays
+        return (1, tuple(_sort_key(x) for x in v))
+    return (2, type(v).__name__, str(v))
+
+
 def normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(out, key=repr)
+    return sorted(out, key=lambda row: tuple(_sort_key(c) for c in row))
 
 
 def compare(spark_df, con, sql):

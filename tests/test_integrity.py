@@ -160,3 +160,67 @@ def test_replica_compare_catches_kind_mismatch(spark):
         compare(sdf, con, "SELECT sum(x) AS s FROM t")  # HUGEINT -> float64
     # and the cast form passes
     compare(sdf, con, "SELECT CAST(sum(x) AS BIGINT) AS s FROM t")
+
+
+def test_replica_norm_cell_tags_decimal_kind():
+    """r13 ADVICE: DuckDB DECIMAL columns surface as object-dtype
+    ``decimal.Decimal`` via .df() — the driver hashes that pandas
+    representation, so a DECIMAL oracle vs a Spark double/bigint must
+    fail the replica with an explicit kind tag (like the HUGEINT case),
+    not an unnormalized raw-value diff."""
+    import decimal
+
+    from tests.oracle import _norm_cell
+
+    d = decimal.Decimal("1.5")
+    assert _norm_cell(d) == ("d", 1.5)
+    # distinct KINDS from both float and int — the mismatch must show
+    assert _norm_cell(d) != _norm_cell(1.5)
+    assert _norm_cell(decimal.Decimal(6)) != _norm_cell(6)
+    # 6-place rounding matches the float discipline
+    assert _norm_cell(decimal.Decimal("0.1234569")) == (
+        _norm_cell(decimal.Decimal("0.1234571"))
+    )
+
+
+def test_replica_compare_catches_decimal_kind_mismatch(spark):
+    """End-to-end Decimal drift: this duckdb build converts DECIMAL to
+    float64 in .df(), so the object-dtype ``decimal.Decimal`` direction
+    comes from SPARK — a DecimalType column via toPandas() vs an
+    equal-valued DuckDB DOUBLE oracle must FAIL the replica compare
+    (the driver's pandas-representation hash would fail it too); the
+    double-cast Spark form passes."""
+    import duckdb
+    import pytest
+
+    from tests.oracle import compare
+
+    con = duckdb.connect()
+    sdf = spark.sql("SELECT CAST(1.5 AS DECIMAL(10,2)) AS s")
+    assert str(sdf.toPandas()["s"].dtype) == "object"  # Decimal objects
+    with pytest.raises(AssertionError, match="value mismatch"):
+        compare(sdf, con, "SELECT CAST(1.5 AS DOUBLE) AS s")
+    # and the double-cast Spark form passes
+    compare(sdf.selectExpr("CAST(s AS DOUBLE) AS s"), con,
+            "SELECT CAST(1.5 AS DOUBLE) AS s")
+
+
+def test_replica_normalize_sorts_mixed_type_rows():
+    """r13 verdict nit: normalize() must sort rows by a total order on
+    the NORMALIZED values themselves, not repr — mixed None/str/tuple
+    cells must neither raise TypeError nor let two distinct value sets
+    slip past the zip-compare because of sort ambiguity."""
+    from tests.oracle import normalize
+
+    rows = [(None, "b"), (1, "a"), (2.0, "a"), (None, None), ("x", "y")]
+    out = normalize(rows, ["c1", "c2"])
+    assert len(out) == 5  # total order covered every row without raising
+    # same multiset, different input order → identical normalized output
+    assert normalize(rows[::-1], ["c1", "c2"]) == out
+    # two column orders of the same frame normalize identically
+    swapped = [(b, a) for a, b in rows]
+    assert normalize(swapped, ["c2", "c1"]) == out
+    # int-valued float and int rows remain DISTINCT after sorting
+    a = normalize([(1,), (2.0,)], ["c"])
+    b = normalize([(1.0,), (2,)], ["c"])
+    assert a != b
