@@ -1000,7 +1000,11 @@ s{t} AS (
   WHERE rn = 1)"""
 
 
-G40_SQL = (
+# The walk-corpus WITH-prefix and the corpus union, shared verbatim by
+# G40 (which ships the corpus itself) and the downstream g42/g43 oracles
+# (which consume it as a `corpus` CTE) — one definition so the oracles
+# can never replay a different corpus than the one g40 gates.
+_WALK_CTES = (
     f"""
 WITH edges AS (
   SELECT DISTINCT l_orderkey AS src, l_partkey + {KW_NODE_OFFSET} AS dst
@@ -1009,14 +1013,478 @@ sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
 starts AS (SELECT DISTINCT src FROM edges WHERE src % 100 = {WALK_START_RESIDUE}),
 s0 AS (SELECT src AS walk_id, 0 AS step, src AS node FROM starts),"""
     + ",".join(_g40_step_cte(t) for t in range(1, WALK_STEPS + 1))
-    + "\n"
-    + "\nUNION ALL\n".join(
-        f"SELECT walk_id, step, node FROM s{t}" for t in range(0, WALK_STEPS + 1)
+)
+
+_WALK_CORPUS_UNION = "\nUNION ALL\n".join(
+    f"SELECT walk_id, step, node FROM s{t}" for t in range(0, WALK_STEPS + 1)
+)
+
+G40_SQL = _WALK_CTES + "\n" + _WALK_CORPUS_UNION
+
+
+# --------------------------- g41 distributed connected components ---------
+
+# The large-star/small-star path (`connected_components` with
+# driver_threshold=0) is the 100 TB CC story — O(log² n) rounds
+# regardless of component diameter — but until r14 it carried only
+# pytest pins (random graphs + the 1M-scale chain), never a driver
+# record.  The gate graph is built from doc ids by integer arithmetic
+# (the g39/x01 discipline: closed-form oracle, independent of the
+# operator) and is deliberately CHAIN-shaped so the distributed loop
+# must actually iterate — a star graph would converge in one round and
+# gate nothing:
+#   - chain edges  d → d-1 for d % 64 != 0: one length-64 path per
+#     block b = d//64 (forces the multi-round contraction);
+#   - merge edges  64b → 64(b-1) for b % 16 == 5: sparse cross-block
+#     merges, so some components span two blocks and the min-label
+#     relabel is exercised.
+# Over the ⌊(max_id+1)/64⌋·64 ids forming complete blocks, every node
+# appears in an edge (d%64 != 0 as a chain src; d%64 == 0 as the dst of
+# d+1 → d), so the output covers exactly those ids.  Closed form:
+# component(d) = 64·(b-1) if b % 16 == 5 else 64·b.
+CC_BLOCK = 64
+CC_MERGE_RESIDUE = 5
+
+
+def g41_distributed_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via the DISTRIBUTED alternating large-star/
+    small-star contraction (driver_threshold=0 forces the path the
+    adaptive dispatch reserves for beyond-driver-scale graphs) over a
+    deterministic chain-block graph — the O(log² n)-round closure whose
+    equality with the closed-form component labels IS the gate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1  # ids are contiguous 0..max
+    big_n = n // CC_BLOCK * CC_BLOCK
+    d = F.col("doc_id")
+    base = docs.filter(d < big_n)
+    chain = base.filter(d % CC_BLOCK != 0).select(d.alias("src"), (d - 1).alias("dst"))
+    b = F.floor(d / CC_BLOCK)
+    merge = base.filter((d % CC_BLOCK == 0) & (b % 16 == CC_MERGE_RESIDUE)).select(
+        d.alias("src"), (d - CC_BLOCK).alias("dst")
     )
+    cc = connected_components(chain.unionByName(merge), driver_threshold=0)
+    return cc.select(F.col("id").alias("node"), "component")
+
+
+G41_SQL = f"""
+WITH n AS (SELECT ((max(doc_id) + 1) // {CC_BLOCK}) * {CC_BLOCK} AS nn FROM documents)
+SELECT doc_id AS node,
+       CASE WHEN (doc_id // {CC_BLOCK}) % 16 = {CC_MERGE_RESIDUE}
+            THEN ((doc_id // {CC_BLOCK}) - 1) * {CC_BLOCK}
+            ELSE (doc_id // {CC_BLOCK}) * {CC_BLOCK} END AS component
+FROM documents, n
+WHERE doc_id < nn
+"""
+
+
+# ----------------------------- g42 walk-corpus PPMI collocations ----------
+
+PPMI_WINDOW = 2  # co-occurrence = steps ≤2 apart within one walk
+PPMI_MIN_COOC = 2  # support threshold — integer, so membership is exact
+
+
+def g42_walk_ppmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPMI collocations mined from the g40 walk corpus — the skip-gram
+    pair-weighting step of a DeepWalk-style embedding pipeline (the d44
+    NPMI discipline applied to graph walks instead of documents).
+    Co-occurrence events are unordered node pairs ≤PPMI_WINDOW steps
+    apart within one walk (self-pairs excluded); with T total events
+    and per-node slot counts m(u), ppmi = max(ln(4·T·c/(m(u)·m(v))), 0)
+    — p(u,v)=c/T against p(u)=m(u)/2T makes the constant 4T exact.
+    Membership is the INTEGER support filter c ≥ PPMI_MIN_COOC (never a
+    float-boundary top-K), so both engines ship the identical pair set;
+    the single ln ships rounded at 6, the d44-proven tolerance.
+
+    Scale shape: the corpus self-join is per-walk (walk_id equi-join,
+    window ≤2 — bounded fan-out per row), pair counts and marginals are
+    two map-side-combinable aggregations, and the marginal join keys on
+    node — nothing quadratic, nothing driver-side."""
+    corpus = g40_walk_corpus(spark, sf_dir)
+    a = corpus.select(
+        F.col("walk_id").alias("w"), F.col("step").alias("sa"), F.col("node").alias("na")
+    )
+    bb = corpus.select(
+        F.col("walk_id").alias("w"), F.col("step").alias("sb"), F.col("node").alias("nb")
+    )
+    ev = (
+        a.join(bb, "w")
+        .filter(
+            (F.col("sb") - F.col("sa")).between(1, PPMI_WINDOW)
+            & (F.col("na") != F.col("nb"))
+        )
+        .select(
+            F.least("na", "nb").alias("u"), F.greatest("na", "nb").alias("v")
+        )
+    )
+    pc = ev.groupBy("u", "v").agg(F.count(F.lit(1)).alias("n_cooc"))
+    # pc feeds the total, both marginal legs, and the filtered result —
+    # four consumers of one aggregation
+    pc = pc.localCheckpoint(eager=True)
+    tot = pc.agg(F.sum("n_cooc").alias("t"))
+    marg = (
+        pc.select(F.col("u").alias("node"), "n_cooc")
+        .unionByName(pc.select(F.col("v").alias("node"), "n_cooc"))
+        .groupBy("node")
+        .agg(F.sum("n_cooc").alias("m"))
+    )
+    return (
+        pc.filter(F.col("n_cooc") >= PPMI_MIN_COOC)
+        .join(marg.select(F.col("node").alias("u"), F.col("m").alias("mu")), "u")
+        .join(marg.select(F.col("node").alias("v"), F.col("m").alias("mv")), "v")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("u").alias("node1"),
+            F.col("v").alias("node2"),
+            "n_cooc",
+            F.round(
+                F.greatest(
+                    F.log(
+                        F.lit(4.0)
+                        * F.col("t")
+                        * F.col("n_cooc")
+                        / (F.col("mu") * F.col("mv"))
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("ppmi"),
+        )
+    )
+
+
+_G42_PAIR_CTES = """,
+corpus AS ({corpus}),
+ev AS (
+  SELECT least(a.node, b.node) AS u, greatest(a.node, b.node) AS v
+  FROM corpus a JOIN corpus b
+    ON a.walk_id = b.walk_id
+   AND b.step - a.step BETWEEN 1 AND {window}
+   AND a.node <> b.node),
+pc AS (SELECT u, v, count(*) AS c FROM ev GROUP BY u, v),
+tot AS (SELECT sum(c) AS t FROM pc),
+marg AS (
+  SELECT node, sum(c) AS m FROM (
+    SELECT u AS node, c FROM pc UNION ALL SELECT v AS node, c FROM pc)
+  GROUP BY node)
+""".format(corpus=_WALK_CORPUS_UNION, window=PPMI_WINDOW)
+
+G42_SQL = (
+    _WALK_CTES
+    + _G42_PAIR_CTES
+    + f"""
+SELECT pc.u AS node1, pc.v AS node2, pc.c AS n_cooc,
+       round(greatest(ln(4.0 * (SELECT t FROM tot) * pc.c / (mu.m * mv.m)), 0.0), 6) AS ppmi
+FROM pc JOIN marg mu ON mu.node = pc.u JOIN marg mv ON mv.node = pc.v
+WHERE pc.c >= {PPMI_MIN_COOC}
+"""
+)
+
+
+# ----------------------------- g43 walk-embedding ANN ---------------------
+
+EMB_BUCKETS = 16  # hashed-context dimensionality
+EMB_MIN_BUCKETS = 3  # candidate density floor (≥3 distinct context buckets)
+EMB_TOP_K = 10
+
+
+def g43_walk_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walks → embeddings → ANN, end to end: each walk-corpus node gets
+    a DENSE hashed-context embedding (context node → bucket = pmod(ctx,
+    EMB_BUCKETS); weight = ln(1+count) — the log-damped feature-hashing
+    construction), and the result is the brute cosine top-10 around the
+    corpus's most-frequent node — closing the loop the g40 corpus and
+    the a01-family ANN stack left open (reference analogue: the
+    keyword_merger embed→similarity pipeline, `keyword_merger.py:183`,
+    with structure-derived instead of model-derived vectors).
+
+    Determinism: context counts are integers; the query node is the
+    (max total count, min id) argmax; candidates are density-filtered
+    (≥EMB_MIN_BUCKETS distinct buckets) so near-empty vectors don't
+    flood the top-k with degenerate cos=1.0 ties; ordering is
+    (rounded cos desc, node id).  The query rides as a broadcast
+    1-row crossJoin — no driver-side lookup, so an empty corpus yields
+    an empty frame with no None-seed hazard (the g33 class).
+
+    Scale shape: one bounded self-join (per-walk window), one groupBy
+    to hashed buckets, one groupBy assembling ≤EMB_BUCKETS-entry maps,
+    then a broadcast-1-row scan — the brute path; the IVF/PQ stack
+    (a02-a12) is the documented scale route for the corpus side."""
+    corpus = g40_walk_corpus(spark, sf_dir)
+    a = corpus.select(
+        F.col("walk_id").alias("w"), F.col("step").alias("sa"), F.col("node").alias("tok")
+    )
+    bb = corpus.select(
+        F.col("walk_id").alias("w"), F.col("step").alias("sb"), F.col("node").alias("ctx")
+    )
+    ev = (
+        a.join(bb, "w")
+        .filter(
+            F.abs(F.col("sb") - F.col("sa")).between(1, PPMI_WINDOW)
+            & (F.col("tok") != F.col("ctx"))
+        )
+        .select("tok", F.pmod(F.col("ctx"), F.lit(EMB_BUCKETS)).cast("int").alias("bucket"))
+    )
+    hw = ev.groupBy("tok", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    vecs = (
+        hw.select("tok", "bucket", F.log(F.lit(1.0) + F.col("c")).alias("wt"), "c")
+        .groupBy("tok")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("bucket", "wt"))).alias("m"),
+            F.count(F.lit(1)).alias("nbuckets"),
+            F.sum("c").alias("mtot"),
+        )
+        .select(
+            "tok",
+            "nbuckets",
+            "mtot",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(EMB_BUCKETS - 1)),
+                lambda j: F.coalesce(F.element_at(F.col("m"), j), F.lit(0.0)),
+            ).alias("emb"),
+        )
+        .localCheckpoint(eager=True)  # consumed twice: query row + corpus scan
+    )
+    qrow = (
+        vecs.orderBy(F.desc("mtot"), "tok")
+        .limit(1)
+        .select(F.col("tok").alias("qt"), F.col("emb").alias("qemb"))
+    )
+    from ..functions.vectors import cosine_rounded
+
+    return (
+        vecs.crossJoin(F.broadcast(qrow))
+        .filter((F.col("tok") != F.col("qt")) & (F.col("nbuckets") >= EMB_MIN_BUCKETS))
+        .select(
+            F.col("tok").alias("node_id"),
+            cosine_rounded(F.col("emb"), F.col("qemb")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "node_id")
+        .limit(EMB_TOP_K)
+    )
+
+
+G43_SQL = (
+    _WALK_CTES
+    + f""",
+corpus AS ({_WALK_CORPUS_UNION}),
+ev2 AS (
+  SELECT a.node AS tok, b.node AS ctx
+  FROM corpus a JOIN corpus b
+    ON a.walk_id = b.walk_id
+   AND abs(b.step - a.step) BETWEEN 1 AND {PPMI_WINDOW}
+   AND a.node <> b.node),
+hw AS (SELECT tok, ((ctx % {EMB_BUCKETS}) + {EMB_BUCKETS}) % {EMB_BUCKETS} AS bucket,
+              count(*) AS c
+       FROM ev2 GROUP BY 1, 2),
+w AS (SELECT tok, bucket, ln(1.0 + c) AS wt FROM hw),
+nb AS (SELECT tok, count(*) AS nbuckets, sum(c) AS m FROM hw GROUP BY tok),
+q AS (SELECT tok AS qt FROM nb ORDER BY m DESC, tok LIMIT 1),
+qv AS (SELECT bucket, wt FROM w, q WHERE w.tok = q.qt),
+dots AS (SELECT w.tok, sum(w.wt * qv.wt) AS dp FROM w JOIN qv USING (bucket) GROUP BY w.tok),
+norms AS (SELECT tok, sqrt(sum(wt * wt)) AS nr FROM w GROUP BY tok),
+qn AS (SELECT sqrt(sum(wt * wt)) AS nq FROM qv)
+SELECT d.tok AS node_id, round(d.dp / (n.nr * qn.nq), 6) AS cos_sim
+FROM dots d JOIN norms n USING (tok) JOIN nb ON nb.tok = d.tok, qn, q
+WHERE d.tok <> q.qt AND nb.nbuckets >= {EMB_MIN_BUCKETS}
+ORDER BY cos_sim DESC, node_id LIMIT {EMB_TOP_K}
+"""
+)
+
+
+# ----------------------------- g44 BFS to fixpoint ------------------------
+
+# Oracle unroll depth: the min-fold relaxation is monotone and
+# idempotent after convergence, so unrolling PAST the fixpoint is a
+# no-op — depth 10 covers the measured whole-graph eccentricity of the
+# doc↔keyword graph (6 at sf0.001/0.01, 8 at sf0.1) with margin; the
+# Spark side doesn't unroll at all, it detects the empty frontier.
+G44_ORACLE_DEPTH = 10
+
+
+def g44_reach_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length traversal to CONVERGENCE — the Cypher `*1..`
+    unbounded-reach analogue (`neo4j_query_executor.py:287-292`'s hop
+    patterns generalized past a fixed k): exact whole-graph shortest
+    paths from the smallest document over the symmetric doc↔keyword
+    graph, via `bfs_distances(until_converged=True)` — frontier
+    relaxation with the empty-frontier fixpoint witness, the face g27/
+    g35 (fixed-hop) deliberately do not cover.  The oracle unrolls the
+    relaxation past the graph's eccentricity (see G44_ORACLE_DEPTH —
+    over-unrolling a converged min-fold is a no-op, so oracle depth is
+    NOT a semantics knob the way it is for fixed-round faces)."""
+    from ..operators.analytics import bfs_distances
+
+    edges = _citation_edges(spark, sf_dir).localCheckpoint(eager=True)
+    source = edges.agg(F.min("src")).first()[0]
+    if source is None:
+        # base-table contract says non-empty, but the g33 lesson stands:
+        # any driver-side seed lookup short-circuits to a typed empty
+        return spark.createDataFrame([], "node_id long, dist int")
+    d = bfs_distances(symmetric_edges(edges), source, until_converged=True)
+    return d.select(F.col("node").alias("node_id"), "dist")
+
+
+def _g44_iter_ctes(k: int) -> str:
+    prev = f"d{k - 1}"
+    return f"""
+rx{k} AS MATERIALIZED (
+  SELECT e.dst AS node, min(d.dist + 1) AS cand
+  FROM sym e JOIN {prev} d ON e.src = d.node
+  WHERE d.dist IS NOT NULL GROUP BY e.dst),
+d{k} AS MATERIALIZED (
+  SELECT d.node, least(d.dist, r.cand) AS dist
+  FROM {prev} d LEFT JOIN rx{k} r ON d.node = r.node)
+"""
+
+
+G44_SQL = (
+    f"""
+WITH edges AS (
+  SELECT DISTINCT l_orderkey AS src, l_partkey + {KW_NODE_OFFSET} AS dst FROM lineitem),
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+d0 AS (
+  SELECT node, CASE WHEN node = (SELECT min(src) FROM edges) THEN 0 END AS dist
+  FROM nodes),"""
+    + ",".join(_g44_iter_ctes(k) for k in range(1, G44_ORACLE_DEPTH + 1))
+    + f"\nSELECT node AS node_id, dist FROM d{G44_ORACLE_DEPTH} WHERE dist IS NOT NULL"
+)
+
+
+# ----------------------------- g45 sampled triangle estimate --------------
+
+# Deterministic edge sampling for the triangle estimator: keep an edge
+# iff its seeded hash (the selection.py fold-then-Knuth-multiply form,
+# overflow-safe for any int64 ids) lands below 2^30 of HASH_MOD =
+# 2^31-1 — nominal keep rate p = 1/2 (true rate 2^30/(2^31-1), within
+# 2.4e-10 of nominal; the estimator uses the NOMINAL 1/p³ = 8 so both
+# engines ship bit-identical integers × 8.0, never a libm pow()).
+TRI_HASH_MOD = 2_147_483_647
+TRI_KNUTH = 2_654_435_761
+TRI_KEEP_LT = 1 << 30
+
+
+def _tri_edge_hash(src, dst):
+    folded = F.pmod(
+        F.pmod(src, F.lit(TRI_HASH_MOD)) * F.lit(31) + F.pmod(dst, F.lit(TRI_HASH_MOD)),
+        F.lit(TRI_HASH_MOD),
+    )
+    return F.pmod(folded * F.lit(TRI_KNUTH), F.lit(TRI_HASH_MOD))
+
+
+def g45_sampled_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate triangle counting by deterministic edge sampling —
+    the d30/d34 sketch-contract pattern applied to graph analytics: the
+    estimator's every ingredient ships as an exact SQL-checkable number
+    (total edges, sampled edges, exact triangle count, sampled-subgraph
+    triangle count, and the 8× unbiased estimate — each sampled
+    triangle survives with probability p³ = 1/8), so the gate pins the
+    sampling hash, the subgraph count, AND the scale-up arithmetic.
+    Sampling is the repo's seeded-hash discipline (never rand()), so
+    re-runs and both engines select the identical edge subset.
+
+    Scale shape: the sample filter is a map-side predicate on the edge
+    list — the wedge self-join then runs on a p-fraction of edges
+    (p³ of the triangles, ~p² of the join work), the standard
+    DOULION-style cost dial for trillion-edge triangle counting."""
+    pairs = _copub_pairs(spark, sf_dir).localCheckpoint(eager=True)  # read 4×
+    sampled = pairs.filter(_tri_edge_hash(F.col("src"), F.col("dst")) < TRI_KEEP_LT)
+    exact = triangle_count(pairs).select(F.col("n_triangles").alias("exact_triangles"))
+    samp = triangle_count(sampled).select(
+        F.col("n_triangles").alias("sampled_triangles")
+    )
+    n_e = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_s = sampled.agg(F.count(F.lit(1)).alias("n_sampled"))
+    return (
+        n_e.crossJoin(F.broadcast(n_s))
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(samp))
+        .select(
+            "n_edges",
+            "n_sampled",
+            "exact_triangles",
+            "sampled_triangles",
+            F.round(F.col("sampled_triangles") * F.lit(8.0), 6).alias("est_triangles"),
+        )
+    )
+
+
+G45_SQL = (
+    _GRAPH_CTES
+    + f""",
+sampled AS (
+  SELECT src, dst FROM pairs
+  WHERE ((((src % {TRI_HASH_MOD}) * 31 + (dst % {TRI_HASH_MOD})) % {TRI_HASH_MOD})
+         * {TRI_KNUTH}) % {TRI_HASH_MOD} < {TRI_KEEP_LT}),
+ex AS (
+  SELECT count(*) AS exact_triangles
+  FROM pairs p12 JOIN pairs p23 ON p12.dst = p23.src
+  JOIN pairs p13 ON p12.src = p13.src AND p23.dst = p13.dst),
+sx AS (
+  SELECT count(*) AS sampled_triangles
+  FROM sampled p12 JOIN sampled p23 ON p12.dst = p23.src
+  JOIN sampled p13 ON p12.src = p13.src AND p23.dst = p13.dst)
+SELECT (SELECT count(*) FROM pairs) AS n_edges,
+       (SELECT count(*) FROM sampled) AS n_sampled,
+       ex.exact_triangles,
+       sx.sampled_triangles,
+       round(sx.sampled_triangles * 8.0, 6) AS est_triangles
+FROM ex, sx
+"""
 )
 
 
 SPECS = [
+    QuerySpec(
+        name="g41_distributed_components",
+        fn=g41_distributed_components,
+        oracle=G41_SQL,
+        category="analytics",
+        description="connected components via the DISTRIBUTED large-star/"
+        "small-star contraction (driver_threshold=0 — the 100 TB CC path, "
+        "driver-gated at last) over a deterministic chain-block graph; "
+        "closed-form oracle from the construction arithmetic",
+        bench=True,  # the O(log² n) contraction loop's cost is the trend
+    ),
+    QuerySpec(
+        name="g42_walk_ppmi_collocations",
+        fn=g42_walk_ppmi_collocations,
+        oracle=G42_SQL,
+        category="analytics",
+        description="PPMI collocations over the g40 walk corpus (skip-gram "
+        "pair weighting, window ≤2, integer support threshold); oracle "
+        "replays the walk corpus and the PPMI arithmetic in SQL",
+    ),
+    QuerySpec(
+        name="g43_walk_embedding_ann",
+        fn=g43_walk_embedding_ann,
+        oracle=G43_SQL,
+        category="analytics",
+        description="walks → hashed-context embeddings → brute cosine "
+        "top-10 (log-damped feature hashing, density-filtered candidates, "
+        "broadcast 1-row query); oracle recomputes the cosine from the "
+        "sparse bucket weights in SQL",
+    ),
+    QuerySpec(
+        name="g44_reach_fixpoint",
+        fn=g44_reach_fixpoint,
+        oracle=G44_SQL,
+        category="analytics",
+        description="variable-length traversal to CONVERGENCE (Cypher "
+        "*1.. analogue): bfs_distances(until_converged=True) with the "
+        "empty-frontier fixpoint witness; oracle unrolls the relaxation "
+        "past the graph's eccentricity (over-unroll is a no-op)",
+    ),
+    QuerySpec(
+        name="g45_sampled_triangles",
+        fn=g45_sampled_triangles,
+        oracle=G45_SQL,
+        category="analytics",
+        description="DOULION-style sampled triangle estimate (seeded-hash "
+        "half-rate edge sample, 8× scale-up) with the d30/d34 exactness "
+        "contract: every estimator ingredient ships as an exact "
+        "SQL-checked number",
+    ),
     QuerySpec(
         name="g39_strongly_connected",
         fn=g39_strongly_connected,

@@ -24,23 +24,31 @@ from .spec import QuerySpec
 # CORRECTNESS_r* round records it green again.  Pinned specs sort AFTER
 # genuinely never-gated ones (a spec with no green row at all is the
 # bigger unknown) but BEFORE all green ones — see effective_round().
-PLAN_CHANGED_REGATE: set[str] = set()
+PLAN_CHANGED_REGATE: set[str] = {
+    # r14: g34's only driver record (r10) predates the r13 empty-at-
+    # sf0.1 typed-frame guard (analytics_queries.py g34), and the
+    # fingerprint mechanism structurally cannot flag it — at sf0.01 the
+    # copub graph is non-empty, so the EXECUTED plan never changed.
+    # This is exactly the manual-override class this set exists for.
+    # Remove once CORRECTNESS_r14 records it green.
+    "g34_weighted_reach_distances",
+}
 
-# r13 gate-budget note (honest math; the r12 note predicted 13 specs
-# would roll but 28 review-pass drift pins preempted the r8 cohort —
-# this round deliberately registers NO new specs and keeps plan churn
-# to the three ADVICE fixes so the budget lands on the stale records).
-# Front of the r13 gate order: d46 (its r12 row failed hash on the
-# oracle's HUGEINT representation — cast fixed this round — so it
-# sorts as never-green) + this round's SIX drift pins (recorded by
-# scripts/plan_fingerprints.py on the final tree: a02/a03/a04/d19 from
-# the NULL-sim argmax filter in ivf_assign/assign_to_centroids, d47/d48
-# from the NULLS-LAST orderBy).  That leaves 43 of the 50 slots for the
-# 27-spec r8-stale cohort (e11–e16, g13–g20, g25–g30, g35/g36, m04,
-# n07–n09, s07 — all re-proved by the r12 sf0.1 AND sf0.01 full-registry
-# replicas, so record-stale, not evidence-stale), which re-gates IN
-# FULL, and the remainder rolls into the r9 cohort.  Done-bar from the
-# r12 verdict: nothing staler than r9 in CORRECTNESS_r13's union.
+# r14 gate-budget note (written BEFORE the gate, per the r13 verdict's
+# sequencing rule).  Front of the r14 order: FIVE new specs (g41
+# distributed-CC — queued here since r12 — plus the new-surface band
+# g42 walk-PPMI collocations, g43 walk-embedding ANN, g44 fixpoint BFS,
+# g45 sampled triangles), then the g34 pin above (-0.5), then any
+# drift pins scripts/plan_fingerprints.py records on the final tree
+# (expected: none — this round's fixes are doc/test/infra-only), then
+# the 26-spec r9 cohort (e06–e10, t01–t04, m01/m02/m05/m06, n01–n05,
+# n10/n11, g21–g23, g31–g33 — all replica-proved at three SFs in r13,
+# record-stale not evidence-stale).  5 + 1 + 26 = 32 of 50 slots; the
+# remaining ~18 roll into the 39-spec r10 band, whose natural order
+# reaches a08/a09/a10 (the ANN family's oldest records) within the
+# first ten.  Done-bar from the r13 verdict: nothing staler than r10
+# in CORRECTNESS_r14's union except the r10 band's own tail, g34 green
+# on the guarded tree, the five new specs green.
 
 
 def effective_round(

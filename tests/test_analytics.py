@@ -1165,3 +1165,234 @@ def test_personalized_pagerank_matches_python_on_random_graphs(spark):
         expw = ref(edge_list, seeds, 3, 0.85, weights)
         for v in expw:
             assert gotw[v] == pytest.approx(expw[v], abs=2e-6), (seed_i, "w", v)
+
+
+# ------------------------- r14 new faces: g41-g45 python references -------
+
+
+def test_g41_construction_matches_union_find(spark):
+    """The g41 chain-block graph's closed-form oracle, validated by an
+    INDEPENDENT python union-find over the same integer-arithmetic edge
+    construction — so the spec's Spark-vs-DuckDB equality can never be
+    two engines agreeing on the wrong algebra — and the spec output
+    (the driver_threshold=0 distributed path) must match it exactly."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.analytics_queries import (
+        CC_BLOCK,
+        CC_MERGE_RESIDUE,
+        g41_distributed_components,
+    )
+
+    n_docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").count()
+    big_n = n_docs // CC_BLOCK * CC_BLOCK
+    edges = [(d, d - 1) for d in range(big_n) if d % CC_BLOCK]
+    edges += [
+        (d, d - CC_BLOCK)
+        for d in range(0, big_n, CC_BLOCK)
+        if (d // CC_BLOCK) % 16 == CC_MERGE_RESIDUE
+    ]
+    parent = list(range(big_n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    uf = {d: find(d) for d in range(big_n)}
+    closed_form = {
+        d: (d // CC_BLOCK - (1 if (d // CC_BLOCK) % 16 == CC_MERGE_RESIDUE else 0))
+        * CC_BLOCK
+        for d in range(big_n)
+    }
+    assert uf == closed_form  # the oracle's algebra, independently proved
+    got = {
+        r["node"]: r["component"]
+        for r in g41_distributed_components(spark, SF_CORRECT).collect()
+    }
+    assert got == closed_form
+
+
+def test_g42_ppmi_matches_python_reference(spark):
+    """g42's PPMI arithmetic replayed in pure python from the collected
+    walk corpus (pair windowing, marginals, the 4T constant, the ≥2
+    support filter) — engine-independent, unlike the SQL oracle which
+    shares the corpus CTE text."""
+    import math
+    from collections import Counter
+
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.analytics_queries import (
+        PPMI_MIN_COOC,
+        PPMI_WINDOW,
+        g40_walk_corpus,
+        g42_walk_ppmi_collocations,
+    )
+
+    corpus = g40_walk_corpus(spark, SF_CORRECT).collect()
+    walks: dict = {}
+    for r in corpus:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    pc: Counter = Counter()
+    for steps in walks.values():
+        for s, u in steps.items():
+            for d in range(1, PPMI_WINDOW + 1):
+                v = steps.get(s + d)
+                if v is not None and v != u:
+                    pc[(min(u, v), max(u, v))] += 1
+    t = sum(pc.values())
+    marg: Counter = Counter()
+    for (u, v), c in pc.items():
+        marg[u] += c
+        marg[v] += c
+    expect = {
+        (u, v): (
+            c,
+            round(max(math.log(4.0 * t * c / (marg[u] * marg[v])), 0.0), 6),
+        )
+        for (u, v), c in pc.items()
+        if c >= PPMI_MIN_COOC
+    }
+    got = {
+        (r["node1"], r["node2"]): (r["n_cooc"], r["ppmi"])
+        for r in g42_walk_ppmi_collocations(spark, SF_CORRECT).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (c, p) in expect.items():
+        assert got[k][0] == c, k
+        assert got[k][1] == pytest.approx(p, abs=2e-6), k
+
+
+def test_g43_embedding_ann_matches_numpy_reference(spark):
+    """g43's walks→hashed-embedding→cosine-top-10 chain replayed with
+    numpy dense vectors from the collected corpus: same bucket hash,
+    ln(1+c) damping, (max count, min id) query election, density
+    filter, and (rounded cos desc, id) ordering."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.analytics_queries import (
+        EMB_BUCKETS,
+        EMB_MIN_BUCKETS,
+        EMB_TOP_K,
+        PPMI_WINDOW,
+        g40_walk_corpus,
+        g43_walk_embedding_ann,
+    )
+
+    corpus = g40_walk_corpus(spark, SF_CORRECT).collect()
+    walks: dict = {}
+    for r in corpus:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    hw: Counter = Counter()
+    for steps in walks.values():
+        for s, u in steps.items():
+            for d in range(-PPMI_WINDOW, PPMI_WINDOW + 1):
+                if d == 0:
+                    continue
+                v = steps.get(s + d)
+                if v is not None and v != u:
+                    hw[(u, v % EMB_BUCKETS)] += 1
+    vecs: dict = {}
+    for (tok, bucket), c in hw.items():
+        vecs.setdefault(tok, np.zeros(EMB_BUCKETS))[bucket] += 0  # ensure key
+        vecs[tok][bucket] = math.log(1.0 + c)
+    mtot: Counter = Counter()
+    for (tok, _), c in hw.items():
+        mtot[tok] += c
+    qt = min(mtot, key=lambda k: (-mtot[k], k))
+    qv = vecs[qt]
+    scored = []
+    for tok, v in vecs.items():
+        if tok == qt or np.count_nonzero(v) < EMB_MIN_BUCKETS:
+            continue
+        cos = float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+        scored.append((round(cos, 6), tok))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    expect = [(tok, cos) for cos, tok in scored[:EMB_TOP_K]]
+    got = [
+        (r["node_id"], r["cos_sim"])
+        for r in g43_walk_embedding_ann(spark, SF_CORRECT).collect()
+    ]
+    assert [t for t, _ in got] == [t for t, _ in expect]
+    for (tg, cg), (te, ce) in zip(got, expect):
+        assert cg == pytest.approx(ce, abs=2e-6), (tg, te)
+
+
+def test_g44_fixpoint_matches_python_bfs(spark):
+    """g44's converged distances vs a plain python BFS over the
+    collected symmetric doc↔keyword graph — and the whole-graph
+    eccentricity stays under G44_ORACLE_DEPTH with margin, so the
+    oracle's unroll depth is proven, not assumed."""
+    from collections import deque
+
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.analytics_queries import (
+        G44_ORACLE_DEPTH,
+        _citation_edges,
+        g44_reach_fixpoint,
+    )
+
+    edges = _citation_edges(spark, SF_CORRECT).collect()
+    adj: dict = {}
+    for r in edges:
+        adj.setdefault(r["src"], []).append(r["dst"])
+        adj.setdefault(r["dst"], []).append(r["src"])
+    source = min(r["src"] for r in edges)
+    dist = {source: 0}
+    dq = deque([source])
+    while dq:
+        u = dq.popleft()
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    assert max(dist.values()) < G44_ORACLE_DEPTH  # unroll-depth margin
+    got = {
+        r["node_id"]: r["dist"] for r in g44_reach_fixpoint(spark, SF_CORRECT).collect()
+    }
+    assert got == dist
+
+
+def test_g45_estimator_matches_python_reference(spark):
+    """g45's every shipped number replayed in python from the collected
+    co-publication pairs: the seeded edge hash, both triangle counts
+    (itertools over adjacency sets), and the 8× scale-up identity."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.analytics_queries import (
+        TRI_HASH_MOD,
+        TRI_KEEP_LT,
+        TRI_KNUTH,
+        g45_sampled_triangles,
+    )
+
+    pairs = {
+        (r["src"], r["dst"]) for r in _copub_pairs(spark, SF_CORRECT).collect()
+    }
+
+    def keep(e):
+        folded = ((e[0] % TRI_HASH_MOD) * 31 + (e[1] % TRI_HASH_MOD)) % TRI_HASH_MOD
+        return folded * TRI_KNUTH % TRI_HASH_MOD < TRI_KEEP_LT
+
+    sampled = {e for e in pairs if keep(e)}
+
+    def tri_count(es):
+        nbr: dict = {}
+        for a, b in es:
+            nbr.setdefault(a, set()).add(b)
+        return sum(
+            1
+            for a, b in es
+            for c in nbr.get(b, ())
+            if c in nbr.get(a, ())
+        )
+
+    row = g45_sampled_triangles(spark, SF_CORRECT).first()
+    assert row["n_edges"] == len(pairs)
+    assert row["n_sampled"] == len(sampled)
+    assert row["exact_triangles"] == tri_count(pairs)
+    assert row["sampled_triangles"] == tri_count(sampled)
+    assert row["est_triangles"] == row["sampled_triangles"] * 8.0
+    assert 0 < row["n_sampled"] < row["n_edges"]  # the sample is real
