@@ -1187,6 +1187,52 @@ EMB_MIN_BUCKETS = 3  # candidate density floor (≥3 distinct context buckets)
 EMB_TOP_K = 10
 
 
+def _walk_hashed_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tok, nbuckets, mtot, emb): ONE definition of the walk-derived
+    hashed-context embedding for every consumer (g43 ANN, g46 PCA) —
+    per corpus node, a dense EMB_BUCKETS-dim array with ln(1+count)
+    weights at bucket = pmod(context node, EMB_BUCKETS), context being
+    the nodes ≤PPMI_WINDOW steps away within a walk (self excluded).
+    Materialized here (localCheckpoint): every consumer reads it at
+    least twice (query election + corpus scan; Gram fold +
+    projection)."""
+    corpus = g40_walk_corpus(spark, sf_dir)
+    a = corpus.select(
+        F.col("walk_id").alias("w"), F.col("step").alias("sa"), F.col("node").alias("tok")
+    )
+    bb = corpus.select(
+        F.col("walk_id").alias("w"), F.col("step").alias("sb"), F.col("node").alias("ctx")
+    )
+    ev = (
+        a.join(bb, "w")
+        .filter(
+            F.abs(F.col("sb") - F.col("sa")).between(1, PPMI_WINDOW)
+            & (F.col("tok") != F.col("ctx"))
+        )
+        .select("tok", F.pmod(F.col("ctx"), F.lit(EMB_BUCKETS)).cast("int").alias("bucket"))
+    )
+    hw = ev.groupBy("tok", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        hw.select("tok", "bucket", F.log(F.lit(1.0) + F.col("c")).alias("wt"), "c")
+        .groupBy("tok")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("bucket", "wt"))).alias("m"),
+            F.count(F.lit(1)).alias("nbuckets"),
+            F.sum("c").alias("mtot"),
+        )
+        .select(
+            "tok",
+            "nbuckets",
+            "mtot",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(EMB_BUCKETS - 1)),
+                lambda j: F.coalesce(F.element_at(F.col("m"), j), F.lit(0.0)),
+            ).alias("emb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def g43_walk_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Walks → embeddings → ANN, end to end: each walk-corpus node gets
     a DENSE hashed-context embedding (context node → bucket = pmod(ctx,
@@ -1209,41 +1255,7 @@ def g43_walk_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     to hashed buckets, one groupBy assembling ≤EMB_BUCKETS-entry maps,
     then a broadcast-1-row scan — the brute path; the IVF/PQ stack
     (a02-a12) is the documented scale route for the corpus side."""
-    corpus = g40_walk_corpus(spark, sf_dir)
-    a = corpus.select(
-        F.col("walk_id").alias("w"), F.col("step").alias("sa"), F.col("node").alias("tok")
-    )
-    bb = corpus.select(
-        F.col("walk_id").alias("w"), F.col("step").alias("sb"), F.col("node").alias("ctx")
-    )
-    ev = (
-        a.join(bb, "w")
-        .filter(
-            F.abs(F.col("sb") - F.col("sa")).between(1, PPMI_WINDOW)
-            & (F.col("tok") != F.col("ctx"))
-        )
-        .select("tok", F.pmod(F.col("ctx"), F.lit(EMB_BUCKETS)).cast("int").alias("bucket"))
-    )
-    hw = ev.groupBy("tok", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    vecs = (
-        hw.select("tok", "bucket", F.log(F.lit(1.0) + F.col("c")).alias("wt"), "c")
-        .groupBy("tok")
-        .agg(
-            F.map_from_entries(F.collect_list(F.struct("bucket", "wt"))).alias("m"),
-            F.count(F.lit(1)).alias("nbuckets"),
-            F.sum("c").alias("mtot"),
-        )
-        .select(
-            "tok",
-            "nbuckets",
-            "mtot",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(EMB_BUCKETS - 1)),
-                lambda j: F.coalesce(F.element_at(F.col("m"), j), F.lit(0.0)),
-            ).alias("emb"),
-        )
-        .localCheckpoint(eager=True)  # consumed twice: query row + corpus scan
-    )
+    vecs = _walk_hashed_vecs(spark, sf_dir)
     qrow = (
         vecs.orderBy(F.desc("mtot"), "tok")
         .limit(1)
@@ -1434,7 +1446,98 @@ FROM ex, sx
 )
 
 
+# ----------------------------- g46 walk-embedding PCA ---------------------
+
+def g46_walk_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-training step over the walk corpus — the
+    closed-form counterpart of skip-gram training: factorize the
+    hashed-context matrix by its top principal component
+    (`operators/pca.py`'s one-pass distributed Gram fold + driver
+    eigensolve), completing walks → context vectors → trained
+    projection.  Gated with the a09 contract pattern: exact
+    SQL-checkable covariance facts (corpus size, trace, max
+    per-dimension variance over the DENSE vectors, zeros included) plus
+    three theorem booleans the oracle pins to literal TRUE —
+    λ1 ≥ max diagonal (Rayleigh), 0 < λ1/trace ≤ 1, and the JVM-side
+    projection's population variance realizing λ1 (the end-to-end
+    Gram-fold/eigensolve/projection agreement check).
+
+    Scale shape: the corpus self-join and bucket fold are g43's; the
+    PCA adds one mapInPandas pass emitting a d×d partial PER PARTITION
+    (d = EMB_BUCKETS, independent of row count) and a ≤num-partitions
+    driver fold."""
+    import numpy as np
+
+    from ..operators.pca import pca_top_component, project_scores
+
+    vecs = _walk_hashed_vecs(spark, sf_dir)
+    n, cov, lam, v = pca_top_component(vecs, vec_col="emb")
+    trace = float(np.trace(cov))
+    top_dim = float(np.max(np.diag(cov)))
+    proj_var = (
+        project_scores(vecs, v, vec_col="emb")
+        .agg(F.var_pop("score").alias("v"))
+        .first()["v"]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                round(trace, 4),
+                round(top_dim, 4),
+                bool(lam >= top_dim - 1e-12),
+                bool(0.0 < lam / trace <= 1.0),
+                bool(abs(proj_var - lam) <= 1e-9 * trace),
+            )
+        ],
+        "n long, trace double, top_dim_var double, pc1_captures_top_dim boolean,"
+        " explained_ratio_valid boolean, projection_realizes_lambda1 boolean",
+    )
+
+
+G46_SQL = (
+    _WALK_CTES
+    + f""",
+corpus AS ({_WALK_CORPUS_UNION}),
+ev2 AS (
+  SELECT a.node AS tok, b.node AS ctx
+  FROM corpus a JOIN corpus b
+    ON a.walk_id = b.walk_id
+   AND abs(b.step - a.step) BETWEEN 1 AND {PPMI_WINDOW}
+   AND a.node <> b.node),
+hw AS (SELECT tok, ((ctx % {EMB_BUCKETS}) + {EMB_BUCKETS}) % {EMB_BUCKETS} AS bucket,
+              count(*) AS c
+       FROM ev2 GROUP BY 1, 2),
+w AS (SELECT tok, bucket, ln(1.0 + c) AS wt FROM hw),
+toks AS (SELECT DISTINCT tok FROM hw),
+buckets AS (SELECT range AS bucket FROM range({EMB_BUCKETS})),
+dense AS (
+  SELECT t.tok, b.bucket, coalesce(w.wt, 0.0) AS x
+  FROM toks t CROSS JOIN buckets b
+  LEFT JOIN w ON w.tok = t.tok AND w.bucket = b.bucket),
+dimvar AS (SELECT bucket, var_pop(x) AS v FROM dense GROUP BY bucket)
+SELECT (SELECT count(*) FROM toks)::BIGINT AS n,
+       round(sum(v), 4) AS trace,
+       round(max(v), 4) AS top_dim_var,
+       TRUE AS pc1_captures_top_dim,
+       TRUE AS explained_ratio_valid,
+       TRUE AS projection_realizes_lambda1
+FROM dimvar
+"""
+)
+
+
 SPECS = [
+    QuerySpec(
+        name="g46_walk_embedding_pca",
+        fn=g46_walk_embedding_pca,
+        oracle=G46_SQL,
+        category="analytics",
+        description="embedding training over the walk corpus: top-PC "
+        "factorization of the hashed-context matrix (one-pass Gram fold, "
+        "driver eigensolve) with the a09 contract — exact covariance "
+        "facts SQL-checked, eigensolve theorems pinned TRUE",
+    ),
     QuerySpec(
         name="g41_distributed_components",
         fn=g41_distributed_components,

@@ -1396,3 +1396,29 @@ def test_g45_estimator_matches_python_reference(spark):
     assert row["sampled_triangles"] == tri_count(sampled)
     assert row["est_triangles"] == row["sampled_triangles"] * 8.0
     assert 0 < row["n_sampled"] < row["n_edges"]  # the sample is real
+
+
+def test_g46_pca_contract_matches_numpy_reference(spark):
+    """g46's shipped facts and theorem booleans replayed with a dense
+    numpy covariance + eigensolve over the collected walk vectors —
+    independent of both pca.py's Gram fold and the SQL oracle."""
+    import numpy as np
+
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.analytics_queries import (
+        _walk_hashed_vecs,
+        g46_walk_embedding_pca,
+    )
+
+    x = np.array(
+        [r["emb"] for r in _walk_hashed_vecs(spark, SF_CORRECT).collect()]
+    )
+    cov = np.cov(x, rowvar=False, bias=True)
+    lam = float(np.linalg.eigvalsh(cov)[-1])
+    row = g46_walk_embedding_pca(spark, SF_CORRECT).first()
+    assert row["n"] == x.shape[0]
+    assert row["trace"] == pytest.approx(float(np.trace(cov)), abs=1e-3)
+    assert row["top_dim_var"] == pytest.approx(float(np.max(np.diag(cov))), abs=1e-3)
+    assert lam >= float(np.max(np.diag(cov))) - 1e-12  # the Rayleigh theorem
+    assert row["pc1_captures_top_dim"] is True
+    assert row["explained_ratio_valid"] is True
+    assert row["projection_realizes_lambda1"] is True
