@@ -825,3 +825,53 @@ def test_a11_filter_pushed_to_candidate_scan(spark):
     ), plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_g43_embedding_ann_single_exchange_broadcast_query(spark):
+    """g43: after the vector frame materializes, the ANN scan is ONE
+    exchange (the top-k ordering) with the 1-row query entering via a
+    broadcast nested-loop join — the corpus side is never shuffled to
+    meet the query, and no Python row evaluation anywhere (the cosine
+    is a JVM aggregate fold)."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.analytics_queries import (
+        g43_walk_embedding_ann,
+    )
+
+    plan = _plan(g43_walk_embedding_ann(spark, SF_CORRECT))
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # TakeOrdered needs no total sort
+
+
+def test_g45_sample_filter_is_map_side_and_crossjoins_broadcast(spark):
+    """g45: the seeded-hash sampling predicate runs as a map-side
+    Filter on the checkpointed edge frame BEFORE any wedge join (the
+    DOULION cost dial — the join works on the p-fraction), and the
+    only nested-loop joins are the three broadcast 1-row contract
+    assemblies, never a real cartesian."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.analytics_queries import (
+        g45_sampled_triangles,
+    )
+
+    plan = _plan(g45_sampled_triangles(spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 3, plan
+    assert "pmod" in plan and "Filter" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_g42_ppmi_stays_jvm_side(spark):
+    """g42: pair counting, marginals, and the PPMI expression are all
+    JVM column expressions over the checkpointed pair frame — no
+    Python evaluation, no cartesian; the 1-row total enters via a
+    broadcast nested-loop join."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.analytics_queries import (
+        g42_walk_ppmi_collocations,
+    )
+
+    plan = _plan(g42_walk_ppmi_collocations(spark, SF_CORRECT))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
