@@ -99,3 +99,34 @@ def test_normalize_plan_strips_session_variance():
     b = "Filter (n_chars#7L > 10)\n+- Relation[doc_id#6L] parquet file:/tmp/z9/part-99887766fab01234"
     assert normalize_plan(a) == normalize_plan(b)
     assert normalize_plan("a#1 > b#2") != normalize_plan("a#1 < b#2")
+
+
+def test_bench_contract_line_fits_driver_capture():
+    """The driver records only the LAST 2000 chars of bench stdout
+    (BENCH_r10–r12 were unparseable because the line outgrew it; fixed
+    r13 by moving runs/env to the BENCH_DETAIL sidecar).  Adding bench
+    entries silently re-grows the line, so pin it structurally: the
+    contract JSON with every current bench spec at worst-case width
+    must stay well under the capture with headroom."""
+    import json
+
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.registry import (
+        all_specs,
+    )
+
+    queries = {s.name: 9999.9999 for s in all_specs() if s.bench}
+    # bench.py appends the two incremental-maintenance pairs on top of
+    # the flagged specs — account for them at the same worst-case width
+    for extra in ("p03_delta_refresh", "p03_full_rebuild", "d45_delta_dedup", "d45_full_dedup"):
+        queries[extra] = 9999.9999
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": 99999.9999,
+            "unit": "sec",
+            "queries": queries,
+            "sf": 0.1,
+        }
+    )
+    assert len(queries) >= 28  # the headline set is real
+    assert len(line) < 1900, (len(line), "bench stdout line nearing the driver's 2000-char capture")
