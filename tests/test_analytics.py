@@ -1422,3 +1422,20 @@ def test_g46_pca_contract_matches_numpy_reference(spark):
     assert row["pc1_captures_top_dim"] is True
     assert row["explained_ratio_valid"] is True
     assert row["projection_realizes_lambda1"] is True
+
+
+def test_g44_empty_graph_yields_typed_zero_rows(spark, monkeypatch):
+    """g44's None-source guard, exercised for real (the g27/g34
+    discipline): the citation base table is non-empty by fixture
+    contract, but the guard must still short-circuit to a typed empty
+    frame — not a ValueError from bfs_distances — if the edge builder
+    ever returns nothing."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans import (
+        analytics_queries as aq,
+    )
+
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    monkeypatch.setattr(aq, "_citation_edges", lambda s, d: empty_edges)
+    g44 = aq.g44_reach_fixpoint(spark, SF_CORRECT)
+    assert g44.schema.simpleString() == "struct<node_id:bigint,dist:int>"
+    assert g44.count() == 0
