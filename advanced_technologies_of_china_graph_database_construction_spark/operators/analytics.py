@@ -677,6 +677,61 @@ def bfs_distances(
     return dist.filter(F.col("dist").isNotNull())
 
 
+def shortest_path_counts(
+    edges: DataFrame, source, max_hops: int = 4
+) -> DataFrame:
+    """(node, dist, sigma): BFS layer plus the NUMBER of distinct
+    shortest paths from ``source`` (Brandes' forward pass σ — the
+    building block of betweenness centrality, and the quantity its
+    sampling estimators accumulate at scale).  Directed edges; pass a
+    symmetrized list for undirected counting.
+
+    Layered accumulation over the :func:`bfs_distances` table: layer k
+    receives σ(v) = Σ σ(u) over edges u→v with dist(u)=k−1 and
+    dist(v)=k — every shortest path to v extends a shortest path to
+    some predecessor, each exactly once, so the count is exact and
+    INTEGER end to end (no float mass anywhere, unlike pagerank).
+
+    Scale shape: one fixed-hop BFS (two shuffles per round), then per
+    layer ONE frontier⋈edges join + map-side-combinable sum — the
+    frontier is layer-sized, the |E| side keeps the same scatter-key
+    cache layout bfs_distances uses, and the layer-membership probe
+    joins the checkpointed dist table on dst.  Nothing quadratic: σ is
+    a per-node int64, never a path enumeration.
+    """
+    dist = bfs_distances(edges, source, max_hops).localCheckpoint(eager=True)
+    e = edges.select("src", "dst").repartition("src").persist()
+    e.count()
+    sig = (
+        dist.filter(F.col("dist") == 0)
+        .select("node", F.lit(1).cast("long").alias("sigma"))
+        .localCheckpoint(eager=True)
+    )
+    out = [sig.select("node", F.lit(0).alias("dist"), "sigma")]
+    prev = sig
+    try:
+        for k in range(1, max_hops + 1):
+            layer_k = dist.filter(F.col("dist") == k).select(
+                F.col("node").alias("dst")
+            )
+            nxt = (
+                e.join(prev.withColumnRenamed("node", "src"), "src")
+                .join(layer_k, "dst")
+                .groupBy("dst")
+                .agg(F.sum("sigma").alias("sigma"))
+                .select(F.col("dst").alias("node"), "sigma")
+                .localCheckpoint(eager=True)
+            )
+            out.append(nxt.select("node", F.lit(k).alias("dist"), "sigma"))
+            prev = nxt
+    finally:
+        e.unpersist()
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
 def multi_source_bfs(
     edges: DataFrame, sources: list, max_hops: int = 4, mode: str = "dense"
 ) -> DataFrame:

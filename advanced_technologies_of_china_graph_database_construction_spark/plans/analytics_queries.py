@@ -1527,7 +1527,132 @@ FROM dimvar
 )
 
 
+# ----------------------------- g47 shortest-path counting -----------------
+
+def g47_shortest_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path counting (Brandes' forward pass σ) from the
+    smallest document over the symmetric doc↔keyword graph, ≤MAX_HOPS
+    layers — the betweenness-centrality building block, integer-exact
+    end to end (the quantity is a COUNT, so unlike the rank vectors
+    there is no float rounding anywhere in the gate).  The oracle
+    unrolls the BFS layers (g27-style) and then one σ-accumulation CTE
+    per layer; sums are BIGINT-cast (the d46 HUGEINT rule)."""
+    from ..operators.analytics import shortest_path_counts
+
+    edges = _citation_edges(spark, sf_dir).localCheckpoint(eager=True)
+    source = edges.agg(F.min("src")).first()[0]
+    if source is None:
+        # base-table contract says non-empty; the g33 lesson stands
+        return spark.createDataFrame([], "node_id long, dist int, sigma long")
+    d = shortest_path_counts(symmetric_edges(edges), source, MAX_HOPS)
+    return d.select(F.col("node").alias("node_id"), "dist", "sigma")
+
+
+def _g47_sigma_cte(k: int) -> str:
+    return f"""
+sg{k} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
+  FROM sym e JOIN sg{k - 1} p ON e.src = p.node
+  JOIN d{MAX_HOPS} t ON t.node = e.dst AND t.dist = {k}
+  GROUP BY e.dst)
+"""
+
+
+G47_SQL = (
+    f"""
+WITH edges AS (
+  SELECT DISTINCT l_orderkey AS src, l_partkey + {KW_NODE_OFFSET} AS dst FROM lineitem),
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+d0 AS (
+  SELECT node, CASE WHEN node = (SELECT min(src) FROM edges) THEN 0 END AS dist
+  FROM nodes),"""
+    + ",".join(_g44_iter_ctes(k) for k in range(1, MAX_HOPS + 1))
+    + f""",
+sg0 AS (SELECT node, CAST(1 AS BIGINT) AS sigma FROM d{MAX_HOPS} WHERE dist = 0),"""
+    + ",".join(_g47_sigma_cte(k) for k in range(1, MAX_HOPS + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT node AS node_id, {k} AS dist, sigma FROM sg{k}"
+        for k in range(0, MAX_HOPS + 1)
+    )
+)
+
+
+# ----------------------------- g48 community supergraph -------------------
+
+def g48_community_supergraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community-coarsened supergraph — the contraction step of
+    multi-level graph processing (Louvain's phase 2, METIS coarsening):
+    collapse the co-publication graph onto its g23 LPA communities,
+    keeping per-(community, community) edge counts and total shared
+    weight; intra-community rows (comm1 = comm2) are the coarsened
+    self-loops the next level needs.  At 100 TB this is how iterative
+    algorithms escape |V|-sized supersteps: one labels join + one
+    aggregation produces a graph orders of magnitude smaller, and the
+    whole pipeline (LPA → contract) reuses the gated g23 rounds.
+    Empty copub graph (sf0.1) → empty supergraph, no driver lookups
+    anywhere."""
+    pairs = _copub_pairs(spark, sf_dir).localCheckpoint(eager=True)  # LPA + agg
+    labels = label_propagation(symmetric_edges(pairs), N_ITER)
+    l1 = labels.select(F.col("node").alias("src"), F.col("label").alias("lsrc"))
+    l2 = labels.select(F.col("node").alias("dst"), F.col("label").alias("ldst"))
+    return (
+        pairs.join(l1, "src")
+        .join(l2, "dst")
+        .select(
+            F.least("lsrc", "ldst").alias("comm1"),
+            F.greatest("lsrc", "ldst").alias("comm2"),
+            "shared",
+        )
+        .groupBy("comm1", "comm2")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum("shared").alias("total_shared"),
+        )
+    )
+
+
+G48_SQL = (
+    _G32_CTES
+    + """, edges AS (SELECT src, dst FROM wedges)
+, l0 AS (SELECT node, node AS label FROM nodes),"""
+    + ",".join(_lpa_iter_cte(k) for k in range(1, N_ITER + 1))
+    + f"""
+SELECT least(l1.label, l2.label) AS comm1,
+       greatest(l1.label, l2.label) AS comm2,
+       count(*) AS n_edges,
+       CAST(sum(p.w) AS BIGINT) AS total_shared
+FROM wpairs p
+JOIN l{N_ITER} l1 ON p.src = l1.node
+JOIN l{N_ITER} l2 ON p.dst = l2.node
+GROUP BY 1, 2
+"""
+)
+
+
 SPECS = [
+    QuerySpec(
+        name="g47_shortest_path_counts",
+        fn=g47_shortest_path_counts,
+        oracle=G47_SQL,
+        category="analytics",
+        description="shortest-path counting (Brandes forward-pass sigma) "
+        "from the smallest doc over the symmetric doc↔keyword graph — "
+        "the betweenness building block, integer-exact; oracle unrolls "
+        "BFS layers + one sigma-accumulation CTE per layer",
+    ),
+    QuerySpec(
+        name="g48_community_supergraph",
+        fn=g48_community_supergraph,
+        oracle=G48_SQL,
+        category="analytics",
+        description="community-coarsened supergraph (Louvain phase-2 "
+        "contraction): LPA labels fold the co-publication graph to "
+        "(community, community) edge counts + total shared weight, "
+        "intra-community self-loops kept; oracle reuses the unrolled "
+        "LPA rounds",
+    ),
     QuerySpec(
         name="g46_walk_embedding_pca",
         fn=g46_walk_embedding_pca,

@@ -35,22 +35,23 @@ PLAN_CHANGED_REGATE: set[str] = {
 }
 
 # r14 gate-budget note (written BEFORE the gate, per the r13 verdict's
-# sequencing rule).  Front of the r14 order: SIX new specs (g41
+# sequencing rule).  Front of the r14 order: EIGHT new specs (g41
 # distributed-CC — queued here since r12 — plus the new-surface band
 # g42 walk-PPMI collocations, g43 walk-embedding ANN, g44 fixpoint BFS,
-# g45 sampled triangles, g46 walk-embedding PCA), then the g34 pin
-# above (-0.5), then any drift pins scripts/plan_fingerprints.py
-# records on the final tree (expected: none — this round's fixes are
+# g45 sampled triangles, g46 walk-embedding PCA, g47 shortest-path
+# counting, g48 community supergraph), then the g34 pin above (-0.5),
+# then any drift pins scripts/plan_fingerprints.py records on the
+# final tree (expected: none — this round's non-additive changes are
 # doc/test/infra-only, and the g43 helper extraction was verified
 # fingerprint-identical), then the 26-spec r9 cohort (e06–e10,
 # t01–t04, m01/m02/m05/m06, n01–n05, n10/n11, g21–g23, g31–g33 — all
 # replica-proved at three SFs in r13, record-stale not evidence-stale).
-# 6 + 1 + 26 = 33 of 50 slots; the remaining ~17 roll into the 39-spec
+# 8 + 1 + 26 = 35 of 50 slots; the remaining ~15 roll into the 39-spec
 # r10 band, whose natural order reaches a08/a09 (the ANN family's
-# oldest records) within the first four.  Done-bar from the r13
-# verdict: nothing staler than r10 in CORRECTNESS_r14's union except
-# the r10 band's own tail, g34 green on the guarded tree, the six new
-# specs green.
+# oldest records) within the first four and a10 at fourteen.  Done-bar
+# from the r13 verdict: nothing staler than r10 in CORRECTNESS_r14's
+# union except the r10 band's own tail, g34 green on the guarded tree,
+# the eight new specs green.
 
 
 def effective_round(

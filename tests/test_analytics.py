@@ -1439,3 +1439,120 @@ def test_g44_empty_graph_yields_typed_zero_rows(spark, monkeypatch):
     g44 = aq.g44_reach_fixpoint(spark, SF_CORRECT)
     assert g44.schema.simpleString() == "struct<node_id:bigint,dist:int>"
     assert g44.count() == 0
+
+
+def test_g47_sigma_matches_python_reference(spark):
+    """g47's σ accumulation replayed in pure python (BFS layers +
+    predecessor-count sum) from the collected citation edges —
+    independent of both the operator's layer joins and the SQL
+    oracle's CTE unroll."""
+    from collections import deque
+
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.analytics_queries import (
+        MAX_HOPS,
+        _citation_edges,
+        g47_shortest_path_counts,
+    )
+
+    edges = _citation_edges(spark, SF_CORRECT).collect()
+    adj: dict = {}
+    for r in edges:
+        adj.setdefault(r["src"], set()).add(r["dst"])
+        adj.setdefault(r["dst"], set()).add(r["src"])
+    source = min(r["src"] for r in edges)
+    dist = {source: 0}
+    sigma = {source: 1}
+    dq = deque([source])
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= MAX_HOPS:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                sigma[v] = 0
+                dq.append(v)
+            if dist[v] == dist[u] + 1:
+                sigma[v] += sigma[u]
+    expect = {n: (dist[n], sigma[n]) for n in dist}
+    got = {
+        r["node_id"]: (r["dist"], r["sigma"])
+        for r in g47_shortest_path_counts(spark, SF_CORRECT).collect()
+    }
+    assert got == expect
+
+
+def test_g47_sigma_known_diamond(spark):
+    """σ on a known diamond-with-tail: two shortest paths merge at the
+    sink and extend — the multiplicity arithmetic pinned exactly."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import (
+        shortest_path_counts,
+        symmetric_edges,
+    )
+
+    #     1
+    #   /   \
+    #  0     3 - 4      plus a direct long way 0-5-6-3 (not shortest)
+    #   \   /
+    #     2
+    df = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (0, 5), (5, 6), (6, 3)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: (r["dist"], r["sigma"])
+        for r in shortest_path_counts(symmetric_edges(df), 0, 4).collect()
+    }
+    assert got == {
+        0: (0, 1),
+        1: (1, 1),
+        2: (1, 1),
+        5: (1, 1),
+        3: (2, 2),  # two shortest paths (via 1 and via 2); 0-5-6-3 is longer
+        6: (2, 1),
+        4: (3, 2),  # both inherit through 3
+    }
+
+
+def test_g48_supergraph_matches_python_lpa_replay(spark):
+    """g48 replayed fully in python: synchronous LPA (the gated g23
+    contract — in-neighbor majority, ties smallest, isolated keeps own)
+    over the collected co-publication pairs, then the contraction
+    aggregation; also pins the partition property (edge/weight totals
+    conserved)."""
+    from collections import Counter
+
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.analytics_queries import (
+        N_ITER,
+        _copub_pairs,
+        g48_community_supergraph,
+    )
+
+    pairs = [(r["src"], r["dst"], r["shared"]) for r in _copub_pairs(spark, SF_CORRECT).collect()]
+    sym = [(a, b) for a, b, _ in pairs] + [(b, a) for a, b, _ in pairs]
+    nodes = {a for a, _ in sym} | {b for _, b in sym}
+    label = {n: n for n in nodes}
+    for _ in range(N_ITER):
+        nxt = {}
+        inbound: dict = {}
+        for a, b in sym:
+            inbound.setdefault(b, []).append(label[a])
+        for n in nodes:
+            labs = inbound.get(n)
+            if not labs:
+                nxt[n] = label[n]
+            else:
+                c = Counter(labs)
+                nxt[n] = min(c, key=lambda l: (-c[l], l))
+        label = nxt
+    expect: dict = {}
+    for a, b, w in pairs:
+        k = (min(label[a], label[b]), max(label[a], label[b]))
+        n, t = expect.get(k, (0, 0))
+        expect[k] = (n + 1, t + w)
+    rows = g48_community_supergraph(spark, SF_CORRECT).collect()
+    got = {(r["comm1"], r["comm2"]): (r["n_edges"], r["total_shared"]) for r in rows}
+    assert got == expect
+    # contraction conserves edges and weight
+    assert sum(n for n, _ in got.values()) == len(pairs)
+    assert sum(t for _, t in got.values()) == sum(w for _, _, w in pairs)
