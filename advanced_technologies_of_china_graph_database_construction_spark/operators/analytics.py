@@ -691,6 +691,11 @@ def shortest_path_counts(
     dist(v)=k — every shortest path to v extends a shortest path to
     some predecessor, each exactly once, so the count is exact and
     INTEGER end to end (no float mass anywhere, unlike pagerank).
+    Duplicate input edges are collapsed up front (σ is a simple-graph
+    quantity; a duplicated edge would silently double every count
+    routed through it — the k_truss/connected_components distinct
+    convention, where the min-fold faces are naturally dup-immune but
+    a SUM is not).
 
     Scale shape: one fixed-hop BFS (two shuffles per round), then per
     layer ONE frontier⋈edges join + map-side-combinable sum — the
@@ -700,7 +705,7 @@ def shortest_path_counts(
     a per-node int64, never a path enumeration.
     """
     dist = bfs_distances(edges, source, max_hops).localCheckpoint(eager=True)
-    e = edges.select("src", "dst").repartition("src").persist()
+    e = edges.select("src", "dst").distinct().repartition("src").persist()
     e.count()
     sig = (
         dist.filter(F.col("dist") == 0)

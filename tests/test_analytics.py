@@ -1556,3 +1556,61 @@ def test_g48_supergraph_matches_python_lpa_replay(spark):
     # contraction conserves edges and weight
     assert sum(n for n, _ in got.values()) == len(pairs)
     assert sum(t for _, t in got.values()) == sum(w for _, _, w in pairs)
+
+
+def test_sigma_matches_python_on_random_graphs(spark):
+    """The r13 random-reference discipline (structured fixtures mask
+    leak shapes) applied to shortest_path_counts: exact σ vs a python
+    layered BFS on random directed AND symmetrized graphs, including
+    nodes unreachable within the hop budget and multi-predecessor
+    merges."""
+    import random as _random
+    from collections import deque
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import (
+        shortest_path_counts,
+        symmetric_edges,
+    )
+
+    def ref(edge_list, source, max_hops):
+        adj: dict = {}
+        for a, b in edge_list:
+            adj.setdefault(a, set()).add(b)
+        dist = {source: 0}
+        sigma = {source: 1}
+        dq = deque([source])
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= max_hops:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    sigma[v] = 0
+                    dq.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+        return {n: (dist[n], sigma[n]) for n in dist}
+
+    for seed, n, m, hops in ((0, 14, 30, 3), (1, 10, 18, 4), (2, 22, 70, 4)):
+        rnd = _random.Random(seed)
+        pairs: set = set()
+        while len(pairs) < m:
+            a, b = rnd.randrange(n), rnd.randrange(n)
+            if a != b:
+                pairs.add((a, b))
+        edge_list = sorted(pairs)
+        df = spark.createDataFrame(edge_list, "src long, dst long")
+        # directed
+        got = {
+            r["node"]: (r["dist"], r["sigma"])
+            for r in shortest_path_counts(df, 0, hops).collect()
+        }
+        assert got == ref(edge_list, 0, hops), (seed, "directed")
+        # symmetrized
+        sym_list = edge_list + [(b, a) for a, b in edge_list]
+        got_s = {
+            r["node"]: (r["dist"], r["sigma"])
+            for r in shortest_path_counts(symmetric_edges(df), 0, hops).collect()
+        }
+        assert got_s == ref(sym_list, 0, hops), (seed, "sym")
