@@ -1294,10 +1294,14 @@ q AS (SELECT tok AS qt FROM nb ORDER BY m DESC, tok LIMIT 1),
 qv AS (SELECT bucket, wt FROM w, q WHERE w.tok = q.qt),
 dots AS (SELECT w.tok, sum(w.wt * qv.wt) AS dp FROM w JOIN qv USING (bucket) GROUP BY w.tok),
 norms AS (SELECT tok, sqrt(sum(wt * wt)) AS nr FROM w GROUP BY tok),
-qn AS (SELECT sqrt(sum(wt * wt)) AS nq FROM qv)
-SELECT d.tok AS node_id, round(d.dp / (n.nr * qn.nq), 6) AS cos_sim
-FROM dots d JOIN norms n USING (tok) JOIN nb ON nb.tok = d.tok, qn, q
-WHERE d.tok <> q.qt AND nb.nbuckets >= {EMB_MIN_BUCKETS}
+qn AS (SELECT sqrt(sum(wt * wt)) AS nq FROM qv),
+-- candidate set from nb, NOT from dots: a candidate sharing NO bucket
+-- with the query has no dots row but the Spark plan computes cosine
+-- 0.0 for it and can ship it in the top-k tail — LEFT JOIN + coalesce
+-- keeps the two engines membership-identical (r14 ADVICE item)
+cand AS (SELECT nb.tok FROM nb, q WHERE nb.tok <> q.qt AND nb.nbuckets >= {EMB_MIN_BUCKETS})
+SELECT c.tok AS node_id, round(coalesce(d.dp, 0.0) / (n.nr * qn.nq), 6) AS cos_sim
+FROM cand c LEFT JOIN dots d ON d.tok = c.tok JOIN norms n ON n.tok = c.tok, qn
 ORDER BY cos_sim DESC, node_id LIMIT {EMB_TOP_K}
 """
 )
@@ -1367,7 +1371,9 @@ d0 AS (
 
 # Deterministic edge sampling for the triangle estimator: keep an edge
 # iff its seeded hash (the selection.py fold-then-Knuth-multiply form,
-# overflow-safe for any int64 ids) lands below 2^30 of HASH_MOD =
+# overflow-safe for any int64 ids — the SQL mirror applies the
+# ((x % M) + M) % M correction on the innermost mods so negative ids
+# hash identically in both engines) lands below 2^30 of HASH_MOD =
 # 2^31-1 — nominal keep rate p = 1/2 (true rate 2^30/(2^31-1), within
 # 2.4e-10 of nominal; the estimator uses the NOMINAL 1/p³ = 8 so both
 # engines ship bit-identical integers × 8.0, never a libm pow()).
@@ -1425,9 +1431,14 @@ G45_SQL = (
     _GRAPH_CTES
     + f""",
 sampled AS (
+  -- pmod-equivalent for ANY int64 id: DuckDB's % takes the dividend's
+  -- sign, so the innermost src/dst mods get the ((x % M) + M) % M
+  -- correction (the g43 bucket-hash pattern); the outer layers operate
+  -- on non-negative values where % and Spark's pmod agree (r14 ADVICE)
   SELECT src, dst FROM pairs
-  WHERE ((((src % {TRI_HASH_MOD}) * 31 + (dst % {TRI_HASH_MOD})) % {TRI_HASH_MOD})
-         * {TRI_KNUTH}) % {TRI_HASH_MOD} < {TRI_KEEP_LT}),
+  WHERE ((((((src % {TRI_HASH_MOD}) + {TRI_HASH_MOD}) % {TRI_HASH_MOD}) * 31
+          + (((dst % {TRI_HASH_MOD}) + {TRI_HASH_MOD}) % {TRI_HASH_MOD}))
+         % {TRI_HASH_MOD}) * {TRI_KNUTH}) % {TRI_HASH_MOD} < {TRI_KEEP_LT}),
 ex AS (
   SELECT count(*) AS exact_triangles
   FROM pairs p12 JOIN pairs p23 ON p12.dst = p23.src

@@ -25,33 +25,34 @@ from .spec import QuerySpec
 # genuinely never-gated ones (a spec with no green row at all is the
 # bigger unknown) but BEFORE all green ones — see effective_round().
 PLAN_CHANGED_REGATE: set[str] = {
-    # r14: g34's only driver record (r10) predates the r13 empty-at-
-    # sf0.1 typed-frame guard (analytics_queries.py g34), and the
-    # fingerprint mechanism structurally cannot flag it — at sf0.01 the
-    # copub graph is non-empty, so the EXECUTED plan never changed.
-    # This is exactly the manual-override class this set exists for.
-    # Remove once CORRECTNESS_r14 records it green.
-    "g34_weighted_reach_distances",
+    # r15: g43's and g45's ORACLES changed after their r14 green rows
+    # (r14 ADVICE: g43's candidate set now LEFT JOINs dots so
+    # zero-bucket-overlap candidates ship cos 0.0 exactly as the Spark
+    # plan does; g45's SQL sampling hash gained the pmod correction for
+    # negative ids).  The Spark plans are untouched — fingerprints
+    # structurally cannot flag an oracle-only contract change, which is
+    # exactly the manual-override class this set exists for.  Remove
+    # once CORRECTNESS_r15 records them green.
+    "g43_walk_embedding_ann",
+    "g45_sampled_triangles",
 }
 
-# r14 gate-budget note (written BEFORE the gate, per the r13 verdict's
-# sequencing rule).  Front of the r14 order: EIGHT new specs (g41
-# distributed-CC — queued here since r12 — plus the new-surface band
-# g42 walk-PPMI collocations, g43 walk-embedding ANN, g44 fixpoint BFS,
-# g45 sampled triangles, g46 walk-embedding PCA, g47 shortest-path
-# counting, g48 community supergraph), then the g34 pin above (-0.5),
-# then any drift pins scripts/plan_fingerprints.py records on the
-# final tree (expected: none — this round's non-additive changes are
-# doc/test/infra-only, and the g43 helper extraction was verified
-# fingerprint-identical), then the 26-spec r9 cohort (e06–e10,
-# t01–t04, m01/m02/m05/m06, n01–n05, n10/n11, g21–g23, g31–g33 — all
-# replica-proved at three SFs in r13, record-stale not evidence-stale).
-# 8 + 1 + 26 = 35 of 50 slots; the remaining ~15 roll into the 39-spec
-# r10 band, whose natural order reaches a08/a09 (the ANN family's
-# oldest records) within the first four and a10 at fourteen.  Done-bar
-# from the r13 verdict: nothing staler than r10 in CORRECTNESS_r14's
-# union except the r10 band's own tail, g34 green on the guarded tree,
-# the eight new specs green.
+# r15 gate-budget note (written BEFORE the gate, per the sequencing
+# rule established in r13).  Front of the r15 order: the NEW specs
+# (g49 betweenness centrality — Brandes backward pass over g47's
+# layered σ table — and g50 one-level Louvain refine on the g48
+# supergraph), then the g43/g45 oracle-change pins above (-0.5), then
+# any drift pins scripts/plan_fingerprints.py records on the final
+# tree (expected: new specs only), then the 23-spec r10 band (e18–e23,
+# e25, i05, m07–m09, s08–s12, g37, p03, q18–q22 — all replica-proved
+# at three SFs in r14, record-stale not evidence-stale), then the
+# 47-spec r11 band's front in declaration order: er08 + er01–er07 (the
+# reference's distinctive ER core, per the r14 verdict's priority),
+# d29/d30/d28/d18, m10, n06, g38, g24, s03–s06, p02, q01….  2 new + 2
+# pins + 23 + ~23 = 50 slots; the r11 tail (including g01–g09) rolls
+# to r16.  Done-bar from the r14 verdict: nothing staler than r11 in
+# CORRECTNESS_r15's union except the r11 band's own tail, the new
+# specs green, g43/g45 re-green on the corrected oracles.
 
 
 def effective_round(

@@ -52,9 +52,9 @@ def main() -> None:
     max_exp = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     spark = get_spark("cc-rounds-probe")
     print(f"{'chain length':>14s} {'rounds':>7s} {'wall_s':>8s}")
-    for k in [6, 10, 14, 17, max_exp]:
-        if k > max_exp:
-            break
+    # dedupe + cap so chains up to max_exp actually run (a plain list
+    # broke for max_exp in 15..19 and double-ran 6/10/14/17 — r14 ADVICE)
+    for k in sorted({k for k in (6, 10, 14, 17, max_exp) if k <= max_exp}):
         n = 1 << k
         chain = spark.range(1, n).select(
             F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
