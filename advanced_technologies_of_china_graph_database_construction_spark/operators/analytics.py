@@ -864,6 +864,104 @@ def multi_source_bfs(
     return dist.filter(F.col("dist").isNotNull())
 
 
+def brandes_dependencies(
+    edges: DataFrame, sources: list, max_hops: int = 4
+) -> DataFrame:
+    """(seed, node, dist, sigma, delta): Brandes' betweenness
+    dependency accumulation from a landmark seed set — the BACKWARD
+    pass completing :func:`shortest_path_counts`' forward σ into the
+    centrality score a user actually asks for ("which keyword bridges
+    the most shortest paths" — the reference's co-occurrence workload
+    `Q.txt:49-55` extended one step).  Hop-bounded (distance-bounded
+    betweenness): both passes run exactly ``max_hops`` layers, so the
+    quantity is betweenness restricted to shortest paths of length
+    ≤ max_hops — the standard landmark estimator at 100 TB scale,
+    where exact betweenness is O(|V|·|E|) and the sampling literature
+    (Brandes–Pich, Riondato–Kornaropoulos) accumulates exactly this
+    per-seed dependency from a seed sample.
+
+    Forward: multi-source sparse BFS (one |E| touch per round for ALL
+    seeds), then per layer k ONE edges⋈σ join keyed by (seed, dst) —
+    σ(v) = Σ σ(u) over dist-(k−1) predecessors, integer-exact.
+    Backward: per layer k (deepest first) ONE edges⋈(σ,δ) join —
+    δ(v) = Σ_{w: dist(w)=k+1, v→w} σ(v)/σ(w)·(1+δ(w)) — layer-sized
+    frontiers, map-side-combinable sums, float δ over exact int64 σ.
+
+    Duplicate input edges are collapsed up front (σ and δ are SUMS,
+    not dup-immune min-folds — the shortest_path_counts convention).
+    The |E| frame is persisted src-partitioned once and reused by
+    every forward and backward round.
+    """
+    dist = multi_source_bfs(edges, sources, max_hops, mode="sparse").localCheckpoint(
+        eager=True
+    )
+    e = edges.select("src", "dst").distinct().repartition("src").persist()
+    e.count()
+    try:
+        sig = (
+            dist.filter(F.col("dist") == 0)
+            .select("seed", "node", F.lit(1).cast("long").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        layers = [sig]  # index k → (seed, node, sigma) of the dist-k layer
+        prev = sig
+        for k in range(1, max_hops + 1):
+            layer_k = dist.filter(F.col("dist") == k).select(
+                "seed", F.col("node").alias("dst")
+            )
+            nxt = (
+                e.join(prev.withColumnRenamed("node", "src"), "src")
+                .join(layer_k, ["seed", "dst"])
+                .groupBy("seed", "dst")
+                .agg(F.sum("sigma").alias("sigma"))
+                .select("seed", F.col("dst").alias("node"), "sigma")
+                .localCheckpoint(eager=True)
+            )
+            layers.append(nxt)
+            prev = nxt
+        # backward: δ at the deepest layer is 0 by definition (no
+        # deeper shortest paths exist within the hop horizon)
+        bw = layers[max_hops].select(
+            "seed", "node", "sigma", F.lit(0.0).alias("delta")
+        )
+        out = [bw.select("seed", "node", F.lit(max_hops).alias("dist"), "sigma", "delta")]
+        for k in range(max_hops - 1, -1, -1):
+            succ = (
+                e.join(
+                    bw.select(
+                        "seed",
+                        F.col("node").alias("dst"),
+                        F.col("sigma").alias("sigma_w"),
+                        F.col("delta").alias("delta_w"),
+                    ),
+                    "dst",
+                )
+                .select("seed", F.col("src").alias("node"), "sigma_w", "delta_w")
+            )
+            bw = (
+                layers[k]
+                .join(succ, ["seed", "node"], "left")
+                .groupBy("seed", "node", "sigma")
+                .agg(
+                    F.coalesce(
+                        F.sum(
+                            (F.col("sigma").cast("double") / F.col("sigma_w"))
+                            * (F.lit(1.0) + F.col("delta_w"))
+                        ),
+                        F.lit(0.0),
+                    ).alias("delta")
+                )
+                .localCheckpoint(eager=True)
+            )
+            out.append(bw.select("seed", "node", F.lit(k).alias("dist"), "sigma", "delta"))
+    finally:
+        e.unpersist()
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
 def k_truss(pairs: DataFrame, k: int = 4, n_rounds: int = 2) -> DataFrame:
     """(src, dst, support): the n-round k-truss approximation of an
     undirected pair list (one row per unordered pair, src < dst) —

@@ -1642,6 +1642,98 @@ GROUP BY 1, 2
 )
 
 
+# ----------------------------- g49 landmark betweenness -------------------
+
+def g49_landmark_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Betweenness centrality, landmark-estimated: Brandes' dependency
+    accumulation δ from the g35 seed set over the symmetric
+    doc↔keyword graph, hop-bounded at MAX_HOPS — the backward pass
+    completing g47's forward σ into the score a user actually asks for
+    ("which keyword bridges the most shortest paths", the reference's
+    co-occurrence workload `Q.txt:49-55` extended one step).  This IS
+    the practical betweenness at 100 TB: exact betweenness is
+    O(|V|·|E|), and the sampling estimators (Brandes–Pich,
+    Riondato–Kornaropoulos) accumulate exactly this per-seed δ from a
+    seed sample.
+
+    Determinism: membership is the set of nodes REACHED by any seed
+    (integer-structural); σ is integer-exact end to end; δ is a float
+    folded from exact int64 σ ratios, rounded once at the end (the g21
+    rank-vector precedent).  Seeds' own rows are excluded per-seed
+    (betweenness excludes path endpoints).  The oracle unrolls the g35
+    distance layers, then one σ CTE per layer forward and one δ CTE
+    per layer backward — the identical truncation, so hop-bounding is
+    shared semantics, not an oracle knob."""
+    from ..operators.analytics import brandes_dependencies
+
+    ce = _citation_edges(spark, sf_dir)
+    seeds = [
+        r[0]
+        for r in ce.select("src").distinct().orderBy("src").limit(N_SEEDS).collect()
+    ]
+    d = brandes_dependencies(symmetric_edges(ce), seeds, MAX_HOPS)
+    return (
+        d.filter(F.col("node") != F.col("seed"))
+        .groupBy(F.col("node").alias("node_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_seeds"),
+            F.sum("sigma").alias("sigma_total"),
+            F.round(F.sum("delta"), 6).alias("betweenness"),
+        )
+    )
+
+
+def _g49_sigma_cte(k: int) -> str:
+    return f"""
+sg{k} AS MATERIALIZED (
+  SELECT p.seed, e.dst AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
+  FROM sym e JOIN sg{k - 1} p ON e.src = p.node
+  JOIN md{MAX_HOPS} t ON t.seed = p.seed AND t.node = e.dst AND t.dist = {k}
+  GROUP BY p.seed, e.dst)
+"""
+
+
+def _g49_delta_cte(k: int) -> str:
+    return f"""
+bw{k} AS MATERIALIZED (
+  SELECT v.seed, v.node, v.sigma,
+         coalesce(sum((CAST(v.sigma AS DOUBLE) / c.sigma_w) * (1.0 + c.delta_w)),
+                  0.0) AS delta
+  FROM sg{k} v
+  LEFT JOIN (
+    SELECT b.seed, e.src AS node, b.sigma AS sigma_w, b.delta AS delta_w
+    FROM sym e JOIN bw{k + 1} b ON e.dst = b.node
+  ) c ON c.seed = v.seed AND c.node = v.node
+  GROUP BY v.seed, v.node, v.sigma)
+"""
+
+
+G49_SQL = (
+    _G24_CTES
+    + f""", sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+seeds AS (SELECT src AS seed FROM edges GROUP BY src ORDER BY src LIMIT {N_SEEDS}),
+md0 AS (
+  SELECT s.seed, n.node, CASE WHEN n.node = s.seed THEN 0 END AS dist
+  FROM seeds s CROSS JOIN nodes n),"""
+    + ",".join(_g35_iter_ctes(k) for k in range(1, MAX_HOPS + 1))
+    + f""",
+sg0 AS (SELECT seed, node, CAST(1 AS BIGINT) AS sigma FROM md{MAX_HOPS} WHERE dist = 0),"""
+    + ",".join(_g49_sigma_cte(k) for k in range(1, MAX_HOPS + 1))
+    + f""",
+bw{MAX_HOPS} AS (SELECT seed, node, sigma, CAST(0.0 AS DOUBLE) AS delta
+                 FROM sg{MAX_HOPS}),"""
+    + ",".join(_g49_delta_cte(k) for k in range(MAX_HOPS - 1, -1, -1))
+    + f"""
+SELECT node AS node_id, count(*) AS n_seeds,
+       CAST(sum(sigma) AS BIGINT) AS sigma_total,
+       round(sum(delta), 6) AS betweenness
+FROM ({' UNION ALL '.join(f'SELECT * FROM bw{k}' for k in range(0, MAX_HOPS + 1))}) u
+WHERE node <> seed
+GROUP BY node
+"""
+)
+
+
 SPECS = [
     QuerySpec(
         name="g47_shortest_path_counts",
@@ -1663,6 +1755,17 @@ SPECS = [
         "(community, community) edge counts + total shared weight, "
         "intra-community self-loops kept; oracle reuses the unrolled "
         "LPA rounds",
+    ),
+    QuerySpec(
+        name="g49_landmark_betweenness",
+        fn=g49_landmark_betweenness,
+        oracle=G49_SQL,
+        category="analytics",
+        description="landmark betweenness (Brandes backward pass): "
+        "per-seed dependency accumulation δ over g47's layered σ, "
+        "hop-bounded at MAX_HOPS from the g35 seed set; integer σ, "
+        "float δ rounded once; oracle unrolls the same layers in "
+        "reverse",
     ),
     QuerySpec(
         name="g46_walk_embedding_pca",

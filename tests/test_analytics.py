@@ -1558,6 +1558,145 @@ def test_g48_supergraph_matches_python_lpa_replay(spark):
     assert sum(t for _, t in got.values()) == sum(w for _, _, w in pairs)
 
 
+def _brandes_ref(edge_list, seed_ids, max_hops):
+    """Pure-python hop-bounded Brandes (forward σ + backward δ) —
+    independent of both the operator's layer joins and the SQL
+    oracle's CTE unroll."""
+    from collections import deque
+
+    adj: dict = {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+    out = {}
+    for s in seed_ids:
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = [s]
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= max_hops:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    sigma[v] = 0
+                    dq.append(v)
+                    order.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+        delta = {v: 0.0 for v in dist}
+        # accumulate over directed edges v→w with dist(v) = dist(w) - 1,
+        # deepest layers first (order is non-decreasing in dist)
+        for w in reversed(order):
+            for v_cand, outs in adj.items():
+                if w in outs and v_cand in dist and dist[v_cand] == dist[w] - 1:
+                    delta[v_cand] += sigma[v_cand] / sigma[w] * (1.0 + delta[w])
+        for v in dist:
+            out[(s, v)] = (dist[v], sigma[v], delta[v])
+    return out
+
+
+def test_brandes_delta_known_diamond(spark):
+    """δ on the g47 diamond-with-tail, every value pinned by hand:
+    node 3 carries both merged shortest paths onward to 4 (δ=1), the
+    two diamond arms and the long-way entry each relay one unit
+    (δ=1), and the source aggregates 2 per branch (δ=6)."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import (
+        brandes_dependencies,
+        symmetric_edges,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (0, 5), (5, 6), (6, 3)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: (r["dist"], r["sigma"], round(r["delta"], 9))
+        for r in brandes_dependencies(symmetric_edges(df), [0], 4).collect()
+    }
+    assert got == {
+        0: (0, 1, 6.0),  # Σ over 1,2,5: 1·(1+1) each
+        1: (1, 1, 1.0),  # relays half of 3's two paths: (1/2)·(1+1)
+        2: (1, 1, 1.0),
+        5: (1, 1, 1.0),  # sole path to 6: 1·(1+0)
+        3: (2, 2, 1.0),  # both paths extend to 4: (2/2)·(1+0)
+        6: (2, 1, 0.0),  # no successor at dist 3 (3 is at dist 2)
+        4: (3, 2, 0.0),  # deepest layer
+    }
+
+
+def test_brandes_matches_python_on_random_graphs(spark):
+    """The random-reference discipline applied to the backward pass:
+    exact (dist, σ) and δ (to 1e-9) vs the pure-python Brandes on
+    random directed AND symmetrized graphs, multiple seeds, including
+    hop-bound truncation (hops below the graph diameter)."""
+    import random as _random
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import (
+        brandes_dependencies,
+        symmetric_edges,
+    )
+
+    for seed, n, m, hops in ((0, 14, 30, 3), (1, 10, 18, 4), (2, 22, 70, 2)):
+        rnd = _random.Random(seed)
+        pairs: set = set()
+        while len(pairs) < m:
+            a, b = rnd.randrange(n), rnd.randrange(n)
+            if a != b:
+                pairs.add((a, b))
+        edge_list = sorted(pairs)
+        seeds = sorted({a for a, _ in edge_list})[:3]
+        df = spark.createDataFrame(edge_list, "src long, dst long")
+        for label, frame, elist in (
+            ("directed", df, edge_list),
+            ("sym", symmetric_edges(df), edge_list + [(b, a) for a, b in edge_list]),
+        ):
+            expect = {
+                k: (d, s, round(dl, 9))
+                for k, (d, s, dl) in _brandes_ref(elist, seeds, hops).items()
+            }
+            got = {
+                (r["seed"], r["node"]): (r["dist"], r["sigma"], round(r["delta"], 9))
+                for r in brandes_dependencies(frame, seeds, hops).collect()
+            }
+            assert got == expect, (seed, label)
+
+
+def test_g49_matches_python_reference(spark):
+    """The full g49 plan (per-seed δ summed into the landmark
+    betweenness estimate, seeds' own rows excluded) replayed in pure
+    python from the collected citation edges."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.analytics_queries import (
+        MAX_HOPS,
+        N_SEEDS,
+        _citation_edges,
+        g49_landmark_betweenness,
+    )
+
+    edges = [(r["src"], r["dst"]) for r in _citation_edges(spark, SF_CORRECT).collect()]
+    sym = edges + [(b, a) for a, b in edges]
+    seeds = sorted({a for a, _ in edges})[:N_SEEDS]
+    per_seed = _brandes_ref(sym, seeds, MAX_HOPS)
+    expect: dict = {}
+    for (s, v), (d, sg, dl) in per_seed.items():
+        if v == s:
+            continue
+        n, st, bt = expect.get(v, (0, 0, 0.0))
+        expect[v] = (n + 1, st + sg, bt + dl)
+    expect = {v: (n, st, round(bt, 6)) for v, (n, st, bt) in expect.items()}
+    got = {
+        r["node_id"]: (r["n_seeds"], r["sigma_total"], r["betweenness"])
+        for r in g49_landmark_betweenness(spark, SF_CORRECT).collect()
+    }
+    assert set(got) == set(expect)
+    for v in expect:
+        en, es, eb = expect[v]
+        gn, gs, gb = got[v]
+        assert (gn, gs) == (en, es), v
+        assert abs(gb - eb) < 1e-6, (v, gb, eb)
+
+
 def test_sigma_matches_python_on_random_graphs(spark):
     """The r13 random-reference discipline (structured fixtures mask
     leak shapes) applied to shortest_path_counts: exact σ vs a python

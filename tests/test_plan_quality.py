@@ -862,6 +862,22 @@ def test_g45_sample_filter_is_map_side_and_crossjoins_broadcast(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
+def test_g49_betweenness_is_checkpointed_supersteps(spark):
+    """g49: the forward σ layers and backward δ layers execute as
+    checkpointed join+agg supersteps (the returned frame reads
+    ExistingRDD blocks), the final fold is one aggregation — no Python
+    row evaluation, no cartesian, and δ's arithmetic is a JVM column
+    expression over the layer joins."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.analytics_queries import (
+        g49_landmark_betweenness,
+    )
+
+    plan = _plan(g49_landmark_betweenness(spark, SF_CORRECT))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+
+
 def test_g42_ppmi_stays_jvm_side(spark):
     """g42: pair counting, marginals, and the PPMI expression are all
     JVM column expressions over the checkpointed pair frame — no
