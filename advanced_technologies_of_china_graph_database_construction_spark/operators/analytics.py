@@ -962,6 +962,99 @@ def brandes_dependencies(
     return res
 
 
+def louvain_refine_pass(wedges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(node, old_label, new_label, gain): ONE synchronous Louvain
+    phase-1 round — every node evaluates moving to each neighboring
+    community and takes the best strictly-positive-modularity-gain
+    move, simultaneously (the distributed-Louvain superstep; sequential
+    node order is inherently serial, so parallel implementations run
+    synchronous rounds and accept that simultaneous moves need not be
+    jointly optimal — one round's semantics are exactly replayable).
+
+    The gain is kept INTEGER-EXACT (the g42 discipline): with integer
+    edge weights, ΔQ of moving v from community a to b scaled by the
+    positive constant 2W² is
+
+        gain = 2W·(k_vb − k_va) − s_v·(s_v + s_b − s_a)
+
+    where 2W = Σ symmetric edge weights, k_vc = weight from v to
+    community c (v's own membership excluded naturally — no
+    self-loops), s_v = v's strength, s_c = community strength.  Move
+    iff max-gain > 0; argmax ties break to the smallest community id.
+    ``gain`` is NULL when v has no neighboring community other than
+    its own.
+
+    Scale shape: one edges⋈labels join + (node, community) aggregation
+    (the LPA superstep shape), community strengths are a |C|-sized
+    frame, the 2W total rides a broadcast 1-row crossJoin, and the
+    argmax is a map-side-combinable max-of-struct — no window, no
+    driver lookups, empty graph → empty frame (the g33-proof layout).
+    """
+    lab_dst = labels.select(F.col("node").alias("dst"), F.col("label").alias("lbl_nbr"))
+    k_vc = (
+        wedges.join(lab_dst, "dst")
+        .groupBy(F.col("src").alias("node"), "lbl_nbr")
+        .agg(F.sum("w").alias("k"))
+    )
+    strength = wedges.groupBy(F.col("src").alias("node")).agg(F.sum("w").alias("s_v"))
+    comm = (
+        labels.join(strength, "node")
+        .groupBy("label")
+        .agg(F.sum("s_v").alias("s_c"))
+    )
+    tw2 = wedges.agg(F.sum("w").alias("tw2"))  # = 2W, integer
+    base = (
+        labels.join(strength, "node")
+        .join(
+            k_vc.select("node", F.col("lbl_nbr").alias("label"), F.col("k").alias("k_va")),
+            ["node", "label"],
+            "left",
+        )
+        .join(comm.select("label", F.col("s_c").alias("s_a")), "label")
+        .select(
+            "node",
+            F.col("label").alias("old_label"),
+            "s_v",
+            F.coalesce(F.col("k_va"), F.lit(0).cast("long")).alias("k_va"),
+            "s_a",
+        )
+    )
+    cand = (
+        base.join(k_vc, "node")
+        .filter(F.col("lbl_nbr") != F.col("old_label"))
+        .join(comm.select(F.col("label").alias("lbl_nbr"), F.col("s_c").alias("s_b")), "lbl_nbr")
+        .crossJoin(F.broadcast(tw2))
+        .select(
+            "node",
+            "old_label",
+            F.col("lbl_nbr").alias("b"),
+            (
+                F.col("tw2") * (F.col("k") - F.col("k_va"))
+                - F.col("s_v") * (F.col("s_v") + F.col("s_b") - F.col("s_a"))
+            ).alias("gain"),
+        )
+    )
+    best = (
+        cand.groupBy("node", "old_label")
+        .agg(F.max(F.struct(F.col("gain"), (-F.col("b")).alias("nb"))).alias("m"))
+        .select(
+            "node",
+            "old_label",
+            F.col("m.gain").alias("gain"),
+            (-F.col("m.nb")).alias("b"),
+        )
+    )
+    return (
+        labels.join(best.select("node", "gain", "b"), "node", "left")
+        .select(
+            "node",
+            F.col("label").alias("old_label"),
+            F.when(F.col("gain") > 0, F.col("b")).otherwise(F.col("label")).alias("new_label"),
+            "gain",
+        )
+    )
+
+
 def k_truss(pairs: DataFrame, k: int = 4, n_rounds: int = 2) -> DataFrame:
     """(src, dst, support): the n-round k-truss approximation of an
     undirected pair list (one row per unordered pair, src < dst) —

@@ -1734,6 +1734,163 @@ GROUP BY node
 )
 
 
+# ----------------------------- g50 Louvain refine level -------------------
+
+def g50_louvain_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Louvain coarsen→refine level on the g48 pipeline: starting
+    from the gated g23 LPA labels, run ONE synchronous modularity-gain
+    move round (`operators/analytics.py louvain_refine_pass` — each
+    node's best neighboring community via integer-exact scaled gains)
+    and ship the EXACT modularity accounting as one row: 2W, move
+    count, total positive gain, community counts, intra-community
+    weight and Σ(community strength)² before and after, plus Q
+    before/after computed from those shipped integers by one identical
+    float expression in both engines (the g45 contract pattern — every
+    estimator ingredient is an exact SQL-checkable number).  On the
+    sf0.01 fixture the round MOVES 39 of 100 nodes and RAISES
+    modularity 0.0120 → 0.0473 — the refinement g48's contraction was
+    missing (community quality was fixed-round LPA only).
+
+    Q = intra/W − Σs_c²/(4W²) = 2·intra/2W − Σs_c²/(2W)², evaluated
+    left-to-right identically in both engines over exact integers.
+
+    Empty copub graph (sf0.1) → zero rows, no driver lookups anywhere
+    (the g33-proof layout)."""
+    from ..operators.analytics import louvain_refine_pass
+
+    pairs = _copub_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    wedges = pairs.withColumnRenamed("shared", "w")
+    wedges = wedges.unionByName(
+        wedges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    labels = label_propagation(symmetric_edges(pairs), N_ITER)
+    ref = louvain_refine_pass(wedges, labels).localCheckpoint(eager=True)
+    strength = wedges.groupBy(F.col("src").alias("node")).agg(F.sum("w").alias("s_v"))
+
+    def sumsq(lab_col: str):
+        return (
+            ref.select("node", F.col(lab_col).alias("label"))
+            .join(strength, "node")
+            .groupBy("label")
+            .agg(F.sum("s_v").alias("s_c"))
+            .agg(F.sum(F.col("s_c") * F.col("s_c")).cast("long").alias(f"sumsq_{lab_col}"))
+        )
+
+    def intra(lab_col: str):
+        l1 = ref.select(F.col("node").alias("src"), F.col(lab_col).alias("l1"))
+        l2 = ref.select(F.col("node").alias("dst"), F.col(lab_col).alias("l2"))
+        return (
+            pairs.join(l1, "src")
+            .join(l2, "dst")
+            .filter(F.col("l1") == F.col("l2"))
+            .agg(F.coalesce(F.sum("shared"), F.lit(0)).cast("long").alias(f"intra_{lab_col}"))
+        )
+
+    tw2 = wedges.agg(F.sum("w").cast("long").alias("w2_total"))
+    moves = ref.agg(
+        F.sum(F.when(F.col("gain") > 0, 1).otherwise(0)).cast("long").alias("n_moved"),
+        F.coalesce(F.sum(F.when(F.col("gain") > 0, F.col("gain"))), F.lit(0))
+        .cast("long")
+        .alias("sum_pos_gain"),
+    )
+    comms = ref.agg(
+        F.countDistinct("old_label").alias("n_comms_before"),
+        F.countDistinct("new_label").alias("n_comms_after"),
+    )
+    return (
+        tw2.crossJoin(F.broadcast(moves))
+        .crossJoin(F.broadcast(comms))
+        .crossJoin(F.broadcast(intra("old_label")))
+        .crossJoin(F.broadcast(intra("new_label")))
+        .crossJoin(F.broadcast(sumsq("old_label")))
+        .crossJoin(F.broadcast(sumsq("new_label")))
+        .filter(F.col("w2_total").isNotNull())
+        .select(
+            "w2_total",
+            "n_moved",
+            "sum_pos_gain",
+            "n_comms_before",
+            "n_comms_after",
+            F.col("intra_old_label").alias("intra_before"),
+            F.col("intra_new_label").alias("intra_after"),
+            F.col("sumsq_old_label").alias("sumsq_before"),
+            F.col("sumsq_new_label").alias("sumsq_after"),
+            F.round(
+                F.lit(2.0) * F.col("intra_old_label") / F.col("w2_total")
+                - F.col("sumsq_old_label")
+                / (F.col("w2_total") * F.lit(1.0) * F.col("w2_total")),
+                6,
+            ).alias("q_before"),
+            F.round(
+                F.lit(2.0) * F.col("intra_new_label") / F.col("w2_total")
+                - F.col("sumsq_new_label")
+                / (F.col("w2_total") * F.lit(1.0) * F.col("w2_total")),
+                6,
+            ).alias("q_after"),
+        )
+    )
+
+
+G50_SQL = (
+    _G32_CTES
+    + """, edges AS (SELECT src, dst FROM wedges)
+, l0 AS (SELECT node, node AS label FROM nodes),"""
+    + ",".join(_lpa_iter_cte(k) for k in range(1, N_ITER + 1))
+    + f""",
+str AS MATERIALIZED (SELECT src AS node, CAST(sum(w) AS BIGINT) AS s_v FROM wedges GROUP BY src),
+tw AS MATERIALIZED (SELECT CAST(sum(w) AS BIGINT) AS tw2 FROM wedges),
+lab0 AS MATERIALIZED (SELECT node, label FROM l{N_ITER}),
+c0 AS MATERIALIZED (SELECT l.label, CAST(sum(s.s_v) AS BIGINT) AS s_c
+       FROM lab0 l JOIN str s ON l.node = s.node GROUP BY l.label),
+kvc AS MATERIALIZED (SELECT e.src AS node, l.label AS lbl_nbr, CAST(sum(e.w) AS BIGINT) AS k
+        FROM wedges e JOIN lab0 l ON e.dst = l.node GROUP BY 1, 2),
+base AS MATERIALIZED (SELECT l.node, l.label AS old_label, s.s_v,
+                coalesce(ka.k, 0) AS k_va, ca.s_c AS s_a
+         FROM lab0 l JOIN str s ON l.node = s.node
+         LEFT JOIN kvc ka ON ka.node = l.node AND ka.lbl_nbr = l.label
+         JOIN c0 ca ON ca.label = l.label),
+cand AS (SELECT b.node, b.old_label, k.lbl_nbr AS b_lbl,
+                t.tw2 * (k.k - b.k_va)
+                  - b.s_v * (b.s_v + cb.s_c - b.s_a) AS gain
+         FROM base b
+         JOIN kvc k ON k.node = b.node AND k.lbl_nbr <> b.old_label
+         JOIN c0 cb ON cb.label = k.lbl_nbr, tw t),
+best AS MATERIALIZED (SELECT node, old_label, b_lbl, gain FROM (
+           SELECT node, old_label, b_lbl, gain,
+                  row_number() OVER (PARTITION BY node
+                                     ORDER BY gain DESC, b_lbl ASC) AS rn
+           FROM cand) WHERE rn = 1),
+lab1 AS MATERIALIZED (SELECT l.node,
+                CASE WHEN m.gain > 0 THEN m.b_lbl ELSE l.label END AS label
+         FROM lab0 l LEFT JOIN best m ON m.node = l.node),
+c1 AS MATERIALIZED (SELECT l.label, CAST(sum(s.s_v) AS BIGINT) AS s_c
+       FROM lab1 l JOIN str s ON l.node = s.node GROUP BY l.label),
+acc AS (SELECT
+  (SELECT tw2 FROM tw) AS w2_total,
+  (SELECT CAST(count(*) FILTER (WHERE gain > 0) AS BIGINT) FROM best) AS n_moved,
+  (SELECT CAST(coalesce(sum(gain) FILTER (WHERE gain > 0), 0) AS BIGINT)
+     FROM best) AS sum_pos_gain,
+  (SELECT CAST(count(DISTINCT label) AS BIGINT) FROM lab0) AS n_comms_before,
+  (SELECT CAST(count(DISTINCT label) AS BIGINT) FROM lab1) AS n_comms_after,
+  (SELECT CAST(coalesce(sum(p.w), 0) AS BIGINT) FROM wpairs p
+     JOIN lab0 x ON p.src = x.node JOIN lab0 y ON p.dst = y.node
+     WHERE x.label = y.label) AS intra_before,
+  (SELECT CAST(coalesce(sum(p.w), 0) AS BIGINT) FROM wpairs p
+     JOIN lab1 x ON p.src = x.node JOIN lab1 y ON p.dst = y.node
+     WHERE x.label = y.label) AS intra_after,
+  (SELECT CAST(sum(s_c * s_c) AS BIGINT) FROM c0) AS sumsq_before,
+  (SELECT CAST(sum(s_c * s_c) AS BIGINT) FROM c1) AS sumsq_after)
+SELECT w2_total, n_moved, sum_pos_gain, n_comms_before, n_comms_after,
+       intra_before, intra_after, sumsq_before, sumsq_after,
+       round(2.0 * intra_before / w2_total
+             - sumsq_before / (w2_total * 1.0 * w2_total), 6) AS q_before,
+       round(2.0 * intra_after / w2_total
+             - sumsq_after / (w2_total * 1.0 * w2_total), 6) AS q_after
+FROM acc WHERE w2_total IS NOT NULL
+"""
+)
+
+
 SPECS = [
     QuerySpec(
         name="g47_shortest_path_counts",
@@ -1755,6 +1912,17 @@ SPECS = [
         "(community, community) edge counts + total shared weight, "
         "intra-community self-loops kept; oracle reuses the unrolled "
         "LPA rounds",
+    ),
+    QuerySpec(
+        name="g50_louvain_refine",
+        fn=g50_louvain_refine,
+        oracle=G50_SQL,
+        category="analytics",
+        description="one Louvain coarsen-refine level: synchronous "
+        "integer-exact modularity-gain move round on the g23 LPA "
+        "labels, gated on exact modularity accounting (2W, moves, "
+        "positive gain, intra weight, strength squares, Q before/after "
+        "from shipped integers); empty copub graph yields zero rows",
     ),
     QuerySpec(
         name="g49_landmark_betweenness",
@@ -1806,6 +1974,7 @@ SPECS = [
         "top-10 (log-damped feature hashing, density-filtered candidates, "
         "broadcast 1-row query); oracle recomputes the cosine from the "
         "sparse bucket weights in SQL",
+        bench=True,  # the walk→embedding pipeline's trend line (r14 verdict)
     ),
     QuerySpec(
         name="g44_reach_fixpoint",

@@ -1697,6 +1697,164 @@ def test_g49_matches_python_reference(spark):
         assert abs(gb - eb) < 1e-6, (v, gb, eb)
 
 
+def test_louvain_gain_matches_python_on_random_graphs(spark):
+    """The refine pass replayed in pure python on random weighted
+    graphs with random coarse initial labels: exact (old_label,
+    new_label, gain) for every node — integer gain arithmetic, argmax
+    tie-break to the smallest community, no-candidate nodes keep their
+    label with NULL gain."""
+    import random as _random
+    from collections import defaultdict
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.analytics import (
+        louvain_refine_pass,
+    )
+
+    for seed in (11, 23, 47):
+        rng = _random.Random(seed)
+        n, m = 30, 70
+        pw: dict = {}
+        while len(pw) < m:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                pw[(min(a, b), max(a, b))] = rng.randrange(1, 9)
+        nodes = sorted({x for p in pw for x in p})
+        label = {v: rng.choice(nodes[:6]) for v in nodes}
+        sym: dict = defaultdict(dict)
+        for (a, b), w in pw.items():
+            sym[a][b] = w
+            sym[b][a] = w
+        tw2 = sum(w for d in sym.values() for w in d.values())
+        s = {v: sum(sym[v].values()) for v in nodes}
+        s_c: dict = defaultdict(int)
+        for v in nodes:
+            s_c[label[v]] += s[v]
+        expect = {}
+        for v in nodes:
+            k_vc: dict = defaultdict(int)
+            for u, w in sym[v].items():
+                k_vc[label[u]] += w
+            a = label[v]
+            k_va = k_vc.get(a, 0)
+            cands = [
+                (tw2 * (k_vb - k_va) - s[v] * (s[v] + s_c[bl] - s_c[a]), -bl, bl)
+                for bl, k_vb in k_vc.items()
+                if bl != a
+            ]
+            if cands:
+                g, _, bl = max(cands)
+                expect[v] = (a, bl if g > 0 else a, g)
+            else:
+                expect[v] = (a, a, None)
+        wed = [(a, b, w) for (a, b), w in pw.items()] + [
+            (b, a, w) for (a, b), w in pw.items()
+        ]
+        wdf = spark.createDataFrame(wed, "src long, dst long, w long")
+        ldf = spark.createDataFrame(sorted(label.items()), "node long, label long")
+        got = {
+            r["node"]: (r["old_label"], r["new_label"], r["gain"])
+            for r in louvain_refine_pass(wdf, ldf).collect()
+        }
+        assert got == expect, seed
+
+
+def test_g50_accounting_matches_python_replay(spark):
+    """g50 replayed fully in python: the gated LPA rounds (g48's
+    replay), one synchronous gain round, then every accounting integer
+    and both modularity values — independent of the operator's joins
+    and the SQL oracle."""
+    from collections import Counter, defaultdict
+
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.analytics_queries import (
+        N_ITER,
+        _copub_pairs,
+        g50_louvain_refine,
+    )
+
+    pw = {
+        (r["src"], r["dst"]): r["shared"]
+        for r in _copub_pairs(spark, SF_CORRECT).collect()
+    }
+    sym_unw = [(a, b) for a, b in pw] + [(b, a) for a, b in pw]
+    nodes = sorted({x for p in pw for x in p})
+    label = {v: v for v in nodes}
+    for _ in range(N_ITER):
+        inbound: dict = {}
+        for a, b in sym_unw:
+            inbound.setdefault(b, []).append(label[a])
+        nxt = {}
+        for v in nodes:
+            labs = inbound.get(v)
+            if not labs:
+                nxt[v] = label[v]
+            else:
+                c = Counter(labs)
+                nxt[v] = min(c, key=lambda l: (-c[l], l))
+        label = nxt
+    symw: dict = defaultdict(dict)
+    for (a, b), w in pw.items():
+        symw[a][b] = w
+        symw[b][a] = w
+    tw2 = sum(w for d in symw.values() for w in d.values())
+    s = {v: sum(symw[v].values()) for v in nodes}
+    s_c: dict = defaultdict(int)
+    for v in nodes:
+        s_c[label[v]] += s[v]
+    new_label = {}
+    n_moved = 0
+    sum_pos_gain = 0
+    for v in nodes:
+        k_vc: dict = defaultdict(int)
+        for u, w in symw[v].items():
+            k_vc[label[u]] += w
+        a = label[v]
+        k_va = k_vc.get(a, 0)
+        cands = [
+            (tw2 * (k_vb - k_va) - s[v] * (s[v] + s_c[bl] - s_c[a]), -bl, bl)
+            for bl, k_vb in k_vc.items()
+            if bl != a
+        ]
+        if cands and max(cands)[0] > 0:
+            g, _, bl = max(cands)
+            new_label[v] = bl
+            n_moved += 1
+            sum_pos_gain += g
+        else:
+            new_label[v] = a
+
+    def accounting(lab):
+        intra = sum(w for (a, b), w in pw.items() if lab[a] == lab[b])
+        sc: dict = defaultdict(int)
+        for v in nodes:
+            sc[lab[v]] += s[v]
+        sumsq = sum(x * x for x in sc.values())
+        q = round(2.0 * intra / tw2 - sumsq / (tw2 * 1.0 * tw2), 6)
+        return intra, sumsq, len(set(lab.values())), q
+
+    ib, qb_sq, ncb, qb = accounting(label)
+    ia, qa_sq, nca, qa = accounting(new_label)
+    rows = g50_louvain_refine(spark, SF_CORRECT).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (
+        r["w2_total"],
+        r["n_moved"],
+        r["sum_pos_gain"],
+        r["n_comms_before"],
+        r["n_comms_after"],
+        r["intra_before"],
+        r["intra_after"],
+        r["sumsq_before"],
+        r["sumsq_after"],
+    ) == (tw2, n_moved, sum_pos_gain, ncb, nca, ib, ia, qb_sq, qa_sq)
+    assert r["q_before"] == qb and r["q_after"] == qa
+    # the refinement story this face exists for: on the sf0.01 fixture
+    # the synchronous round strictly RAISES modularity (a fixture fact,
+    # not a theorem — simultaneous moves can conflict in general)
+    assert r["n_moved"] > 0
+    assert r["q_after"] > r["q_before"]
+
+
 def test_sigma_matches_python_on_random_graphs(spark):
     """The r13 random-reference discipline (structured fixtures mask
     leak shapes) applied to shortest_path_counts: exact σ vs a python

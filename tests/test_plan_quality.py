@@ -878,6 +878,22 @@ def test_g49_betweenness_is_checkpointed_supersteps(spark):
     assert "ExistingRDD" in plan, plan
 
 
+def test_g50_refine_gain_is_jvm_and_assemblies_broadcast(spark):
+    """g50: the gain expression, argmax (max-of-struct, no window on
+    the candidate path) and every accounting aggregation are JVM
+    column expressions; the only nested-loop joins are the broadcast
+    1-row contract assemblies (2W + six accounting frames) — never a
+    real cartesian, no Python evaluation, no driver lookups."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.analytics_queries import (
+        g50_louvain_refine,
+    )
+
+    plan = _plan(g50_louvain_refine(spark, SF_CORRECT))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 6, plan
+
+
 def test_g42_ppmi_stays_jvm_side(spark):
     """g42: pair counting, marginals, and the PPMI expression are all
     JVM column expressions over the checkpointed pair frame — no
