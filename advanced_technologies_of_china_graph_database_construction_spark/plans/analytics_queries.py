@@ -1891,6 +1891,180 @@ FROM acc WHERE w2_total IS NOT NULL
 )
 
 
+# ----------------------------- g51 embedding link-prediction AUC ----------
+
+EMB_EVAL_K = 24  # evaluation vocabulary: the 24 most-frequent corpus nodes
+
+
+def g51_embedding_link_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding EVALUATION — the face that closes the walks → context
+    vectors → trained projection chain (g40/g42/g43/g46) with a
+    quality number: link-prediction AUC of the hashed-context
+    representation over the walk graph.  Candidate pairs are ALL
+    unordered pairs of the EMB_EVAL_K most-frequent corpus nodes
+    (the deterministic landmark sample standing in for the pair
+    sampling an AUC estimator runs at 100 TB); positives are pairs
+    that ARE doc→keyword edges, negatives the rest; the pair score is
+    the INTEGER sparse dot product of the raw context-count vectors
+    (deliberately un-damped: integer scores make the rank statistics
+    exact — no float-boundary concordance flips, the g42 membership
+    discipline applied to an ORDERING statistic), and
+    AUC = (concordant + tied/2) / (P·N), the tie-aware Mann–Whitney
+    form, computed from shipped exact integers by one identical float
+    expression in both engines.
+
+    Scale shape: counts fold map-side from the bounded per-walk
+    self-join; the vocabulary election is one aggregation + top-K; all
+    downstream joins are over ≤K·EMB_BUCKETS-row frames (broadcast),
+    and the P·N comparison is a bounded ≤K²/2-row crossJoin — the
+    landmark-seeds precedent, never a data-sized cartesian.  Either
+    class empty → zero rows (AUC undefined), no driver lookups
+    anywhere."""
+    corpus = g40_walk_corpus(spark, sf_dir)
+    a = corpus.select(
+        F.col("walk_id").alias("w"), F.col("step").alias("sa"), F.col("node").alias("tok")
+    )
+    bb = corpus.select(
+        F.col("walk_id").alias("w"), F.col("step").alias("sb"), F.col("node").alias("ctx")
+    )
+    hw = (
+        a.join(bb, "w")
+        .filter(
+            F.abs(F.col("sb") - F.col("sa")).between(1, PPMI_WINDOW)
+            & (F.col("tok") != F.col("ctx"))
+        )
+        .select("tok", F.pmod(F.col("ctx"), F.lit(EMB_BUCKETS)).cast("int").alias("bucket"))
+        .groupBy("tok", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # read by the election and both score sides
+    )
+    vocab = (
+        hw.groupBy("tok")
+        .agg(F.sum("c").alias("m"))
+        .orderBy(F.desc("m"), "tok")
+        .limit(EMB_EVAL_K)
+        .select("tok")
+        .localCheckpoint(eager=True)  # ≤K rows, read several times
+    )
+    hv = hw.join(F.broadcast(vocab), "tok")
+    vp = (
+        vocab.select(F.col("tok").alias("u"))
+        .crossJoin(F.broadcast(vocab.select(F.col("tok").alias("v"))))
+        .filter(F.col("u") < F.col("v"))
+    )
+    dots = (
+        hv.select(F.col("tok").alias("u"), "bucket", F.col("c").alias("cu"))
+        .join(
+            F.broadcast(hv.select(F.col("tok").alias("v"), "bucket", F.col("c").alias("cv"))),
+            "bucket",
+        )
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum(F.col("cu") * F.col("cv")).cast("long").alias("d"))
+    )
+    edges = _citation_edges(spark, sf_dir)
+    sc = (
+        vp.join(F.broadcast(dots), ["u", "v"], "left")
+        .join(
+            F.broadcast(
+                edges.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.lit(1).alias("ie"))
+            ),
+            ["u", "v"],
+            "left",
+        )
+        .select(
+            "u",
+            "v",
+            F.coalesce(F.col("d"), F.lit(0).cast("long")).alias("score"),
+            F.coalesce(F.col("ie"), F.lit(0)).alias("is_edge"),
+        )
+        .localCheckpoint(eager=True)  # ≤K²/2 rows, read by four aggregations
+    )
+    pos = sc.filter(F.col("is_edge") == 1).select(F.col("score").alias("sp"))
+    neg = sc.filter(F.col("is_edge") == 0).select(F.col("score").alias("sn"))
+    conc = pos.crossJoin(F.broadcast(neg)).agg(
+        F.coalesce(F.sum(F.when(F.col("sp") > F.col("sn"), 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_concordant"),
+        F.coalesce(F.sum(F.when(F.col("sp") == F.col("sn"), 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_tied"),
+    )
+    stats = sc.agg(
+        F.sum("is_edge").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("is_edge")).cast("long").alias("n_neg"),
+        F.coalesce(F.sum(F.when(F.col("is_edge") == 1, F.col("score"))), F.lit(0))
+        .cast("long")
+        .alias("sum_pos_score"),
+        F.coalesce(F.sum(F.when(F.col("is_edge") == 0, F.col("score"))), F.lit(0))
+        .cast("long")
+        .alias("sum_neg_score"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(conc))
+        .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "n_pos",
+            "n_neg",
+            "n_concordant",
+            "n_tied",
+            "sum_pos_score",
+            "sum_neg_score",
+            F.round(
+                (F.col("n_concordant") + F.lit(0.5) * F.col("n_tied"))
+                / (F.col("n_pos") * F.lit(1.0) * F.col("n_neg")),
+                6,
+            ).alias("auc"),
+        )
+    )
+
+
+G51_SQL = (
+    _WALK_CTES
+    + f""",
+corpus AS ({_WALK_CORPUS_UNION}),
+ev2 AS (
+  SELECT a.node AS tok, b.node AS ctx
+  FROM corpus a JOIN corpus b
+    ON a.walk_id = b.walk_id
+   AND abs(b.step - a.step) BETWEEN 1 AND {PPMI_WINDOW}
+   AND a.node <> b.node),
+hw AS MATERIALIZED (
+  SELECT tok, ((ctx % {EMB_BUCKETS}) + {EMB_BUCKETS}) % {EMB_BUCKETS} AS bucket,
+         count(*) AS c
+  FROM ev2 GROUP BY 1, 2),
+vocab AS MATERIALIZED (
+  SELECT tok FROM (SELECT tok, sum(c) AS m FROM hw GROUP BY tok
+                   ORDER BY m DESC, tok LIMIT {EMB_EVAL_K})),
+hv AS MATERIALIZED (SELECT h.tok, h.bucket, h.c FROM hw h JOIN vocab v ON h.tok = v.tok),
+vp AS (SELECT a.tok AS u, b.tok AS v FROM vocab a JOIN vocab b ON a.tok < b.tok),
+dots AS (SELECT cu.tok AS u, cv.tok AS v, CAST(sum(cu.c * cv.c) AS BIGINT) AS d
+         FROM hv cu JOIN hv cv ON cu.bucket = cv.bucket AND cu.tok < cv.tok
+         GROUP BY 1, 2),
+sc AS MATERIALIZED (
+  SELECT p.u, p.v, coalesce(d.d, 0) AS score,
+         CASE WHEN e.src IS NOT NULL THEN 1 ELSE 0 END AS is_edge
+  FROM vp p
+  LEFT JOIN dots d ON d.u = p.u AND d.v = p.v
+  LEFT JOIN edges e ON e.src = p.u AND e.dst = p.v),
+agg AS (SELECT
+  (SELECT CAST(coalesce(sum(is_edge), 0) AS BIGINT) FROM sc) AS n_pos,
+  (SELECT CAST(coalesce(sum(1 - is_edge), 0) AS BIGINT) FROM sc) AS n_neg,
+  (SELECT CAST(coalesce(sum(CASE WHEN p.score > n.score THEN 1 ELSE 0 END), 0) AS BIGINT)
+     FROM sc p, sc n WHERE p.is_edge = 1 AND n.is_edge = 0) AS n_concordant,
+  (SELECT CAST(coalesce(sum(CASE WHEN p.score = n.score THEN 1 ELSE 0 END), 0) AS BIGINT)
+     FROM sc p, sc n WHERE p.is_edge = 1 AND n.is_edge = 0) AS n_tied,
+  (SELECT CAST(coalesce(sum(score) FILTER (WHERE is_edge = 1), 0) AS BIGINT)
+     FROM sc) AS sum_pos_score,
+  (SELECT CAST(coalesce(sum(score) FILTER (WHERE is_edge = 0), 0) AS BIGINT)
+     FROM sc) AS sum_neg_score)
+SELECT n_pos, n_neg, n_concordant, n_tied, sum_pos_score, sum_neg_score,
+       round((n_concordant + 0.5 * n_tied) / (n_pos * 1.0 * n_neg), 6) AS auc
+FROM agg WHERE n_pos > 0 AND n_neg > 0
+"""
+)
+
+
 SPECS = [
     QuerySpec(
         name="g47_shortest_path_counts",
@@ -1912,6 +2086,16 @@ SPECS = [
         "(community, community) edge counts + total shared weight, "
         "intra-community self-loops kept; oracle reuses the unrolled "
         "LPA rounds",
+    ),
+    QuerySpec(
+        name="g51_embedding_link_auc",
+        fn=g51_embedding_link_auc,
+        oracle=G51_SQL,
+        category="analytics",
+        description="embedding evaluation: link-prediction AUC of the "
+        "walk-derived context-count vectors over the top-K corpus "
+        "vocabulary — integer sparse-dot scores, exact Mann-Whitney "
+        "concordant/tied counts, AUC from shipped integers",
     ),
     QuerySpec(
         name="g50_louvain_refine",

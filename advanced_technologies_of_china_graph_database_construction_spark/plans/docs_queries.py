@@ -466,7 +466,10 @@ def d11_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-D11_SQL = f"""
+# The minhash-pairs → recursive-closure cluster chain, shared verbatim
+# by D11 (dedup keep-canonical) and D49 (cluster-aware split) so the
+# two oracles can never disagree about what a duplicate cluster is.
+_D11_CLUSTER_CTES = f"""
 WITH RECURSIVE {_CORPUS_CTE},
 {_SHINGLES_CTE},
 perms(k, a, b) AS (VALUES {_PERMS_VALUES}),
@@ -484,13 +487,18 @@ reach(id, lab) AS (
   SELECT DISTINCT src, src FROM edges2
   UNION
   SELECT e.dst, r.lab FROM reach r JOIN edges2 e ON r.id = e.src WHERE r.lab < e.dst),
-comp AS (SELECT id, min(lab) AS canonical FROM reach GROUP BY id),
+comp AS (SELECT id, min(lab) AS canonical FROM reach GROUP BY id)"""
+
+D11_SQL = (
+    _D11_CLUSTER_CTES
+    + """,
 removed AS (SELECT id FROM comp WHERE canonical <> id)
 SELECT source, count(*) AS n_docs, min(doc_id) AS min_doc_id,
        sum(n_chars)::BIGINT AS total_chars
 FROM corpus WHERE doc_id NOT IN (SELECT id FROM removed)
 GROUP BY source
 """
+)
 
 
 # ------------------------------------------------------ d12 hash split ----
@@ -526,6 +534,99 @@ SELECT source,
        count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
 FROM documents GROUP BY 1, 2
 """
+
+
+# -------------------------------------------- d49 cluster-aware split -----
+
+def d49_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/validation split: d12's deterministic hash
+    assignment applied to the NEAR-DUP CLUSTER id instead of the
+    document id, so a duplicate cluster lands whole in one split and a
+    validation document can never have a near-duplicate in train — the
+    "dedup before you split" discipline every LLM eval pipeline needs
+    (splitting by doc id silently leaks: any near-dup pair straddling
+    the boundary makes validation loss optimistic).  Clusters are
+    d11's gated minhash-pairs → connected-components chain; docs in no
+    pair are their own singleton cluster.  Ships per-split doc /
+    cluster / char counts plus the leakage audit itself —
+    n_cross_split_pairs, the count of near-dup pairs whose endpoints
+    landed in different splits, 0 by construction and COMPUTED, not
+    assumed, in both engines.
+
+    Scale shape: d11's pair join + CC (banded, never n²), one
+    broadcast-sized mapping join, split arithmetic is pure integer
+    column math (never rand()), audit is one pairs⋈assignment join.
+    """
+    corpus = _corpus(spark, sf_dir)
+    pairs = dedup.minhash_near_dups(corpus).localCheckpoint(eager=True)  # audit re-reads
+    comp = connected_components(pairs.select("src", "dst"))
+    assigned = (
+        corpus.select("doc_id", "source", "n_chars")
+        .join(
+            comp.select(F.col("id").alias("doc_id"), "component"), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+        )
+        .withColumn(
+            "split",
+            F.when(
+                F.pmod(F.col("cluster") * F.lit(dedup.KNUTH), F.lit(SPLIT_MOD))
+                < VAL_BUCKETS,
+                F.lit("val"),
+            ).otherwise(F.lit("train")),
+        )
+        .localCheckpoint(eager=True)  # read by the split rollup and the audit
+    )
+    cross = (
+        pairs.select("src", "dst")
+        .join(
+            assigned.select(F.col("doc_id").alias("src"), F.col("split").alias("split_src")),
+            "src",
+        )
+        .join(
+            assigned.select(F.col("doc_id").alias("dst"), F.col("split").alias("split_dst")),
+            "dst",
+        )
+        .filter(F.col("split_src") != F.col("split_dst"))
+        .agg(F.count(F.lit(1)).alias("n_cross_split_pairs"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster").alias("n_clusters"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .crossJoin(F.broadcast(cross))
+    )
+
+
+D49_SQL = (
+    _D11_CLUSTER_CTES
+    + f""",
+assigned AS MATERIALIZED (
+  SELECT c.doc_id, c.source, c.n_chars,
+         coalesce(cm.canonical, c.doc_id) AS cluster,
+         CASE WHEN (coalesce(cm.canonical, c.doc_id) * {dedup.KNUTH})
+                   % {SPLIT_MOD} < {VAL_BUCKETS}
+              THEN 'val' ELSE 'train' END AS split
+  FROM corpus c LEFT JOIN comp cm ON cm.id = c.doc_id),
+crossp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cross_split_pairs
+  FROM pairs p JOIN assigned a ON a.doc_id = p.src
+               JOIN assigned b ON b.doc_id = p.dst
+  WHERE a.split <> b.split)
+SELECT split, count(*) AS n_docs,
+       CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+       sum(n_chars)::BIGINT AS total_chars,
+       (SELECT n_cross_split_pairs FROM crossp) AS n_cross_split_pairs
+FROM assigned GROUP BY split
+"""
+)
 
 
 # ----------------------------------------------------------- a01/a02 ANN ---
@@ -3247,6 +3348,10 @@ SPECS = [
               "dedup applied: pairs → components → keep-min → clean corpus"),
     QuerySpec("d12_train_val_split", d12_train_val_split, D12_SQL, "dedup",
               "deterministic hash train/val split (leakage-free, rerun-stable)"),
+    QuerySpec("d49_cluster_aware_split", d49_cluster_aware_split, D49_SQL, "dedup",
+              "cluster-aware split: d12's hash assignment on the near-dup "
+              "CLUSTER id, cross-split near-dup pairs computed (0 by "
+              "construction) — dedup-before-split leakage discipline"),
     QuerySpec("a01_ann_bruteforce", a01_ann_bruteforce, A01_SQL, "similarity",
               "exact cosine top-k ANN baseline", bench=True),
     QuerySpec("a02_ann_ivf", a02_ann_ivf, A02_SQL, "similarity",

@@ -1855,6 +1855,66 @@ def test_g50_accounting_matches_python_replay(spark):
     assert r["q_after"] > r["q_before"]
 
 
+def test_g51_auc_matches_python_replay(spark):
+    """g51 replayed in pure python from the gated g40 corpus and the
+    collected citation edges: context counts, top-K vocabulary
+    election, integer sparse-dot scores, Mann-Whitney concordance, and
+    the tie-aware AUC — independent of the plan's joins and the SQL
+    oracle."""
+    from collections import defaultdict
+
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.analytics_queries import (
+        EMB_BUCKETS,
+        EMB_EVAL_K,
+        PPMI_WINDOW,
+        _citation_edges,
+        g40_walk_corpus,
+        g51_embedding_link_auc,
+    )
+
+    walks: dict = defaultdict(dict)
+    for r in g40_walk_corpus(spark, SF_CORRECT).collect():
+        walks[r["walk_id"]][r["step"]] = r["node"]
+    counts: dict = defaultdict(lambda: defaultdict(int))
+    for _, steps in walks.items():
+        for sa, tok in steps.items():
+            for sb, ctx in steps.items():
+                if 1 <= abs(sb - sa) <= PPMI_WINDOW and tok != ctx:
+                    counts[tok][ctx % EMB_BUCKETS] += 1
+    vocab = sorted(counts, key=lambda t: (-sum(counts[t].values()), t))[:EMB_EVAL_K]
+    edges = {
+        (r["src"], r["dst"]) for r in _citation_edges(spark, SF_CORRECT).collect()
+    }
+    pos_scores, neg_scores = [], []
+    sum_pos = sum_neg = 0
+    for i, u in enumerate(sorted(vocab)):
+        for v in sorted(vocab)[i + 1 :]:
+            score = sum(counts[u][b] * counts[v].get(b, 0) for b in counts[u])
+            if (u, v) in edges:
+                pos_scores.append(score)
+                sum_pos += score
+            else:
+                neg_scores.append(score)
+                sum_neg += score
+    conc = sum(1 for p in pos_scores for n in neg_scores if p > n)
+    tied = sum(1 for p in pos_scores for n in neg_scores if p == n)
+    P, N = len(pos_scores), len(neg_scores)
+    assert P > 0 and N > 0  # fixture fact the spec's guard relies on
+    rows = g51_embedding_link_auc(spark, SF_CORRECT).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (
+        r["n_pos"],
+        r["n_neg"],
+        r["n_concordant"],
+        r["n_tied"],
+        r["sum_pos_score"],
+        r["sum_neg_score"],
+    ) == (P, N, conc, tied, sum_pos, sum_neg)
+    assert r["auc"] == round((conc + 0.5 * tied) / (P * 1.0 * N), 6)
+    assert 0.0 <= r["auc"] <= 1.0
+
+
 def test_sigma_matches_python_on_random_graphs(spark):
     """The r13 random-reference discipline (structured fixtures mask
     leak shapes) applied to shortest_path_counts: exact σ vs a python

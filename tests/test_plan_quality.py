@@ -894,6 +894,21 @@ def test_g50_refine_gain_is_jvm_and_assemblies_broadcast(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 6, plan
 
 
+def test_g51_auc_joins_are_bounded_broadcasts(spark):
+    """g51: every join past the corpus self-join runs over ≤K- or
+    ≤K·EMB_BUCKETS-row frames entering as broadcasts (vocabulary
+    pairs, dots, edge flags, the P×N comparison) — no sort-merge join
+    on the eval path, no real cartesian, no Python evaluation."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.analytics_queries import (
+        g51_embedding_link_auc,
+    )
+
+    plan = _plan(g51_embedding_link_auc(spark, SF_CORRECT))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the bounded K² pair build
+
+
 def test_g42_ppmi_stays_jvm_side(spark):
     """g42: pair counting, marginals, and the PPMI expression are all
     JVM column expressions over the checkpointed pair frame — no

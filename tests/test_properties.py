@@ -865,3 +865,63 @@ def test_arrow_cosine_handles_ragged_and_mixed_width_batches(spark):
     df = spark.createDataFrame(rows, "a array<double>, b array<double>")
     got = [r["sim"] for r in df.select(arrow_cosine_rounded(F.col("a"), F.col("b")).alias("sim")).collect()]
     assert got == [1.0, None, 1.0, None]
+
+
+def test_d49_cluster_split_is_leakage_free_and_matches_replay(spark):
+    """d49 replayed in pure python from the collected corpus: union-find
+    clusters over the gated minhash pairs, KNUTH-hash split on the
+    cluster id, per-split accounting — plus the structural leakage
+    property the face exists for: every near-dup cluster lands whole in
+    one split, so cross-split pairs are 0."""
+    from collections import defaultdict
+
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.docs_queries import (
+        SPLIT_MOD,
+        VAL_BUCKETS,
+        _corpus,
+        d49_cluster_aware_split,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    corpus = _corpus(spark, sf)
+    docs = {
+        r["doc_id"]: (r["source"], r["n_chars"])
+        for r in corpus.select("doc_id", "source", "n_chars").collect()
+    }
+    pairs = [
+        (r["src"], r["dst"]) for r in minhash_near_dups(corpus).collect()
+    ]
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min doc id of the component (the operator's contract)
+    cluster = {d: find(d) for d in docs}
+    split = {
+        d: "val" if (cluster[d] * D.KNUTH) % SPLIT_MOD < VAL_BUCKETS else "train"
+        for d in docs
+    }
+    # leakage property: both endpoints of every near-dup pair share a split
+    assert all(split[a] == split[b] for a, b in pairs)
+    expect: dict = defaultdict(lambda: [0, set(), 0])
+    for d, (src, nch) in docs.items():
+        e = expect[split[d]]
+        e[0] += 1
+        e[1].add(cluster[d])
+        e[2] += nch
+    rows = d49_cluster_aware_split(spark, sf).collect()
+    got = {
+        r["split"]: (r["n_docs"], r["n_clusters"], r["total_chars"], r["n_cross_split_pairs"])
+        for r in rows
+    }
+    assert got == {
+        s: (e[0], len(e[1]), e[2], 0) for s, e in expect.items()
+    }
