@@ -368,3 +368,94 @@ def weighted_sample_per_group(
         .filter(F.col("rk") <= F.coalesce(F.col(target_col), F.lit(0)))
         .select(group_col, id_col, "arrival")
     )
+
+
+def token_budget_prefix(
+    df: DataFrame,
+    budget: DataFrame,
+    score_col: str = "score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Greedy token-budget selection: walk the corpus in descending
+    ``score_col`` order (ties broken ascending by ``id_col``) and keep
+    the longest prefix whose running token total stays ≤ the budget —
+    "give me the best B tokens", the selection every pre-training run
+    starts with (the reference's analogue is its manual per-domain TXT
+    export, `Hype.py:64-70`; at 100 TB the export is a scored prefix).
+    Returns the input rows plus ``cum`` (the running total INCLUDING
+    the row) for every selected row.  ``budget`` is a 1-row frame with
+    a ``budget`` column, so a budget derived from the data (e.g.
+    sum/3) flows through the plan without a driver round-trip.
+
+    The prefix semantics are deliberately strict: once the running
+    total would exceed the budget, NOTHING further is taken, even a
+    later tiny document that would still fit — first-fit packing would
+    make the selected set depend on every earlier document's size
+    (unstable under corpus edits) where the prefix depends only on the
+    cut point.
+
+    Scale shape — the naive form is a window over ONE partition (an
+    empty ``partitionBy`` with ``ORDER BY score``), the classic
+    driver-sized bottleneck this repo bans.  Instead the global
+    running sum is decomposed exactly, the pca.py bounded-fold idiom
+    applied to a prefix sum:
+
+    1. ``percentile_approx`` yields ``n_buckets-1`` score boundaries
+       (one tiny aggregate; deterministic — the GK sketch has no
+       randomness).
+    2. Each row's bucket = count of boundaries strictly above its
+       score — a pure function of the score, so a tie-class never
+       straddles buckets and bucket order extends score order.
+    3. Per-bucket token totals (≤ ``n_buckets`` rows) get exclusive
+       prefix offsets via a window over that TINY frame (bounded by
+       ``n_buckets``, the constant that makes the "global" window
+       legal), broadcast back.
+    4. The running sum within each bucket is a window PARTITIONED by
+       bucket — parallel across buckets — plus the bucket's offset.
+
+    Because buckets are score-monotone and the within-bucket order is
+    the global order's restriction, offset + within-bucket sum IS the
+    global running sum, exactly — the bucketing is an execution
+    layout, invisible in the result, so the oracle can replay the
+    selection as a plain window cumsum and a bucketing-invariance
+    property (``n_buckets=1`` ≡ ``n_buckets=8``) pins the
+    decomposition.  At 100 TB ``n_buckets`` scales to ~thousands
+    (executor-count-sized, still a bounded offsets frame) — skew is
+    impossible by construction since quantile boundaries equalize
+    bucket mass.  Scores may carry NULLs in principle; they sort last
+    (desc_nulls_last) so a NULL-scored document can only enter after
+    every scored one.
+    """
+    from pyspark.sql.window import Window
+
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(
+        F.percentile_approx(F.col(score_col), fracs, 10_000).alias("bs")
+    )
+    bucketed = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.size(F.filter("bs", lambda x: F.col(score_col) < x)),
+    )
+    # exclusive prefix offsets over the ≤ n_buckets bucket totals;
+    # bucket index DESCENDS in score, so "earlier" = smaller bucket
+    off_w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum(tokens_col).alias("_btoks"))
+        .withColumn("_boff", F.coalesce(F.sum("_btoks").over(off_w), F.lit(0)))
+        .select("bucket", "_boff")
+    )
+    run_w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.desc_nulls_last(score_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum", (F.col("_boff") + F.sum(tokens_col).over(run_w)).cast("long"))
+        .crossJoin(F.broadcast(budget))
+        .filter(F.col("cum") <= F.col("budget"))
+        .drop("bs", "bucket", "_boff")
+    )

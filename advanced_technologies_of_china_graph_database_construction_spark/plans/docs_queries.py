@@ -629,6 +629,79 @@ FROM assigned GROUP BY split
 )
 
 
+# ------------------------------------------- d50 token-budget selection ---
+
+TOKEN_BUDGET_DIV = 3
+BUDGET_BUCKETS = 8
+
+
+def d50_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"The best B tokens": greedy prefix selection over the corpus in
+    descending quality-score order (d06's composite score; ties broken
+    by doc_id) until the running token total reaches the budget — here
+    a third of the corpus's total tokens, computed IN-PLAN (one
+    aggregate riding a broadcast, no driver round-trip) so the face is
+    non-degenerate at every SF.  Ships per-language integer facts of
+    the selected set plus the budget and the selection's final running
+    total — all BIGINT, the d42 exactness discipline.
+
+    The scale story is the operator's
+    (:func:`…operators.selection.token_budget_prefix`): the global
+    running sum is decomposed into quantile-bucketed windows + a
+    bounded offsets fold — NEVER a window over one partition — and the
+    bucketing is exactly invisible in the result, so the oracle
+    replays the semantics as a plain window cumsum.  Reference
+    analogue: the manual per-domain corpus export (`Hype.py:64-70`)
+    re-expressed as scored selection."""
+    from ..operators.selection import token_budget_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.size(textops.nonempty_tokens(F.col("text"))).alias("n_tokens"),
+        textops.quality_score(F.col("text")).alias("score"),
+    )
+    budget = feats.agg(
+        F.expr(f"sum(n_tokens) div {TOKEN_BUDGET_DIV}").cast("long").alias("budget")
+    )
+    sel = token_budget_prefix(feats, budget, n_buckets=BUDGET_BUCKETS)
+    return sel.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sel_tokens"),
+        F.max("cum").alias("max_cum"),
+        F.max("budget").alias("budget"),
+    )
+
+
+D50_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS n_tokens,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
+         length(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            t -> t IN ({_EN_STOPS}))) AS stops
+  FROM documents),
+scored AS (
+  SELECT doc_id, lang, n_tokens,
+         round(least(1.0, n_tokens / 100.0) * 0.5
+               + (1.0 - round(punct::DOUBLE / greatest(n_chars, 1), 6)) * 0.3
+               + round(stops::DOUBLE / greatest(n_tokens, 1), 6) * 0.2, 6) AS score
+  FROM feats),
+b AS (SELECT sum(n_tokens)::BIGINT // {TOKEN_BUDGET_DIV} AS budget FROM scored),
+ranked AS MATERIALIZED (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM scored)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS sel_tokens,
+       max(cum)::BIGINT AS max_cum, max((SELECT budget FROM b))::BIGINT AS budget
+FROM ranked WHERE cum <= (SELECT budget FROM b)
+GROUP BY lang
+"""
+
+
 # ----------------------------------------------------------- a01/a02 ANN ---
 
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -685,6 +758,102 @@ cands AS (
 SELECT query_id, neighbor_id, sim, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
   FROM cands) WHERE rank <= 5
+"""
+
+
+# ------------------------------------------------- a13 IVF recall -------
+
+RECALL_K = 5
+
+
+def a13_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against exact brute force — the
+    evaluation number that justifies ANN at scale (the g51 pattern:
+    close a speed/quality trade with a measured NUMBER, not a claim).
+    Per query: ``n_exact`` (brute-force top-k size), ``n_retrieved``
+    (IVF top-k size — can drop below k when the probed buckets run
+    dry), ``n_overlap`` (their intersection) — all integer rank
+    statistics, never a float recall that two engines could round
+    apart; recall@k = n_overlap / n_exact is the consumer's one
+    division.
+
+    Both sides reuse the gated operators (a01's broadcast-GEMM brute
+    force, a02's nprobe=2-of-8 IVF), so the face measures the INDEX,
+    not a reimplementation.  The three per-query aggregates and joins
+    ride frames bounded by |queries|·k rows — broadcast, no shuffle of
+    the embedding table beyond what the two operators already do.  At
+    100 TB this runs on a query SAMPLE (the landmark discipline):
+    recall estimation never needs the full corpus as queries."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = brute_force_topk(emb, ANN_QUERY_IDS, k=RECALL_K).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ivf_topk(emb, ANN_QUERY_IDS, k=RECALL_K, n_centroids=8, nprobe=2).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        brute.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    nret = ivf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_retrieved"))
+    return (
+        brute.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(F.broadcast(nret), "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_retrieved", F.lit(0)).cast("long").alias("n_retrieved"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        )
+    )
+
+
+A13_SQL = f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+bscored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_COS_AB.format(a='q', b='e')} AS sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+brute AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM bscored) WHERE rank <= {RECALL_K}),
+cent AS MATERIALIZED (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_AB.format(a='e', b='c')} DESC, c.centroid_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS_AB.format(a='q', b='c')} DESC, c.centroid_id) AS rn
+    FROM q CROSS JOIN cent c) WHERE rn <= 2),
+cands AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_COS_AB.format(a='q', b='e')} AS sim
+  FROM probes p JOIN assign a ON p.centroid_id = a.centroid_id
+  JOIN embeddings e ON a.vec_id = e.vec_id
+  JOIN q ON p.query_id = q.query_id
+  WHERE e.vec_id <> q.query_id),
+ivf AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM cands) WHERE rank <= {RECALL_K})
+SELECT bq.query_id, bq.n_exact,
+       coalesce(iq.n_retrieved, 0)::BIGINT AS n_retrieved,
+       coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap
+FROM (SELECT query_id, count(*)::BIGINT AS n_exact FROM brute GROUP BY query_id) bq
+LEFT JOIN (SELECT query_id, count(*)::BIGINT AS n_retrieved
+           FROM ivf GROUP BY query_id) iq USING (query_id)
+LEFT JOIN (SELECT b.query_id, count(*)::BIGINT AS n_overlap
+           FROM brute b JOIN ivf i
+             ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+           GROUP BY b.query_id) ov USING (query_id)
 """
 
 
@@ -3352,10 +3521,18 @@ SPECS = [
               "cluster-aware split: d12's hash assignment on the near-dup "
               "CLUSTER id, cross-split near-dup pairs computed (0 by "
               "construction) — dedup-before-split leakage discipline"),
+    QuerySpec("d50_token_budget_selection", d50_token_budget_selection, D50_SQL,
+              "text",
+              "greedy token-budget prefix selection by quality score — "
+              "bucketed prefix-sum layout, budget computed in-plan, "
+              "per-language integer facts"),
     QuerySpec("a01_ann_bruteforce", a01_ann_bruteforce, A01_SQL, "similarity",
               "exact cosine top-k ANN baseline", bench=True),
     QuerySpec("a02_ann_ivf", a02_ann_ivf, A02_SQL, "similarity",
               "IVF bucketed ANN (nprobe=2 of 8 centroids)"),
+    QuerySpec("a13_ivf_recall", a13_ivf_recall, A13_SQL, "similarity",
+              "recall@k of IVF vs exact brute force — integer rank "
+              "statistics per query, the ANN quality contract"),
     QuerySpec("a03_kmeans_clusters", a03_kmeans_clusters, A03_SQL, "similarity",
               "distributed Lloyd k-means (IVF quantizer training), 2 rounds"),
     QuerySpec("a04_ann_ivf_trained", a04_ann_ivf_trained, A04_SQL, "similarity",

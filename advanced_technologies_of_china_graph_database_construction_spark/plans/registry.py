@@ -38,24 +38,28 @@ PLAN_CHANGED_REGATE: set[str] = {
 }
 
 # r15 gate-budget note (written BEFORE the gate, per the sequencing
-# rule established in r13).  Front of the r15 order: the FOUR new
+# rule established in r13).  Front of the r15 order: the SIX new
 # specs (g49 betweenness centrality — Brandes backward pass over
 # g47's layered σ table; g50 one-level Louvain refine on the g48
 # supergraph; g51 embedding link-prediction AUC — the evaluation face
 # closing the walks→embeddings chain; d49 cluster-aware leakage-free
-# split — d12's hash assignment on the d11 near-dup cluster id), then
-# the g43/g45 oracle-change pins above (-0.5), then any drift pins
+# split — d12's hash assignment on the d11 near-dup cluster id; d50
+# token-budget prefix selection — bucketed prefix-sum layout, budget
+# computed in-plan; a13 IVF recall@k vs brute force — integer rank
+# statistics, the ANN quality contract), then the g43/g45
+# oracle-change pins above (-0.5), then any drift pins
 # scripts/plan_fingerprints.py records on the final tree (expected:
 # new specs only), then the 23-spec r10 band (e18–e23, e25, i05,
 # m07–m09, s08–s12, g37, p03, q18–q22 — all replica-proved at three
 # SFs in r14, record-stale not evidence-stale), then the 47-spec r11
 # band's front in declaration order: er08 + er01–er07 (the
 # reference's distinctive ER core, per the r14 verdict's priority),
-# d29/d30/d28/d18, m10, n06, g38, g24, s03–s06, p02.  4 new + 2 pins
-# + 23 + 21 = 50 slots; the r11 tail (including q01–q17 and g01–g09)
-# rolls to r16.  Done-bar from the r14 verdict: nothing staler than
-# r11 in CORRECTNESS_r15's union except the r11 band's own tail, the
-# new specs green, g43/g45 re-green on the corrected oracles.
+# d29/d30/d28/d18, m10, n06, g38, g24, s03–s05.  6 new + 2 pins
+# + 23 + 19 = 50 slots; the r11 tail (including s06, p02,
+# q01–q17 and g01–g09) rolls to r16.  Done-bar from the r14 verdict:
+# nothing staler than r11 in CORRECTNESS_r15's union except the r11
+# band's own tail, the new specs green, g43/g45 re-green on the
+# corrected oracles.
 
 
 def effective_round(

@@ -922,3 +922,37 @@ def test_g42_ppmi_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_d50_budget_selection_windows_are_partitioned_and_bounded(spark):
+    """d50: the running-sum window over the document-scale frame is
+    PARTITIONED by bucket (never an empty partition spec over the
+    corpus — the classic single-partition global-sort trap); the only
+    unpartitioned window folds the ≤ n_buckets offsets frame.  The
+    quantile bounds and the in-plan budget each enter via a 1-row
+    broadcast nested-loop join; everything stays JVM-side."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.docs_queries import (
+        d50_token_budget_selection,
+    )
+
+    plan = _plan(d50_token_budget_selection(spark, SF_CORRECT))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # corpus-scale running sum: partition spec leads with bucket
+    assert "windowspecdefinition(bucket" in plan, plan
+    # 3 one-row broadcasts: the budget gate, plus the bounds frame once
+    # per consumer (offsets branch + running-sum branch — re-broadcasting
+    # one row twice beats a checkpoint barrier between the branches)
+    assert plan.count("BroadcastNestedLoopJoin") == 3, plan
+
+
+def test_a13_recall_reuses_kernels_no_cartesian(spark):
+    """a13: the recall contract composes the gated a01/a02 operators —
+    the brute side's Arrow einsum kernel is the ONE Python stage; the
+    per-query rank statistics and overlap joins never introduce a
+    cartesian, and the tiny per-query aggregates join as broadcasts."""
+    from advanced_technologies_of_china_graph_database_construction_spark.plans.docs_queries import a13_ivf_recall
+
+    plan = _plan(a13_ivf_recall(spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

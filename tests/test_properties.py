@@ -925,3 +925,111 @@ def test_d49_cluster_split_is_leakage_free_and_matches_replay(spark):
     assert got == {
         s: (e[0], len(e[1]), e[2], 0) for s, e in expect.items()
     }
+
+
+# ----------------------------------- d50 token-budget prefix ---------------
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 400), st.integers(0, 50)),  # (score_raw, toks)
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(1, 9),
+    st.integers(0, 3),
+)
+@SETTINGS
+def test_token_budget_prefix_matches_python_replay(spark, rows, n_buckets, div_exp):
+    """token_budget_prefix replayed in pure python: sort by
+    (score desc, doc_id), cumsum, cut at the budget — for arbitrary
+    score ties (small integer scores collide constantly), any bucket
+    count (1 disables the decomposition entirely, so 1 vs k IS the
+    bucketing-invariance property), and budgets from 0 (selects
+    nothing) to ≥ total (selects everything)."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.selection import (
+        token_budget_prefix,
+    )
+
+    data = [(i, float(s) / 7.0, t) for i, (s, t) in enumerate(rows)]
+    total = sum(t for _, _, t in data)
+    budget = (total * div_exp) // 3  # 0, total/3, 2/3, ≥ total
+    ordered = sorted(data, key=lambda r: (-r[1], r[0]))
+    want, cum = {}, 0
+    for i, s, t in ordered:
+        if cum + t > budget:
+            break
+        cum += t
+        want[i] = cum
+    df = spark.createDataFrame(data, "doc_id long, score double, n_tokens long")
+    bdf = spark.createDataFrame([(budget,)], "budget long")
+    got = {
+        r["doc_id"]: r["cum"]
+        for r in token_budget_prefix(df, bdf, n_buckets=n_buckets).collect()
+    }
+    assert got == want
+
+
+# --------------------------------------- a13 IVF recall --------------------
+
+def test_ivf_recall_matches_numpy_replay(spark):
+    """a13's integer rank statistics replayed in numpy from scratch
+    (assign-to-nearest-of-first-8, probe 2, 6dp-rounded cosine, ties by
+    id) on a seeded random embedding set — and the set is checked to
+    actually exercise the face: at least one query must MISS a true
+    neighbor (n_overlap < n_exact), else the contract degenerates to
+    5=5=5 and measures nothing."""
+    import numpy as np
+
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(77)
+    n, dim, k, ncent, nprobe = 60, 8, 5, 8, 2
+    vecs = rng.randn(n, dim)
+    query_ids = [0, 1, 2, 3, 4]
+    mn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    raw = mn @ mn.T
+    # half-away-from-zero at 6dp, matching F.round (np.round is banker's)
+    scaled = raw * 1e6
+    sims = np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)) / 1e6
+
+    def topk(q, cand_ids):
+        ranked = sorted(
+            ((float(sims[q, c]), c) for c in cand_ids if c != q),
+            key=lambda p: (-p[0], p[1]),
+        )
+        return [c for _, c in ranked[:k]]
+
+    # every vector (centroid rows included) assigns by cosine to the
+    # centroid ROWS, self-comparison included — the operator's ivf_assign
+    assign = {
+        v: min(range(ncent), key=lambda c: (-float(sims[v, c]), c)) for v in range(n)
+    }
+    expect = {}
+    missed = False
+    for q in query_ids:
+        probes = sorted(range(ncent), key=lambda c: (-float(sims[q, c]), c))[:nprobe]
+        cands = [v for v in range(n) if assign[v] in probes]
+        bt, it = topk(q, range(n)), topk(q, cands)
+        overlap = len(set(bt) & set(it))
+        expect[q] = (len(bt), len(it), overlap)
+        missed = missed or overlap < len(bt)
+    assert missed, "fixture degenerate: every query had perfect recall"
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    brute = brute_force_topk(df, query_ids, k=k).select("query_id", "neighbor_id")
+    ivf = ivf_topk(df, query_ids, k=k, n_centroids=ncent, nprobe=nprobe).select(
+        "query_id", "neighbor_id"
+    )
+    b_rows, i_rows = brute.collect(), ivf.collect()
+    got = {}
+    for q in query_ids:
+        bs = {r["neighbor_id"] for r in b_rows if r["query_id"] == q}
+        is_ = {r["neighbor_id"] for r in i_rows if r["query_id"] == q}
+        got[q] = (len(bs), len(is_), len(bs & is_))
+    assert got == expect
