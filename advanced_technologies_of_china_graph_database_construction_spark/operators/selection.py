@@ -431,12 +431,25 @@ def token_budget_prefix(
     from pyspark.sql.window import Window
 
     fracs = [i / n_buckets for i in range(1, n_buckets)]
+    # percentile_approx returns NULL (not []) for an empty fraction list
+    # (n_buckets=1) and for an empty/all-NULL input — either would
+    # NULL the bucket and silently drop every row at the inner join
+    # below (caught by the hypothesis replay's n_buckets=1 case)
     bounds = df.agg(
-        F.percentile_approx(F.col(score_col), fracs, 10_000).alias("bs")
+        F.coalesce(
+            F.percentile_approx(F.col(score_col), fracs, 10_000),
+            F.array().cast("array<double>"),
+        ).alias("bs")
     )
+    # NULL scores go to the LAST bucket explicitly ("score < x" is NULL
+    # for them, which F.filter drops — size() would say bucket 0, the
+    # BEST bucket); together with desc_nulls_last below this makes the
+    # NULLS-sort-globally-last claim structural, not fixture luck
     bucketed = df.crossJoin(F.broadcast(bounds)).withColumn(
         "bucket",
-        F.size(F.filter("bs", lambda x: F.col(score_col) < x)),
+        F.when(F.col(score_col).isNull(), F.lit(n_buckets - 1)).otherwise(
+            F.size(F.filter("bs", lambda x: F.col(score_col) < x))
+        ),
     )
     # exclusive prefix offsets over the ≤ n_buckets bucket totals;
     # bucket index DESCENDS in score, so "earlier" = smaller bucket

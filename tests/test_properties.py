@@ -969,6 +969,39 @@ def test_token_budget_prefix_matches_python_replay(spark, rows, n_buckets, div_e
     assert got == want
 
 
+def test_token_budget_prefix_null_scores_and_single_bucket(spark):
+    """The two structural edges the hypothesis replay caught or nearly
+    caught: n_buckets=1 makes percentile_approx's fraction list EMPTY
+    and its result NULL (not []) — every row must still survive the
+    bucket join; and NULL scores must sort globally LAST (they land in
+    the last bucket explicitly — F.filter drops their NULL comparisons,
+    which would otherwise claim bucket 0, the best)."""
+    from advanced_technologies_of_china_graph_database_construction_spark.operators.selection import (
+        token_budget_prefix,
+    )
+
+    # falsifying example from the hypothesis run: 1 doc, 0 tokens, budget 0
+    df = spark.createDataFrame([(0, 0.0, 0)], "doc_id long, score double, n_tokens long")
+    bdf = spark.createDataFrame([(0,)], "budget long")
+    assert [
+        (r["doc_id"], r["cum"])
+        for r in token_budget_prefix(df, bdf, n_buckets=1).collect()
+    ] == [(0, 0)]
+
+    # NULL scores: selected only after every scored doc, at any bucket count
+    rows = [(1, 0.9, 10), (2, None, 10), (3, 0.1, 10), (4, None, 10)]
+    df2 = spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
+    for budget, keep in [(20, {1: 10, 3: 20}), (30, {1: 10, 3: 20, 2: 30}),
+                         (40, {1: 10, 3: 20, 2: 30, 4: 40})]:
+        b2 = spark.createDataFrame([(budget,)], "budget long")
+        for k in (1, 3, 8):
+            got = {
+                r["doc_id"]: r["cum"]
+                for r in token_budget_prefix(df2, b2, n_buckets=k).collect()
+            }
+            assert got == keep, (budget, k, got)
+
+
 # --------------------------------------- a13 IVF recall --------------------
 
 def test_ivf_recall_matches_numpy_replay(spark):
