@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 # the ONE set of cross-engine hash constants (selection.py is the
 # defining site every seeded-hash face imports — a private copy here
@@ -62,38 +61,67 @@ def deterministic_walks(
 
     Scale shape: the classic Pregel frontier loop (the g27/g35 layout)
     — step t is ONE equi-join of the |starts|-row frontier against the
-    edge list plus a per-walk min window over each node's out-
-    neighborhood; the edge list is never collected, mutated, or
-    re-derived, and the frontier never exceeds |starts| rows.  Walk
-    count scales by choosing ``starts`` (deterministically — e.g. a
-    residue class or a d47 race cut), not by sampling inside the loop.
+    edge list plus a per-walk argmin over each node's out-neighborhood;
+    the edge list is never collected, mutated, or re-derived, and the
+    frontier never exceeds |starts| rows.  Walk count scales by
+    choosing ``starts`` (deterministically — e.g. a residue class or a
+    d47 race cut), not by sampling inside the loop.
+
+    Two r16 plan changes (guide §2.3/§2.4, measured at sf0.1 on the
+    g43 chain):
+
+    - the |E| side is HOISTED out of the loop (src-partitioned persist,
+      the `_hoisted_edge_frame` discipline): the caller's edge plan —
+      for g40 a full `distinct` over the fact table plus the symmetric
+      union — was re-executed by EVERY step's join; now it runs once
+      and each step's join inserts no edge-side exchange, so only the
+      |starts|-row frontier moves per step;
+    - the per-walk winner is a ``min(struct(h, cand))`` aggregation
+      (map-side partial agg, one row per walk leaves each map task)
+      instead of a row_number window, which shuffled and SORTED every
+      candidate row (the full out-neighborhood of each frontier node)
+      per step.  Struct ordering is lexicographic, so the argmin is
+      byte-identical to the (h, cand) window winner.
     """
     if n_steps < 1:
         raise ValueError("deterministic_walks needs n_steps >= 1")
+    edges = edges.select("src", "dst").repartition("src").persist()
+    edges.count()  # materialize the cache before the loop reads it
     cur = starts.select(
         F.col(id_col).alias("walk_id"),
         F.lit(0).alias("step"),
         F.col(id_col).alias("node"),
     )
     out = [cur]
-    for t in range(1, n_steps + 1):
-        cands = cur.join(edges, cur["node"] == edges["src"]).select(
-            "walk_id",
-            F.col("dst").alias("cand"),
-            _step_hash(F.col("walk_id"), F.col("node"), F.col("dst"), t).alias("h"),
-        )
-        w = Window.partitionBy("walk_id").orderBy(F.asc("h"), F.asc("cand"))
-        cur = (
-            cands.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("walk_id", F.lit(t).alias("step"), F.col("cand").alias("node"))
-            # superstep materialization (the g27/g35 rule): without it
-            # the final union evaluates step t through t stacked joins —
-            # O(n_steps²) total work and an n_steps-deep plan at
-            # DeepWalk-typical depths (40–80)
-            .localCheckpoint(eager=True)
-        )
-        out.append(cur)
+    try:
+        for t in range(1, n_steps + 1):
+            cands = cur.join(edges, cur["node"] == edges["src"]).select(
+                "walk_id",
+                F.struct(
+                    _step_hash(
+                        F.col("walk_id"), F.col("node"), F.col("dst"), t
+                    ).alias("h"),
+                    F.col("dst").alias("cand"),
+                ).alias("hc"),
+            )
+            cur = (
+                cands.groupBy("walk_id")
+                .agg(F.min("hc").alias("m"))
+                .select(
+                    "walk_id", F.lit(t).alias("step"), F.col("m.cand").alias("node")
+                )
+                # superstep materialization (the g27/g35 rule): without it
+                # the final union evaluates step t through t stacked joins —
+                # O(n_steps²) total work and an n_steps-deep plan at
+                # DeepWalk-typical depths (40–80)
+                .localCheckpoint(eager=True)
+            )
+            out.append(cur)
+    finally:
+        # every step is checkpointed, so the returned union never reads
+        # the cache again; a superstep failure must not leave |E| pinned
+        # (the r12 msbfs guard)
+        edges.unpersist()
     res = out[0]
     for df in out[1:]:
         res = res.unionByName(df)

@@ -968,18 +968,21 @@ def g40_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Starts are the deterministic residue class src % 100 == 7 of doc
     nodes; WALK_STEPS hash-chosen transitions per walk
     (`operators/walks.deterministic_walks`).  Integer node ids end to
-    end, every step replayed by the unrolled oracle."""
+    end, every step replayed by the unrolled oracle.
+
+    The distinct edge set materializes ONCE (the g25 lesson, r16):
+    starts and the symmetric walk frame both derive from the
+    checkpoint instead of each re-running the fact-table distinct."""
     from ..operators.walks import deterministic_walks
 
-    edges = symmetric_edges(_citation_edges(spark, sf_dir))
+    ce = _citation_edges(spark, sf_dir).localCheckpoint(eager=True)
     starts = (
-        _citation_edges(spark, sf_dir)
-        .select("src")
+        ce.select("src")
         .distinct()
         .filter(F.pmod(F.col("src"), F.lit(100)) == WALK_START_RESIDUE)
         .select(F.col("src").alias("node"))
     )
-    return deterministic_walks(edges, starts, n_steps=WALK_STEPS)
+    return deterministic_walks(symmetric_edges(ce), starts, n_steps=WALK_STEPS)
 
 
 def _g40_step_cte(t: int) -> str:
