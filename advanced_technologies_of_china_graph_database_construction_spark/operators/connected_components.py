@@ -60,37 +60,42 @@ def _signature(edges: DataFrame) -> tuple:
 
 
 def _driver_union_find(spark, edges_pdf) -> DataFrame:
-    """Union-find over a pandas edge frame (collected via Arrow — a
-    (src, dst) int64 frame is ~16 B/edge, vs ~100+ B/edge for py4j Row
-    objects, so the driver-memory budget math holds as stated)."""
-    parent: dict[int, int] = {}
+    """Driver-side closure over a pandas edge frame (collected via Arrow
+    — a (src, dst) int64 frame is ~16 B/edge, vs ~100+ B/edge for py4j
+    Row objects, so the driver-memory budget math holds as stated).
 
-    def find(x: int) -> int:
-        r = x
-        while parent[r] != r:
-            r = parent[r]
-        while parent[x] != r:  # path compression
-            parent[x], x = r, parent[x]
-        return r
-
-    for a, b in zip(
-        edges_pdf["src"].to_numpy().tolist(), edges_pdf["dst"].to_numpy().tolist()
-    ):
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:  # min-id root wins → root IS the component min
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
+    r16: the per-edge interpreted union-find loop (measured ~3 s at the
+    p03 rebuild's 940k-edge graph) is replaced by vectorized hash-min
+    with pointer jumping (Shiloach–Vishkin shape, numpy end to end):
+    each round folds every edge's endpoint-label minimum into both
+    endpoints (``np.minimum.at``) and then fully path-compresses
+    (``label = label[label]`` to fixpoint).  Labels only decrease and
+    every round at least halves the label-tree height of each live
+    component, so convergence is O(log n) rounds of O(|E|) vector work.
+    Node index order = sorted id order, so the converged label index IS
+    the component's min id — the same min-id contract the loop had."""
+    import numpy as np
     import pandas as pd
 
-    nodes = list(parent)
-    pdf = pd.DataFrame(
-        {"id": pd.array(nodes, dtype="int64"),
-         "component": pd.array([find(n) for n in nodes], dtype="int64")}
-    )
+    src = edges_pdf["src"].to_numpy(dtype=np.int64)
+    dst = edges_pdf["dst"].to_numpy(dtype=np.int64)
+    nodes = np.unique(np.concatenate([src, dst])) if len(src) else np.empty(0, np.int64)
+    s = np.searchsorted(nodes, src)
+    d = np.searchsorted(nodes, dst)
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        m = np.minimum(label[s], label[d])
+        before = label.copy()
+        np.minimum.at(label, s, m)
+        np.minimum.at(label, d, m)
+        while True:  # full path compression
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if np.array_equal(label, before):
+            break
+    pdf = pd.DataFrame({"id": nodes, "component": nodes[label]})
     # explicit schema: an EMPTY edge set (legitimate — e.g. a delta batch
     # whose edges were all intra-component) must yield an empty frame,
     # not a CANNOT_INFER_EMPTY_SCHEMA error
