@@ -1233,23 +1233,51 @@ def strongly_connected_components(
         # one (node, has_out, has_in) aggregate per round; alive and
         # trimmed are narrow filters over its checkpoint, so the
         # fixpoint probe and the singleton accumulation re-read local
-        # blocks instead of re-running joins
+        # blocks instead of re-running joins.
+        #
+        # r16: the per-round edge frame is NEVER materialized inside
+        # the loop.  Trimmed sets only grow, so the round-r edge set is
+        # exactly the base frame restricted to round r's alive nodes —
+        # e_r = e0 ⋉src alive_r ⋉dst alive_r — and the next round's
+        # degree aggregate folds that restriction into its own job
+        # (same two semi-joins the old shape ran, minus one checkpoint
+        # action and one materialized |E| frame per round; measured on
+        # the g39 face the trim loop was ~49% of wall in the r12
+        # profile and checkpoint actions dominated the r16 one).  The
+        # restricted frame is materialized ONCE, after the fixpoint,
+        # for the color/assign phases.
         trimmed_rounds: list[DataFrame] = []
+        alive = None  # None = unrestricted (first round reads e as-is)
         while True:
             _t0 = _time.time()
+            cur = e
+            if alive is not None:
+                cur = e.join(
+                    alive.withColumnRenamed("node", "src"), "src", "left_semi"
+                ).join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            # one explode instead of a two-leg union: the union shape
+            # evaluated the restricted frame TWICE (and built each
+            # alive broadcast twice — expression ids differ per leg, so
+            # ReuseExchange can't collapse them); the explode doubles
+            # rows map-side in a single pass (r16)
             deg = (
-                e.select(
-                    F.col("src").alias("node"),
-                    F.lit(1).alias("has_out"),
-                    F.lit(0).alias("has_in"),
+                cur.select(
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                F.col("src").alias("node"),
+                                F.lit(1).alias("has_out"),
+                                F.lit(0).alias("has_in"),
+                            ),
+                            F.struct(
+                                F.col("dst").alias("node"),
+                                F.lit(0).alias("has_out"),
+                                F.lit(1).alias("has_in"),
+                            ),
+                        )
+                    ).alias("x")
                 )
-                .unionByName(
-                    e.select(
-                        F.col("dst").alias("node"),
-                        F.lit(0).alias("has_out"),
-                        F.lit(1).alias("has_in"),
-                    )
-                )
+                .select("x.*")
                 .groupBy("node")
                 .agg(
                     F.max("has_out").alias("has_out"),
@@ -1264,12 +1292,13 @@ def strongly_connected_components(
                 break
             trimmed_rounds.append(trimmed)
             alive = deg.filter(both).select("node")
+            _tick("trim", _t0)
+        if alive is not None:
             e = (
                 e.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
                 .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
                 .localCheckpoint(eager=True)
             )
-            _tick("trim", _t0)
         if trimmed_rounds:
             assigned = assigned.unionByName(
                 reduce(DataFrame.unionByName, trimmed_rounds).select(
