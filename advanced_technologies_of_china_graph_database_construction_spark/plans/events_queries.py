@@ -329,17 +329,18 @@ def e11_streaming_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         _write_ts_slices(ev, d)
         stream = windows.streaming_source(spark, d, watermark="1 hour")
         name = f"e11_sink_{uuid.uuid4().hex[:8]}"
-        q = (
-            windows.tumbling_stats(stream, "1 day")
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with windows.state_partitions(spark):
+            q = (
+                windows.tumbling_stats(stream, "1 day")
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.table(name)
@@ -592,17 +593,18 @@ def e15_streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         _append_sentinels(ev, d, seen, max_ts)
         stream = windows.streaming_source(spark, d, watermark="1 hour")
         name = f"e15_sink_{uuid.uuid4().hex[:8]}"
-        q = (
-            windows.session_stats(stream, "30 minutes")
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with windows.state_partitions(spark):
+            q = (
+                windows.session_stats(stream, "30 minutes")
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.table(name).filter(F.col("user_id") >= 0)
@@ -629,17 +631,18 @@ def e16_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         _write_ts_slices(ev, d)
         stream = windows.streaming_source(spark, d, watermark=None)
         name = f"e16_sink_{uuid.uuid4().hex[:8]}"
-        q = (
-            stateful.running_totals_stream(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with windows.state_partitions(spark):
+            q = (
+                stateful.running_totals_stream(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     finally:
         shutil.rmtree(d, ignore_errors=True)
     final = F.max(F.struct("n_events", "total_value")).alias("s")
@@ -691,16 +694,17 @@ def e17_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
         )
         name = f"e17_sink_{uuid.uuid4().hex[:8]}"
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with windows.state_partitions(spark):
+            q = (
+                deduped.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.table(name)
@@ -747,16 +751,17 @@ def e18_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # interval_join watermarks each streaming side itself (dual wm)
         joined = windows.interval_join(clicks, purchases, watermark="1 hour")
         name = f"e18_sink_{uuid.uuid4().hex[:8]}"
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with windows.state_partitions(spark):
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     finally:
         shutil.rmtree(d_clicks, ignore_errors=True)
         shutil.rmtree(d_purchases, ignore_errors=True)
@@ -809,16 +814,17 @@ def e19_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
             clicks, purchases, watermark="1 hour", how="left_outer"
         )
         name = f"e19_sink_{uuid.uuid4().hex[:8]}"
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with windows.state_partitions(spark):
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     finally:
         shutil.rmtree(d_clicks, ignore_errors=True)
         shutil.rmtree(d_purchases, ignore_errors=True)
@@ -907,16 +913,17 @@ def e20_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         name = f"e20_sink_{uuid.uuid4().hex[:8]}"
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with windows.state_partitions(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.table(name)
