@@ -541,8 +541,21 @@ def symdelete_typo_pairs(
     variants = _deletion_variants(names)
     a = variants.select(F.col("id").alias("src"), F.xxhash64("variant").alias("vh"))
     b = variants.select(F.col("id").alias("dst"), F.xxhash64("variant").alias("vh2"))
+    # SHUFFLE_HASH on the self-join (r16): both sides are the SAME
+    # corpus-scale variant projection, so there is no small side —
+    # but its (id, vh) row is 16 B and Catalyst's size estimate lands
+    # under the broadcast threshold at bench scale, picking a broadcast
+    # that collects millions of variant rows to the driver and builds
+    # the whole hash relation on every executor per invocation
+    # (measured interleaved at sf0.1, 2.75M variants/side: broadcast
+    # 35–56 s vs shuffled-hash 7.5–17.5 s).  At real scale broadcast is
+    # impossible and sort-merge would pay two corpus-scale sorts; the
+    # shuffled-hash build side is one AQE-sized partition of 16 B rows.
     cands = (
-        a.join(b, (F.col("vh") == F.col("vh2")) & (F.col("src") < F.col("dst")))
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("vh") == F.col("vh2")) & (F.col("src") < F.col("dst")),
+        )
         .select("src", "dst")
         .distinct()
     )
