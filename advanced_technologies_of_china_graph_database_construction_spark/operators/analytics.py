@@ -537,10 +537,34 @@ def k_core(
             if cur == prev:
                 break
             prev = cur
-    else:
-        for _ in range(n_rounds):
-            edges = peel(edges)
-    return edges.groupBy(F.col("src").alias("node")).agg(
+        return edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+    # Fixed-round mode (r16, the SCC-trim restructure): keep sets only
+    # shrink, so round r's edge set is exactly the base frame restricted
+    # to round r's keep nodes — the degree aggregate is CHECKPOINTED
+    # once per round (the old peel's un-checkpointed keep was referenced
+    # by both semi-joins, so each round ran the degree shuffle TWICE)
+    # and the restriction folds into the next round's degree job as two
+    # runtime-broadcast semi-joins; no per-round |E| materialization.
+    base = edges
+    keep = None
+
+    def restrict(keep: DataFrame) -> DataFrame:
+        return base.join(keep, "src", "left_semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+        )
+
+    for _ in range(n_rounds):
+        cur = base if keep is None else restrict(keep)
+        deg = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint(eager=True)
+        )
+        keep = deg.filter(F.col("deg") >= k).select("src")
+    final = base if keep is None else restrict(keep)
+    return final.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
 
