@@ -186,6 +186,45 @@ def _dedup_incremental_pair(spark, sf_dir: str) -> dict[str, list[float]]:
     }
 
 
+def _merge_detail(old: dict | None, new: dict) -> dict:
+    """Sidecar merge-with-provenance (r16): ``BENCH_DETAIL.json`` holds
+    the per-entry FLOORS across passes, so a later (possibly busier-box)
+    pass must never clobber an earlier quiet-box floor — exactly the
+    footgun that hit twice in r15 (one in-round near-miss, one driver
+    overwrite post-commit).  Rules:
+
+    - no/unreadable/other-shape existing file → write ``new`` as-is;
+    - same ``sf``: entry-wise min of ``queries`` (union of entries),
+      per-entry run lists appended, total recomputed from the merged
+      floors, env/meta from the new pass, and a ``merged_passes``
+      counter recording provenance;
+    - DIFFERENT ``sf``: refuse to merge or overwrite — the caller keeps
+      the existing file and writes the new payload to a suffixed
+      sidecar instead (set ``SPARK_GRAFT_BENCH_DETAIL_OVERWRITE=1`` to
+      force a plain overwrite).
+    """
+    if not isinstance(old, dict) or "queries" not in old:
+        return new
+    if old.get("sf") != new.get("sf"):
+        raise ValueError(f"sidecar sf mismatch: {old.get('sf')} != {new.get('sf')}")
+    queries = dict(old["queries"])
+    for name, sec in new["queries"].items():
+        queries[name] = min(sec, queries[name]) if name in queries else sec
+    runs = {k: list(v) for k, v in (old.get("runs") or {}).items()}
+    for name, r in (new.get("runs") or {}).items():
+        runs[name] = runs.get(name, []) + list(r)
+    return {
+        "metric": new["metric"],
+        "value": round(sum(queries.values()), 4),
+        "unit": new["unit"],
+        "queries": queries,
+        "runs": runs,
+        "sf": new["sf"],
+        "env": new.get("env"),
+        "merged_passes": int(old.get("merged_passes", 1)) + 1,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for entry in os.scandir(sf_dir):  # page-cache pre-warm (see docstring)
@@ -259,13 +298,27 @@ def main() -> None:
         "env": _env_fingerprint(),
     }
     try:
-        with open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-            ),
-            "w",
-        ) as f:
-            json.dump(detail, f, indent=1)
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        payload = detail
+        out_path = sidecar
+        if not os.environ.get("SPARK_GRAFT_BENCH_DETAIL_OVERWRITE"):
+            old = None
+            try:
+                with open(sidecar) as f:
+                    old = json.load(f)
+            except (OSError, ValueError):
+                old = None
+            try:
+                payload = _merge_detail(old, detail)
+            except ValueError as e:
+                # different-provenance sidecar (other sf): refuse to
+                # touch it; park this pass next to it instead
+                print(f"BENCH_DETAIL.json kept: {e}", file=sys.stderr)
+                out_path = sidecar.replace(".json", f".sf{sf}.json")
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1)
     except OSError as e:
         # the sidecar is best-effort: on a read-only checkout the ~1 kB
         # stdout contract line below must still print (r13 ADVICE)
