@@ -605,6 +605,12 @@ def d49_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOTE (r15 ADVICE, pinned): the split hash below uses DuckDB's
+# sign-following % against Spark's F.pmod — equivalent ONLY while
+# cluster ids are non-negative and cluster*KNUTH stays inside int64
+# (ids < ~3.47e9).  Both hold for every fixture (doc_id-derived ids);
+# a dataset with negative or >3e9 ids needs the g45-style
+# ((x % M) + M) % M correction on this oracle (and d12's).
 D49_SQL = (
     _D11_CLUSTER_CTES
     + f""",
