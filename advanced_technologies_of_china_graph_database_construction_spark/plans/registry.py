@@ -24,18 +24,10 @@ from .spec import QuerySpec
 # CORRECTNESS_r* round records it green again.  Pinned specs sort AFTER
 # genuinely never-gated ones (a spec with no green row at all is the
 # bigger unknown) but BEFORE all green ones — see effective_round().
-PLAN_CHANGED_REGATE: set[str] = {
-    # r15: g43's and g45's ORACLES changed after their r14 green rows
-    # (r14 ADVICE: g43's candidate set now LEFT JOINs dots so
-    # zero-bucket-overlap candidates ship cos 0.0 exactly as the Spark
-    # plan does; g45's SQL sampling hash gained the pmod correction for
-    # negative ids).  The Spark plans are untouched — fingerprints
-    # structurally cannot flag an oracle-only contract change, which is
-    # exactly the manual-override class this set exists for.  Remove
-    # once CORRECTNESS_r15 records them green.
-    "g43_walk_embedding_ann",
-    "g45_sampled_triangles",
-}
+PLAN_CHANGED_REGATE: set[str] = set()
+# r16: the r15 pins (g43/g45 — oracle-only contract changes the
+# fingerprint cannot see) were removed per their own removal condition:
+# CORRECTNESS_r15 records both green on the corrected oracles.
 
 # r15 gate-budget note (written BEFORE the gate, per the sequencing
 # rule established in r13).  Front of the r15 order: the SIX new
