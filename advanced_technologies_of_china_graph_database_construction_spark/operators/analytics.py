@@ -523,7 +523,17 @@ def k_core(
         edges = edges.localCheckpoint(eager=True)
 
     def peel(e: DataFrame) -> DataFrame:
-        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        # Lazy-checkpoint the degree aggregate: both semi-join legs
+        # reference ``keep``, and without the checkpoint each leg's
+        # broadcast build re-ran the degree shuffle (two full degree
+        # jobs per round).  Lazy (not eager) so the first leg's
+        # broadcast-build job computes and stores it and the second leg
+        # reads the stored blocks — no extra driver action per round.
+        deg = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint(eager=False)
+        )
         keep = deg.filter(F.col("deg") >= k).select("src")
         return e.join(keep, "src", "left_semi").join(
             keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
@@ -540,31 +550,20 @@ def k_core(
         return edges.groupBy(F.col("src").alias("node")).agg(
             F.count(F.lit(1)).alias("degree")
         )
-    # Fixed-round mode (r16, the SCC-trim restructure): keep sets only
-    # shrink, so round r's edge set is exactly the base frame restricted
-    # to round r's keep nodes — the degree aggregate is CHECKPOINTED
-    # once per round (the old peel's un-checkpointed keep was referenced
-    # by both semi-joins, so each round ran the degree shuffle TWICE)
-    # and the restriction folds into the next round's degree job as two
-    # runtime-broadcast semi-joins; no per-round |E| materialization.
-    base = edges
-    keep = None
-
-    def restrict(keep: DataFrame) -> DataFrame:
-        return base.join(keep, "src", "left_semi").join(
-            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
-        )
-
+    # Fixed-round mode (r17): back to the r15 shrinking-edge shape —
+    # each round materializes the restricted edge frame once, so round
+    # r (and the output aggregate) scans the previous round's SHRUNKEN
+    # checkpoint, never the full base frame.  The r16 restructure that
+    # re-derived the restriction from the base frame per round (and in
+    # the output path) regressed g28 0.56× / g31 0.60× on the driver:
+    # with heavy peeling, O(rounds × |E₀|) base re-scans lose to
+    # O(Σ|E_r|) materialization, and the final frame ballooned from a
+    # checkpoint scan to a 10-Exchange re-derivation.  The one genuine
+    # r16 fix — don't run the degree shuffle twice per round — is kept
+    # via the lazy degree checkpoint inside ``peel``.
     for _ in range(n_rounds):
-        cur = base if keep is None else restrict(keep)
-        deg = (
-            cur.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .localCheckpoint(eager=True)
-        )
-        keep = deg.filter(F.col("deg") >= k).select("src")
-    final = base if keep is None else restrict(keep)
-    return final.groupBy(F.col("src").alias("node")).agg(
+        edges = peel(edges)
+    return edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
 

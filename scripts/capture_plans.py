@@ -1,12 +1,13 @@
 #!/usr/bin/env python
 """Capture .explain('formatted') for every bench-flagged spec into
-plans/r16/<name>_<tag>.txt — the optimization round's before/after plan
-evidence (guide §1: measure first; §7.2: read the plan).
+plans/<round>/<name>_<tag>.txt — the optimization round's before/after
+plan evidence (guide §1: measure first; §7.2: read the plan).
 
 Usage: python scripts/capture_plans.py <tag> [name ...]
   tag    'before' / 'after' (file suffix)
   names  optional subset of spec names; default = all bench specs
          plus the bench.py incremental-pair frames.
+Env:   SPARK_GRAFT_PLAN_ROUND (default 'r17') picks the plans/ subdir.
 """
 
 from __future__ import annotations
@@ -25,7 +26,9 @@ def main() -> None:
     only = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r17"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("atcgdc-plan-capture")
