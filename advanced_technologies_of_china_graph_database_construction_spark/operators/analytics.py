@@ -1283,6 +1283,11 @@ def strongly_connected_components(
             # alive broadcast twice — expression ids differ per leg, so
             # ReuseExchange can't collapse them); the explode doubles
             # rows map-side in a single pass (r16)
+            #
+            # r17 action fold: the degree checkpoint is LAZY and the
+            # trimmed-count aggregate materializes it — one driver
+            # action per round where the r16 shape paid two (eager
+            # checkpoint + isEmpty probe).
             deg = (
                 cur.select(
                     F.explode(
@@ -1306,11 +1311,11 @@ def strongly_connected_components(
                     F.max("has_out").alias("has_out"),
                     F.max("has_in").alias("has_in"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             both = (F.col("has_out") == 1) & (F.col("has_in") == 1)
             trimmed = deg.filter(~both).select("node")
-            if trimmed.isEmpty():
+            if trimmed.count() == 0:
                 _tick("trim", _t0)
                 break
             trimmed_rounds.append(trimmed)
@@ -1350,7 +1355,10 @@ def strongly_connected_components(
                 )
                 # the change flag rides the checkpointed frame, so the
                 # fixpoint probe is a narrow count over local blocks —
-                # not a second join of the |V| vectors per round
+                # not a second join of the |V| vectors per round.
+                # r17 action fold: the checkpoint is LAZY and the
+                # changed-count materializes it — one action per round
+                # instead of eager-checkpoint + count.
                 new = (
                     colors.join(msgs, "node", "left")
                     .select(
@@ -1362,7 +1370,7 @@ def strongly_connected_components(
                             "chg"
                         ),
                     )
-                    .localCheckpoint(eager=True)
+                    .localCheckpoint(eager=False)
                 )
                 changed = new.filter("chg").count()
                 colors = new.select("node", "color")
@@ -1370,28 +1378,59 @@ def strongly_connected_components(
                 if changed == 0:
                     break
             # --- 3. ASSIGN (all roots walk backward within color) ----
-            frontier = colors.filter(F.col("node") == F.col("color")).localCheckpoint(
-                eager=True
-            )
-            reached = frontier
+            # r17 flag-carrying restructure: the old round was
+            # join→distinct→color-lookup→anti-join — three exchanges
+            # (distinct on (node,color), re-shuffle to node for the
+            # color join, re-shuffle of the growing `reached` union for
+            # the anti-join) plus two actions (eager checkpoint +
+            # isEmpty).  The reached/new flags now ride ONE
+            # node-partitioned state frame: per round the only shuffle
+            # is the frontier-expansion aggregate (map-side collect_set
+            # dedups before the wire), the state join is co-partitioned
+            # (checkpoint preserves hash(node) partitioning), and the
+            # new-count materializes the lazy checkpoint — one exchange
+            # + one action per round.
+            state = colors.select(
+                "node",
+                "color",
+                (F.col("node") == F.col("color")).alias("reached"),
+                (F.col("node") == F.col("color")).alias("__new"),
+            ).localCheckpoint(eager=True)
             while True:
                 _t0 = _time.time()
-                step = (
+                frontier = state.filter("__new").select("node", "color")
+                hits = (
                     e_cached.join(frontier, e_cached.dst == frontier.node)
-                    .select(F.col("src").alias("node"), "color")
-                    .distinct()
-                    .join(colors.withColumnRenamed("color", "own"), "node")
-                    .filter(F.col("own") == F.col("color"))
-                    .select("node", "color")
-                    .join(reached, ["node", "color"], "left_anti")
-                    .localCheckpoint(eager=True)
+                    .groupBy(F.col("src").alias("node"))
+                    .agg(F.collect_set("color").alias("__in"))
                 )
-                if step.isEmpty():
-                    _tick("assign", _t0)
-                    break
-                reached = reached.unionByName(step)
-                frontier = step
+                state = (
+                    state.join(hits, "node", "left")
+                    .select(
+                        "node",
+                        "color",
+                        (
+                            F.col("reached")
+                            | F.coalesce(
+                                F.array_contains("__in", F.col("color")),
+                                F.lit(False),
+                            )
+                        ).alias("reached"),
+                        (
+                            ~F.col("reached")
+                            & F.coalesce(
+                                F.array_contains("__in", F.col("color")),
+                                F.lit(False),
+                            )
+                        ).alias("__new"),
+                    )
+                    .localCheckpoint(eager=False)
+                )
+                n_new = state.filter("__new").count()
                 _tick("assign", _t0)
+                if n_new == 0:
+                    break
+            reached = state.filter("reached").select("node", "color")
             comp = reached.groupBy("color").agg(F.min("node").alias("component"))
             assigned = assigned.unionByName(
                 reached.join(comp, "color").select("node", "component")
